@@ -1,38 +1,58 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline at sf0.001;
+``queries()`` exposes every implemented operator from SURVEY.md §2;
+``oracle_sql()`` gives the DuckDB twin for each SQL-expressible one
+(generated from the same constants — glirel_spark/oracle.py).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from glirel_spark import oracle  # noqa: E402
+from glirel_spark.plans import pipeline  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: documents -> (subj, pred, obj) triples at sf0.001."""
+    return pipeline.triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    import pyspark.sql.functions as F
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # M0/M1 relational core
+        "doc_tokens": lambda spark, sf: (
+            pipeline.docs_tokens(spark, sf)
+            .select(
+                "doc_id",
+                F.size("tokens").cast("long").alias("n_tokens"),
+                F.size(F.array_distinct("tokens")).cast("long").alias("n_distinct"),
+            )
+        ),
+        "mentions": pipeline.mentions,
+        "pairs": pipeline.pairs,
+        "scored": lambda spark, sf: pipeline.scored(spark, sf).select(
+            "doc_id", "head_m_id", "tail_m_id", "h_start", "h_end",
+            "t_start", "t_end", "label", "raw", "prob",
+        ),
+        "triples": pipeline.triples,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "doc_tokens": oracle.q_doc_tokens(),
+        "mentions": oracle.q_mentions(),
+        "pairs": oracle.q_pairs(),
+        "scored": oracle.q_scored(),
+        "triples": oracle.q_triples(),
+    }

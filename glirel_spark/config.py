@@ -1,0 +1,165 @@
+"""Shared constants for the engine AND its DuckDB oracle SQL.
+
+Every constant used by a Spark operator that also appears in an
+``oracle_sql()`` string is defined exactly once here; ``oracle.py``
+interpolates these into SQL so the two sides cannot drift.
+
+The gazetteer / label set is a deterministic *test harness* over the
+driver's closed-vocabulary `documents` corpus (31 distinct tokens, see
+TESTDATA.md). In production the mention source is an upstream NER table
+and the label set is user-supplied — both flow through the exact same
+operators; only these constants change.
+"""
+
+from __future__ import annotations
+
+# --------------------------------------------------------------------------
+# Tokenization
+# --------------------------------------------------------------------------
+# Reference tokenizer regex: glirel/model.py:523, custom_tokenizers.py:17.
+# On the driver corpus (lowercase words + single spaces) this is exactly
+# split-by-space; tests assert the equivalence (tests/test_tokenize.py).
+TOKEN_REGEX = r"\w+(?:[-_]\w+)*|\S"
+
+# --------------------------------------------------------------------------
+# Gazetteer (deterministic mention source over the closed vocabulary)
+# --------------------------------------------------------------------------
+# Unigram surface form -> entity type.
+ENTITY_UNIGRAMS: dict[str, str] = {
+    "spark": "TOOL",
+    "customer": "ACTOR",
+    "table": "OBJECT",
+    "vector": "OBJECT",
+    "stream": "OBJECT",
+    "window": "OBJECT",
+    "query": "EVENT",
+    "key": "OBJECT",
+}
+
+# Bigram surface form (two consecutive tokens) -> entity type.
+# Bigrams deliberately overlap unigrams ("table scan" vs "table") and each
+# other ("sort merge" / "merge join") to exercise the reference's
+# overlap-resolution semantics (process_wiki_zsl.py:143-162: keep longer;
+# our tie-break for equal length: keep the earlier start).
+ENTITY_BIGRAMS: dict[tuple[str, str], str] = {
+    ("hash", "join"): "ALGO",
+    ("table", "scan"): "ALGO",
+    ("merge", "join"): "ALGO",
+    ("sort", "merge"): "ALGO",
+}
+
+# --------------------------------------------------------------------------
+# Relation label set + entity-type constraints
+# --------------------------------------------------------------------------
+# Mirrors the reference's labels dict w/ allowed_head/allowed_tail
+# (README.md:73-88; constraint filter glirel/modules/utils.py:67-81:
+# a missing key means unconstrained).
+COREF_LABEL = "SELF"  # special coref label (glirel/modules/utils.py:86-153)
+
+RELATION_LABELS: dict[str, dict[str, list[str]]] = {
+    "used by": {"allowed_head": ["TOOL", "OBJECT", "ALGO"], "allowed_tail": ["ACTOR"]},
+    "depends on": {},
+    "feeds": {"allowed_head": ["OBJECT"], "allowed_tail": ["EVENT", "OBJECT"]},
+    "runs on": {"allowed_head": ["ALGO"], "allowed_tail": ["TOOL"]},
+    "related to": {},
+}
+
+ALL_ENTITY_TYPES = sorted(
+    set(ENTITY_UNIGRAMS.values()) | set(ENTITY_BIGRAMS.values())
+)
+
+# --------------------------------------------------------------------------
+# Pair generation (J1)
+# --------------------------------------------------------------------------
+# Reference: generate_entity_pairs_indices (glirel/modules/base.py:59-109):
+# bidirectional i != j, optional |h_start - t_start| <= max_distance.
+MAX_PAIR_DISTANCE = 8
+
+# --------------------------------------------------------------------------
+# Lexical scorer (SQL-expressible deterministic score; the oracle-checked
+# twin of the tensor-plane scorer). Integer arithmetic only, then a single
+# exactly-rounded IEEE division -> bit-identical in Spark and DuckDB.
+# --------------------------------------------------------------------------
+SCORE_MOD = 97
+SCORE_W_HLEN = 7
+SCORE_W_TLEN = 11
+SCORE_W_LLEN = 13
+SCORE_W_DIST = 3
+SCORE_W_HCH = 17
+SCORE_W_TCH = 19
+SCORE_W_LCH = 23
+
+# decode thresholds (reference threshold grid: config_wiki_zsl.yaml:65)
+THRESHOLD = 0.5
+THRESHOLD_GRID = [0.01, 0.1, 0.2, 0.3, 0.5, 0.6]
+TOP_K = 1  # per entity pair (config_wiki_zsl.yaml:62)
+
+# gold standard for the evaluation replay = lexical score above this raw
+# value (so gold is deterministically derivable in both engines)
+GOLD_RAW_MIN = 65
+
+# --------------------------------------------------------------------------
+# Entity linking / canonicalization (J7/J8 seed dictionary)
+# --------------------------------------------------------------------------
+ALIAS_DICT: dict[str, str] = {
+    "spark": "Q:apache_spark",
+    "table": "Q:relation_table",
+    "table scan": "Q:op_table_scan",
+    "hash join": "Q:op_hash_join",
+    "merge join": "Q:op_merge_join",
+    "sort merge": "Q:op_sort_merge",
+    "customer": "Q:customer",
+    "vector": "Q:vector",
+    "stream": "Q:stream",
+    "window": "Q:window",
+    "query": "Q:query",
+    "key": "Q:key",
+}
+
+# --------------------------------------------------------------------------
+# MinHash / SimHash dedup constants (integer arithmetic, engine-portable)
+# --------------------------------------------------------------------------
+HASH_P = 1_000_000_007  # prime modulus
+SHINGLE_K = 3  # token 3-grams
+SHINGLE_BASE = 31
+MINHASH_K = 8  # signature length
+MINHASH_BANDS = 4  # rows per band = MINHASH_K // MINHASH_BANDS = 2
+# (a, b) per minhash function: deterministic small odd constants
+MINHASH_AB = [
+    (1_234_567, 89_041),
+    (2_345_671, 17_389),
+    (3_456_789, 41_227),
+    (4_567_891, 73_061),
+    (5_678_913, 29_017),
+    (6_789_131, 53_407),
+    (7_891_313, 97_001),
+    (8_913_131, 11_489),
+]
+NEARDUP_JACCARD = 0.8
+
+SIMHASH_BITS = 16
+SIMHASH_AB = [(2 * i + 3, 7 * i + 5) for i in range(SIMHASH_BITS)]
+SIMHASH_MAX_HAMMING = 3
+
+# --------------------------------------------------------------------------
+# Text analysis
+# --------------------------------------------------------------------------
+STOPWORDS = ["the", "a"]
+FINGERPRINT_BASE = 1_000_003  # rolling-hash base for document fingerprint
+
+# --------------------------------------------------------------------------
+# Similarity search
+# --------------------------------------------------------------------------
+ANN_TOP_K = 5
+ANN_N_QUERIES = 10  # brute-force query set = first N vec_ids
+IVF_N_CELLS = 16  # coarse cells for the IVF-style scale path
+
+# --------------------------------------------------------------------------
+# Multimodal (synthetic deterministic media bytes; decode itself is stubbed)
+# --------------------------------------------------------------------------
+MEDIA_N_BYTES = 64
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]

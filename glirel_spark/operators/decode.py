@@ -1,0 +1,85 @@
+"""Decode: threshold -> top-k per pair -> constraints -> output format.
+
+Reference semantics reproduced:
+
+- threshold on sigmoid prob (glirel/model.py:383, 419-427)  [P6]
+- top_k per (head_pos, tail_pos): sort by score desc, keep first k per
+  position pair (glirel/model.py:560-583)                    [W1]
+  — tie-break: ascending label string (the reference relies on python
+  stable sort; ours is a defined total order so results are stable
+  under any partitioning)
+- entity-type constraint filter (glirel/modules/utils.py:67-81,
+  applied after top-k as in spacy_integration.py:113-116)    [P9]
+- output boundary: end index +1 restores the exclusive (spaCy)
+  convention (glirel/model.py:592-596)                       [F4]
+
+All native window/filter ops; the window partitions by (doc_id, pair
+position), which is already the partitioning produced by the scoring
+join — no extra exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, Window as W
+
+from glirel_spark import config
+
+PAIR_KEY = ["doc_id", "h_start", "h_end", "t_start", "t_end"]
+
+
+def threshold_filter(scored: DataFrame, threshold: float = config.THRESHOLD) -> DataFrame:
+    return scored.filter(F.col("prob") > F.lit(threshold))
+
+
+def top_k_per_pair(scored: DataFrame, k: int = config.TOP_K) -> DataFrame:
+    w = W.partitionBy(*PAIR_KEY).orderBy(F.desc("prob"), F.asc("label"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def constraint_filter(triples: DataFrame) -> DataFrame:
+    """P9: keep triple iff head/tail types are allowed for the label.
+
+    Expects allowed_head/allowed_tail columns (NULL = unconstrained)
+    already present from the label dimension join.
+    """
+    head_ok = F.col("allowed_head").isNull() | F.array_contains(
+        F.col("allowed_head"), F.col("h_type")
+    )
+    tail_ok = F.col("allowed_tail").isNull() | F.array_contains(
+        F.col("allowed_tail"), F.col("t_type")
+    )
+    return triples.filter(head_ok & tail_ok)
+
+
+def format_output(triples: DataFrame) -> DataFrame:
+    """Final output shape (glirel/model.py:587-604): exclusive end (+1),
+    head/tail text, label, score."""
+    return triples.select(
+        "doc_id",
+        F.col("h_start").alias("head_start"),
+        (F.col("h_end") + 1).alias("head_end"),
+        F.col("t_start").alias("tail_start"),
+        (F.col("t_end") + 1).alias("tail_end"),
+        F.col("h_text").alias("head_text"),
+        F.col("t_text").alias("tail_text"),
+        "label",
+        "raw",
+        "prob",
+    )
+
+
+def decode(
+    scored: DataFrame,
+    threshold: float = config.THRESHOLD,
+    top_k: int = config.TOP_K,
+    apply_constraints: bool = True,
+) -> DataFrame:
+    out = threshold_filter(scored, threshold)
+    out = top_k_per_pair(out, top_k)
+    if apply_constraints:
+        out = constraint_filter(out)
+    return format_output(out)

@@ -1,0 +1,71 @@
+"""Interleaved corpus synthesis + the span-sequence equality invariant
+(BASELINE.json input_hint: per-row (kind, text, media_ref, order))."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from glirel_spark.sources.tables import (
+    interleaved_documents,
+    span_sequence_signature,
+    text_of,
+)
+
+
+def _flat(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+
+def test_text_roundtrip(spark):
+    flat = _flat(spark)
+    inter = interleaved_documents(flat)
+    back = text_of(inter)
+    joined = flat.select(F.col("doc_id").cast("string").alias("doc_id"),
+                         F.col("text").alias("orig")).join(back, "doc_id")
+    assert joined.filter(F.col("orig") != F.col("text")).count() == 0
+
+
+def test_schema_matches_input_hint(spark):
+    inter = interleaved_documents(_flat(spark))
+    assert inter.schema["doc_id"].dataType.simpleString() == "string"
+    el = inter.schema["spans"].dataType.elementType
+    assert [f.name for f in el.fields] == ["kind", "text", "media_ref", "offset"]
+    assert [f.dataType.simpleString() for f in el.fields] == [
+        "string", "string", "string", "int",
+    ]
+
+
+def test_media_interleave_properties(spark):
+    inter = interleaved_documents(_flat(spark))
+    spans = inter.select("doc_id", F.explode("spans").alias("s"))
+    media = spans.filter(F.col("s.kind") == "media")
+    text = spans.filter(F.col("s.kind") == "text")
+    n_media, n_text = media.count(), text.count()
+    assert 0.1 < n_media / (n_media + n_text) < 0.3   # ~20% media
+    assert media.filter(F.col("s.media_ref").isNull()).count() == 0
+    assert media.filter(F.col("s.text").isNotNull()).count() == 0
+    assert text.filter(F.col("s.text").isNull()).count() == 0
+    # offsets are 0..n-1 in order
+    bad = inter.select(
+        (F.transform("spans", lambda s, i: s["offset"] == i.cast("int"))).alias("ok")
+    ).filter(F.exists("ok", lambda x: ~x))
+    assert bad.count() == 0
+
+
+def test_span_signature_detects_divergence(spark):
+    inter = interleaved_documents(_flat(spark))
+    sig_a = span_sequence_signature(inter)
+    # identical table -> zero signature mismatches (anti-join empty)
+    mismatches = sig_a.join(sig_a.withColumnRenamed("span_signature", "other"), "doc_id") \
+        .filter(F.col("span_signature") != F.col("other"))
+    assert mismatches.count() == 0
+    # a mutated row IS detected
+    mutated = inter.withColumn(
+        "spans",
+        F.expr("transform(spans, s -> named_struct("
+               "'kind', s.kind, 'text', coalesce(s.text, '') || '_X',"
+               "'media_ref', s.media_ref, 'offset', s.offset))"),
+    )
+    sig_b = span_sequence_signature(mutated).withColumnRenamed("span_signature", "other")
+    diff = sig_a.join(sig_b, "doc_id").filter(F.col("span_signature") != F.col("other"))
+    assert diff.count() == sig_a.count()
