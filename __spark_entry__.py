@@ -45,6 +45,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_start", "t_end", "label", "raw", "prob",
         ),
         "triples": pipeline.triples,
+        # coref clustering (union-find / connected components)
+        "coref_clusters": pipeline.mention_clusters,
+        "cluster_relations": pipeline.cluster_relations,
+        # evaluation replay
+        "eval_counts": pipeline.eval_counts,
+        "eval_metrics": pipeline.eval_metrics,
+        "threshold_search": pipeline.threshold_search,
+        # linking + graph materialization
+        "linked_triples": pipeline.linked_triples,
+        "graph": pipeline.graph,
     }
 
 
@@ -55,4 +65,11 @@ def oracle_sql() -> dict[str, str]:
         "pairs": oracle.q_pairs(),
         "scored": oracle.q_scored(),
         "triples": oracle.q_triples(),
+        "coref_clusters": oracle.q_coref_clusters(),
+        "cluster_relations": oracle.q_cluster_relations(),
+        "eval_counts": oracle.q_eval_counts(),
+        "eval_metrics": oracle.q_eval_metrics(),
+        "threshold_search": oracle.q_threshold_search(),
+        "linked_triples": oracle.q_linked_triples(),
+        "graph": oracle.q_graph(),
     }

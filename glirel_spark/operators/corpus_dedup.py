@@ -1,0 +1,232 @@
+"""Corpus deduplication — the training-data-pipeline operators.
+
+All sketches use engine-portable integer arithmetic (token ids from a
+dense rank over the corpus vocabulary, polynomial shingle hashes,
+affine minhash permutations mod a prime), so every stage is
+oracle-checkable in DuckDB bit-for-bit.
+
+Scale notes (the whole point of these ops):
+- token-id assignment: vocabulary is tiny relative to the corpus; the
+  dense-rank runs over DISTINCT tokens then broadcast-joins back.
+- minhash: explode to (doc, shingle) then ONE groupBy(doc) computing
+  all K mins as conditional aggregates — a single shuffle keyed by doc,
+  partial-aggregated map-side.
+- LSH banding: signature -> (band, key) rows; candidate pairs via an
+  equi-join on the band key (never an all-pairs product). Band keys are
+  near-uniform, so the join is skew-free; verification Jaccard joins
+  shingle sets only for candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, Window as W
+
+from glirel_spark import config
+
+
+def token_ids(docs_tokens: DataFrame) -> DataFrame:
+    """(token, tid): dense rank over the distinct corpus vocabulary,
+    ordered by token string — deterministic across engines."""
+    vocab = docs_tokens.select(F.explode("tokens").alias("token")).distinct()
+    w = W.orderBy("token")
+    # single-partition window is fine: |vocab| << |corpus| by Heaps' law;
+    # at true web scale this becomes a sorted zipWithIndex over a small table.
+    return vocab.withColumn("tid", F.row_number().over(w).cast("long"))
+
+
+def doc_token_ids(docs_tokens: DataFrame, vocab: DataFrame) -> DataFrame:
+    """(doc_id, pos, tid) — token stream with integer ids (broadcast join)."""
+    toks = docs_tokens.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "token")
+    )
+    return toks.join(F.broadcast(vocab), "token").select("doc_id", "pos", "tid")
+
+
+def shingles(doc_tids: DataFrame, k: int = config.SHINGLE_K) -> DataFrame:
+    """(doc_id, sh): distinct polynomial hashes of k-token windows.
+
+    sh = ((tid1 * B + tid2) * B + tid3) mod P — windows built with a
+    self-equi-join on (doc, pos+i) offsets kept narrow by the shared
+    doc_id hash partitioning.
+    """
+    b, p = config.SHINGLE_BASE, config.HASH_P
+    t0 = doc_tids.select("doc_id", "pos", F.col("tid").alias("t0"))
+    t1 = doc_tids.select("doc_id", (F.col("pos") - 1).alias("pos"), F.col("tid").alias("t1"))
+    t2 = doc_tids.select("doc_id", (F.col("pos") - 2).alias("pos"), F.col("tid").alias("t2"))
+    win = t0.join(t1, ["doc_id", "pos"]).join(t2, ["doc_id", "pos"])
+    sh = (((F.col("t0") % p) * b + F.col("t1")) % p * b + F.col("t2")) % p
+    return win.select("doc_id", sh.alias("sh")).distinct()
+
+
+def minhash_signature(sh: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{K-1}): K affine-permutation minima in ONE
+    aggregation pass (map-side combined)."""
+    p = config.HASH_P
+    aggs = [
+        F.min((F.col("sh") * a + b) % p).alias(f"mh{i}")
+        for i, (a, b) in enumerate(config.MINHASH_AB)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(sig: DataFrame) -> DataFrame:
+    """signature -> (doc_id, band, band_key) rows; rows-per-band =
+    MINHASH_K / MINHASH_BANDS hashes combined into one key."""
+    r = config.MINHASH_K // config.MINHASH_BANDS
+    p = config.HASH_P
+    rows = []
+    for band in range(config.MINHASH_BANDS):
+        key = F.lit(0).cast("long")
+        for j in range(r):
+            key = (key * config.SHINGLE_BASE + F.col(f"mh{band * r + j}")) % p
+        rows.append(
+            sig.select("doc_id", F.lit(band).alias("band"), key.alias("band_key"))
+        )
+    out = rows[0]
+    for more in rows[1:]:
+        out = out.unionByName(more)
+    return out
+
+
+def candidate_pairs(bands: DataFrame) -> DataFrame:
+    """docs sharing any band key, doc1 < doc2 (distinct)."""
+    a = bands.toDF("doc1", "band", "band_key")
+    b = bands.toDF("doc2", "band", "band_key")
+    return (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+
+
+def jaccard_verify(cands: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs only.
+
+    |A∩B| via join on (shingle) restricted to candidate doc pairs;
+    |A∪B| = |A| + |B| − |A∩B|. jaccard emitted as an exact rational
+    (inter, union) plus the IEEE quotient.
+    """
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    s1 = sh.toDF("doc1", "sh")
+    s2 = sh.toDF("doc2", "sh")
+    inter = (
+        cands.join(s1, "doc1")
+        .join(s2, ["doc2", "sh"])
+        .groupBy("doc1", "doc2")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        cands.join(inter, ["doc1", "doc2"], "left")
+        .join(sizes.toDF("doc1", "n1"), "doc1")
+        .join(sizes.toDF("doc2", "n2"), "doc2")
+        .select(
+            "doc1", "doc2",
+            F.coalesce("inter", F.lit(0)).cast("long").alias("inter"),
+            (F.col("n1") + F.col("n2") - F.coalesce("inter", F.lit(0))).cast("long").alias("un"),
+        )
+    )
+    return out.withColumn("jaccard", F.col("inter").cast("double") / F.col("un"))
+
+
+def minhash_neardups(docs_tokens: DataFrame,
+                     threshold: float = config.NEARDUP_JACCARD) -> DataFrame:
+    """Full pipeline: near-duplicate pairs with verified Jaccard >= t."""
+    vocab = token_ids(docs_tokens)
+    sh = shingles(doc_token_ids(docs_tokens, vocab))
+    sig = minhash_signature(sh)
+    cands = candidate_pairs(lsh_bands(sig))
+    return jaccard_verify(cands, sh).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(docs_tokens: DataFrame, vocab: DataFrame) -> DataFrame:
+    """(doc_id, simhash): SIMHASH_BITS-bit signature.
+
+    bit_b(tid) = ((tid * A_b + B_b) mod P) mod 2; each token contributes
+    its multiplicity × (±1) to bit b; signature bit = 1 iff sum > 0.
+    One groupBy(doc) with SIMHASH_BITS conditional sums — single shuffle.
+    """
+    p = config.HASH_P
+    tid_counts = (
+        doc_token_ids(docs_tokens, vocab)
+        .groupBy("doc_id", "tid")
+        .agg(F.count("*").alias("cnt"))
+    )
+    aggs = []
+    for bit, (a, b) in enumerate(config.SIMHASH_AB):
+        sign = ((F.col("tid") * a + b) % p % 2) * 2 - 1
+        aggs.append(F.sum(F.col("cnt") * sign).alias(f"s{bit}"))
+    sums = tid_counts.groupBy("doc_id").agg(*aggs)
+    sh = F.lit(0).cast("long")
+    for bit in range(config.SIMHASH_BITS):
+        sh = sh + F.when(F.col(f"s{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+    return sums.select("doc_id", sh.alias("simhash"))
+
+
+def simhash_neardups(docs_tokens: DataFrame,
+                     max_hamming: int = config.SIMHASH_MAX_HAMMING) -> DataFrame:
+    """Near-dup pairs by Hamming distance <= max_hamming.
+
+    LSH blocking: split the signature into (max_hamming + 1) chunks —
+    any pair within distance d shares at least one exact chunk
+    (pigeonhole). Equi-join per chunk, then exact popcount verify.
+    """
+    vocab = token_ids(docs_tokens)
+    sig = simhash(docs_tokens, vocab)
+    n_chunks = max_hamming + 1
+    chunk_bits = config.SIMHASH_BITS // n_chunks
+    blocks = None
+    for ci in range(n_chunks):
+        chunk = F.shiftright(F.col("simhash"), ci * chunk_bits) % (1 << chunk_bits)
+        rows = sig.select("doc_id", "simhash", F.lit(ci).alias("ck"), chunk.alias("ckey"))
+        blocks = rows if blocks is None else blocks.unionByName(rows)
+    a = blocks.toDF("doc1", "sim1", "ck", "ckey")
+    b = blocks.toDF("doc2", "sim2", "ck", "ckey")
+    cands = (
+        a.join(b, ["ck", "ckey"])
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2", "sim1", "sim2")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim1").bitwiseXOR(F.col("sim2")))
+    return cands.select(
+        "doc1", "doc2", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup + fingerprint
+# ---------------------------------------------------------------------------
+
+def fingerprint(docs_tokens: DataFrame) -> DataFrame:
+    """(doc_id, fp): rolling polynomial hash of the full token-id stream
+    (order-sensitive document fingerprint)."""
+    vocab = token_ids(docs_tokens)
+    tids = doc_token_ids(docs_tokens, vocab)
+    # fold in pos order: fp = ((fp * B) + tid) mod P, via groupBy + sorted fold
+    per_doc = tids.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", "tid"))).alias("seq")
+    )
+    fp = F.aggregate(
+        F.col("seq"),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * config.FINGERPRINT_BASE + x["tid"]) % config.HASH_P,
+    )
+    return per_doc.select("doc_id", fp.alias("fp"))
+
+
+def exact_dedup(docs_tokens: DataFrame) -> DataFrame:
+    """Exact duplicate groups by fingerprint: keeper = min doc_id.
+
+    Hash-groupBy — the classic first dedup pass; at 100 TB the group
+    key is the 8-byte fp, not the document text.
+    """
+    fp = fingerprint(docs_tokens)
+    return fp.groupBy("fp").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.min("doc_id").alias("keeper"),
+    )

@@ -1,0 +1,210 @@
+"""Evaluation replay: RelEvaluator semantics (glirel/modules/evaluator.py)
++ threshold grid search (glirel/model.py:625-694).
+
+- J5 annotated-pairs-only filter (evaluator.py:80-86): a predicted pair
+  counts only if (head, tail, doc) is annotated in gold under ANY label
+  (position-only semi-join) — applied for few_rel/wiki_zsl/redocred.
+- J4 TP matching (evaluator.py:97): preds ∩ gold on (label, head, tail,
+  doc) = inner join, counted per label.
+- A3 per-label tp/pred/true counts; A1 micro (global integer sums);
+  A2 macro (per-label P/R/F then unweighted mean, `_prf_divide`
+  zero-division -> 0).
+- W5 threshold search: score ONCE, decode per threshold (the reference
+  re-decodes a cached forward pass, model.py:638; relationally this is
+  a crossJoin with the threshold grid — the scored DataFrame is reused).
+
+Float determinism for the oracle: micro metrics derive from integer
+sums; macro means are computed by a SORTED left-fold over per-label
+values (F.aggregate over array_sort), so Spark and DuckDB add in the
+same order -> bit-identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from glirel_spark import config
+
+_POS = ["doc_id", "h_start", "h_end", "t_start", "t_end"]
+
+
+def gold_triples(scored: DataFrame, raw_min: int = config.GOLD_RAW_MIN) -> DataFrame:
+    """Deterministic gold standard: lexical raw >= raw_min (dedup'd)."""
+    return scored.filter(F.col("raw") >= raw_min).select(*_POS, "label").distinct()
+
+
+def annotated_pairs_filter(preds: DataFrame, gold: DataFrame) -> DataFrame:
+    """J5: keep pred iff its (doc, head, tail) positions appear in gold
+    under any label (evaluator.py:80-86)."""
+    gold_pos = gold.select(*_POS).distinct()
+    return preds.join(gold_pos, _POS, "left_semi")
+
+
+def per_label_counts(preds: DataFrame, gold: DataFrame) -> DataFrame:
+    """A3: per-label tp/pred/true over the union of label vocabularies."""
+    p = preds.select(*_POS, "label").distinct()
+    g = gold.select(*_POS, "label").distinct()
+    tp = p.join(g, _POS + ["label"], "left_semi").groupBy("label").agg(
+        F.count("*").alias("tp")
+    )
+    pred_n = p.groupBy("label").agg(F.count("*").alias("pred_n"))
+    true_n = g.groupBy("label").agg(F.count("*").alias("true_n"))
+    labels = (
+        p.select("label").union(g.select("label")).distinct()
+    )
+    return (
+        labels.join(tp, "label", "left")
+        .join(pred_n, "label", "left")
+        .join(true_n, "label", "left")
+        .select(
+            "label",
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            F.coalesce("pred_n", F.lit(0)).cast("long").alias("pred_n"),
+            F.coalesce("true_n", F.lit(0)).cast("long").alias("true_n"),
+        )
+    )
+
+
+def _safe_div(num, den):
+    return F.when(den == 0, F.lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
+
+
+def micro_macro(counts: DataFrame) -> DataFrame:
+    """A1/A2 from per-label counts -> single row of 6 metrics.
+
+    Macro mean uses a sorted fold for cross-engine bit-stability.
+    """
+    per = counts.select(
+        "label",
+        _safe_div(F.col("tp"), F.col("pred_n")).alias("p"),
+        _safe_div(F.col("tp"), F.col("true_n")).alias("r"),
+    ).select(
+        "label", "p", "r",
+        F.when(F.col("p") + F.col("r") == 0, F.lit(0.0))
+        .otherwise(2 * F.col("p") * F.col("r") / (F.col("p") + F.col("r")))
+        .alias("f"),
+    )
+    folded = per.agg(
+        F.array_sort(F.collect_list(F.struct("label", "p", "r", "f"))).alias("rows")
+    )
+
+    def fold(field):
+        return F.aggregate(
+            F.col("rows"), F.lit(0.0), lambda acc, x: acc + x[field]
+        ) / F.size("rows")
+
+    macro = folded.select(
+        fold("p").alias("macro_precision"),
+        fold("r").alias("macro_recall"),
+        fold("f").alias("macro_f1"),
+    )
+    micro = counts.agg(
+        F.sum("tp").alias("tp"), F.sum("pred_n").alias("pred_n"),
+        F.sum("true_n").alias("true_n"),
+    ).select(
+        _safe_div(F.col("tp"), F.col("pred_n")).alias("micro_precision"),
+        _safe_div(F.col("tp"), F.col("true_n")).alias("micro_recall"),
+        "tp", "pred_n", "true_n",
+    ).select(
+        "micro_precision", "micro_recall",
+        F.when(F.col("micro_precision") + F.col("micro_recall") == 0, F.lit(0.0))
+        .otherwise(
+            2 * F.col("micro_precision") * F.col("micro_recall")
+            / (F.col("micro_precision") + F.col("micro_recall"))
+        ).alias("micro_f1"),
+    )
+    return micro.crossJoin(macro)
+
+
+def evaluate(preds: DataFrame, gold: DataFrame, annotated_only: bool = True) -> DataFrame:
+    p = preds
+    if annotated_only:
+        p = annotated_pairs_filter(p, gold)
+    return micro_macro(per_label_counts(p, gold))
+
+
+def threshold_search(
+    scored: DataFrame,
+    gold: DataFrame,
+    grid: list[float] = config.THRESHOLD_GRID,
+    top_k: int = config.TOP_K,
+) -> DataFrame:
+    """W5: one scored DataFrame, decoded at every threshold.
+
+    Implemented as crossJoin with the grid then a single window per
+    (threshold, pair) — Spark evaluates all thresholds in one pass over
+    the scored relation (the reference's forward-pass reuse, made
+    automatic by relational form). Returns per-threshold metrics.
+    """
+    from pyspark.sql import Window as W
+
+    grid_df = scored.sparkSession.createDataFrame(
+        [(t,) for t in grid], "threshold double"
+    )
+    st = scored.crossJoin(F.broadcast(grid_df)).filter(F.col("prob") > F.col("threshold"))
+    w = W.partitionBy("threshold", *_POS).orderBy(F.desc("prob"), F.asc("label"))
+    preds = (
+        st.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_k)
+        .select("threshold", *_POS, "label")
+    )
+    gold_pos = gold.select(*_POS).distinct()
+    preds = preds.join(gold_pos, _POS, "left_semi")
+
+    # per-threshold per-label counts, then metrics (same math as above)
+    p = preds.distinct()
+    g = gold.select(*_POS, "label").distinct()
+    tp = p.join(g, _POS + ["label"], "left_semi").groupBy("threshold", "label").agg(
+        F.count("*").alias("tp"))
+    pred_n = p.groupBy("threshold", "label").agg(F.count("*").alias("pred_n"))
+    true_n = g.groupBy("label").agg(F.count("*").alias("true_n"))
+    base = grid_df.crossJoin(g.select("label").distinct()).unionByName(
+        p.select("threshold", "label").distinct()
+    ).distinct()
+    counts = (
+        base.join(tp, ["threshold", "label"], "left")
+        .join(pred_n, ["threshold", "label"], "left")
+        .join(true_n, "label", "left")
+        .select(
+            "threshold", "label",
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            F.coalesce("pred_n", F.lit(0)).cast("long").alias("pred_n"),
+            F.coalesce("true_n", F.lit(0)).cast("long").alias("true_n"),
+        )
+    )
+    per = counts.select(
+        "threshold", "label",
+        _safe_div(F.col("tp"), F.col("pred_n")).alias("p"),
+        _safe_div(F.col("tp"), F.col("true_n")).alias("r"),
+        F.col("tp"), F.col("pred_n"), F.col("true_n"),
+    ).withColumn(
+        "f",
+        F.when(F.col("p") + F.col("r") == 0, F.lit(0.0))
+        .otherwise(2 * F.col("p") * F.col("r") / (F.col("p") + F.col("r"))),
+    )
+    folded = per.groupBy("threshold").agg(
+        F.array_sort(F.collect_list(F.struct("label", "p", "r", "f"))).alias("rows"),
+        F.sum("tp").alias("tp"), F.sum("pred_n").alias("pred_n"),
+        F.sum("true_n").alias("true_n"),
+    )
+
+    def fold(field):
+        return F.aggregate(F.col("rows"), F.lit(0.0), lambda a, x: a + x[field]) / F.size("rows")
+
+    micro_p = _safe_div(F.col("tp"), F.col("pred_n"))
+    micro_r = _safe_div(F.col("tp"), F.col("true_n"))
+    return folded.select(
+        "threshold",
+        micro_p.alias("micro_precision"),
+        micro_r.alias("micro_recall"),
+        F.when(micro_p + micro_r == 0, F.lit(0.0))
+        .otherwise(2 * micro_p * micro_r / (micro_p + micro_r)).alias("micro_f1"),
+        fold("p").alias("macro_precision"),
+        fold("r").alias("macro_recall"),
+        fold("f").alias("macro_f1"),
+    )
+
+
+def best_threshold(search: DataFrame, metric: str = "macro_f1") -> DataFrame:
+    """argmax over the grid (model.py:681-694); tie -> lowest threshold."""
+    return search.orderBy(F.desc(metric), F.asc("threshold")).limit(1)

@@ -166,10 +166,11 @@ triples AS (
 """
 
 
-def with_chain(*extra: str) -> str:
+def with_chain(*extra: str, recursive: bool = False) -> str:
     parts = [CTE_TOKENS.strip(), CTE_MENTIONS.strip(), CTE_PAIRS.strip()]
     parts += [e.strip() for e in extra]
-    return "WITH " + ",\n".join(p.rstrip().rstrip(",") for p in parts)
+    kw = "WITH RECURSIVE " if recursive else "WITH "
+    return kw + ",\n".join(p.rstrip().rstrip(",") for p in parts)
 
 
 # ---------------------------------------------------------------------------
@@ -213,4 +214,297 @@ def q_triples() -> str:
     return (
         with_chain(cte_scored(), cte_triples())
         + "\nSELECT * FROM triples"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Coref clustering (transitive closure via recursive CTE — the oracle twin
+# of the Spark union-find / label-propagation implementations)
+# ---------------------------------------------------------------------------
+
+COREF_MAX_DIST = 12  # keep in sync with operators/coref.py
+
+CTE_CLUSTERS = f"""
+coref_edges AS (
+  SELECT h.doc_id, h.m_id AS a, t.m_id AS b
+  FROM mentions h JOIN mentions t
+    ON h.doc_id = t.doc_id AND h.m_id < t.m_id
+   AND h.text = t.text AND abs(h.start - t.start) <= {COREF_MAX_DIST}
+),
+edges_sym AS (
+  SELECT doc_id, a, b FROM coref_edges
+  UNION ALL SELECT doc_id, b, a FROM coref_edges
+),
+reach(doc_id, m, r) AS (
+  SELECT doc_id, m_id, m_id FROM mentions
+  UNION
+  SELECT e.doc_id, re.m, e.b
+  FROM reach re JOIN edges_sym e ON e.doc_id = re.doc_id AND e.a = re.r
+),
+clusters AS (
+  SELECT doc_id, m AS m_id, CAST(min(r) AS INT) AS root
+  FROM reach GROUP BY doc_id, m
+),
+cstart AS (
+  SELECT c.doc_id, c.root, min(m.start) AS c_start, min(c.m_id) AS c_mid
+  FROM clusters c JOIN mentions m ON c.doc_id = m.doc_id AND c.m_id = m.m_id
+  GROUP BY c.doc_id, c.root
+),
+cranked AS (
+  SELECT doc_id, root,
+         CAST(dense_rank() OVER (PARTITION BY doc_id ORDER BY c_start, c_mid) - 1 AS INT)
+           AS cluster_idx
+  FROM cstart
+),
+mention_clusters AS (
+  SELECT m.doc_id, m.m_id, m.start, m."end", m.type, m.text, r.cluster_idx
+  FROM mentions m
+  JOIN clusters c ON c.doc_id = m.doc_id AND c.m_id = m.m_id
+  JOIN cranked r ON r.doc_id = c.doc_id AND r.root = c.root
+)
+"""
+
+
+def q_coref_clusters() -> str:
+    return (
+        with_chain(CTE_CLUSTERS, recursive=True)
+        + '\nSELECT doc_id, m_id, start, "end" AS end, type, text, cluster_idx'
+        " FROM mention_clusters"
+    )
+
+
+def q_cluster_relations() -> str:
+    """A8: triples mapped to cluster indices, SELF dropped, dedup'd."""
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_CLUSTERS, recursive=True)
+        + f"""
+SELECT DISTINCT t.doc_id, h.cluster_idx AS h_idx, tt.cluster_idx AS t_idx,
+       t.label AS r
+FROM triples t
+JOIN mention_clusters h
+  ON h.doc_id = t.doc_id AND h.start = t.head_start AND h."end" + 1 = t.head_end
+JOIN mention_clusters tt
+  ON tt.doc_id = t.doc_id AND tt.start = t.tail_start AND tt."end" + 1 = t.tail_end
+WHERE t.label <> '{c.COREF_LABEL}'"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Evaluation replay (J4/J5/A1/A2/A3/W5)
+# ---------------------------------------------------------------------------
+
+def cte_eval_counts() -> str:
+    """gold (raw >= GOLD_RAW_MIN), preds (=triples), J5 filter, A3 counts."""
+    return f"""
+gold AS (
+  SELECT DISTINCT doc_id, h_start, h_end, t_start, t_end, label
+  FROM scored WHERE raw >= {c.GOLD_RAW_MIN}
+),
+preds AS (
+  SELECT DISTINCT t.doc_id,
+         t.head_start AS h_start, t.head_end - 1 AS h_end,
+         t.tail_start AS t_start, t.tail_end - 1 AS t_end, t.label
+  FROM triples t
+  WHERE EXISTS (SELECT 1 FROM gold g
+                WHERE g.doc_id = t.doc_id AND g.h_start = t.head_start
+                  AND g.h_end = t.head_end - 1 AND g.t_start = t.tail_start
+                  AND g.t_end = t.tail_end - 1)
+),
+label_univ AS (
+  SELECT label FROM preds UNION SELECT label FROM gold
+),
+counts AS (
+  SELECT u.label,
+         CAST(coalesce(tp.n, 0) AS BIGINT) AS tp,
+         CAST(coalesce(pn.n, 0) AS BIGINT) AS pred_n,
+         CAST(coalesce(tn.n, 0) AS BIGINT) AS true_n
+  FROM label_univ u
+  LEFT JOIN (SELECT p.label, count(*) AS n FROM preds p
+             WHERE EXISTS (SELECT 1 FROM gold g WHERE g.doc_id = p.doc_id
+               AND g.h_start = p.h_start AND g.h_end = p.h_end
+               AND g.t_start = p.t_start AND g.t_end = p.t_end
+               AND g.label = p.label)
+             GROUP BY p.label) tp ON tp.label = u.label
+  LEFT JOIN (SELECT label, count(*) AS n FROM preds GROUP BY label) pn
+    ON pn.label = u.label
+  LEFT JOIN (SELECT label, count(*) AS n FROM gold GROUP BY label) tn
+    ON tn.label = u.label
+)
+"""
+
+
+def q_eval_counts() -> str:
+    return (
+        with_chain(cte_scored(), cte_triples(), cte_eval_counts())
+        + "\nSELECT label, tp, pred_n, true_n FROM counts"
+    )
+
+
+_METRIC_SQL = """
+per AS (
+  SELECT label,
+         CASE WHEN pred_n = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / pred_n END AS p,
+         CASE WHEN true_n = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / true_n END AS r
+  FROM counts
+),
+perf AS (
+  SELECT label, p, r,
+         CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END AS f
+  FROM per
+),
+macro AS (
+  SELECT list_reduce(list(p ORDER BY label), (a,b) -> a + b) / count(*) AS macro_precision,
+         list_reduce(list(r ORDER BY label), (a,b) -> a + b) / count(*) AS macro_recall,
+         list_reduce(list(f ORDER BY label), (a,b) -> a + b) / count(*) AS macro_f1
+  FROM perf
+),
+micro0 AS (
+  SELECT CAST(sum(tp) AS BIGINT) AS tp, CAST(sum(pred_n) AS BIGINT) AS pred_n,
+         CAST(sum(true_n) AS BIGINT) AS true_n
+  FROM counts
+),
+micro AS (
+  SELECT CASE WHEN pred_n = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / pred_n END AS micro_precision,
+         CASE WHEN true_n = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / true_n END AS micro_recall
+  FROM micro0
+)
+SELECT micro_precision, micro_recall,
+       CASE WHEN micro_precision + micro_recall = 0 THEN 0.0
+            ELSE 2 * micro_precision * micro_recall / (micro_precision + micro_recall)
+       END AS micro_f1,
+       macro_precision, macro_recall, macro_f1
+FROM micro CROSS JOIN macro
+"""
+
+
+def q_eval_metrics() -> str:
+    return (
+        with_chain(cte_scored(), cte_triples(), cte_eval_counts()) + ",\n"
+        + _METRIC_SQL
+    )
+
+
+def q_threshold_search() -> str:
+    """W5: per-threshold metrics over the grid, decoding once-scored rows."""
+    grid = ", ".join(f"({t})" for t in c.THRESHOLD_GRID)
+    body = f"""
+grid(threshold) AS (VALUES {grid}),
+st AS (
+  SELECT s.*, g.threshold,
+         row_number() OVER (
+           PARTITION BY g.threshold, s.doc_id, s.h_start, s.h_end, s.t_start, s.t_end
+           ORDER BY s.prob DESC, s.label ASC) AS _rk
+  FROM scored s CROSS JOIN grid g
+  WHERE s.prob > g.threshold
+),
+gold AS (
+  SELECT DISTINCT doc_id, h_start, h_end, t_start, t_end, label
+  FROM scored WHERE raw >= {c.GOLD_RAW_MIN}
+),
+preds AS (
+  SELECT DISTINCT p.threshold, p.doc_id, p.h_start, p.h_end, p.t_start, p.t_end, p.label
+  FROM st p
+  WHERE p._rk <= {c.TOP_K} AND EXISTS (
+    SELECT 1 FROM gold g WHERE g.doc_id = p.doc_id AND g.h_start = p.h_start
+      AND g.h_end = p.h_end AND g.t_start = p.t_start AND g.t_end = p.t_end)
+),
+base AS (
+  SELECT g.threshold, l.label FROM grid g CROSS JOIN (SELECT DISTINCT label FROM gold) l
+  UNION SELECT DISTINCT threshold, label FROM preds
+),
+counts AS (
+  SELECT b.threshold, b.label,
+         CAST(coalesce(tp.n, 0) AS BIGINT) AS tp,
+         CAST(coalesce(pn.n, 0) AS BIGINT) AS pred_n,
+         CAST(coalesce(tn.n, 0) AS BIGINT) AS true_n
+  FROM base b
+  LEFT JOIN (SELECT p.threshold, p.label, count(*) AS n FROM preds p
+             WHERE EXISTS (SELECT 1 FROM gold g WHERE g.doc_id = p.doc_id
+               AND g.h_start = p.h_start AND g.h_end = p.h_end
+               AND g.t_start = p.t_start AND g.t_end = p.t_end AND g.label = p.label)
+             GROUP BY p.threshold, p.label) tp
+    ON tp.threshold = b.threshold AND tp.label = b.label
+  LEFT JOIN (SELECT threshold, label, count(*) AS n FROM preds
+             GROUP BY threshold, label) pn
+    ON pn.threshold = b.threshold AND pn.label = b.label
+  LEFT JOIN (SELECT label, count(*) AS n FROM gold GROUP BY label) tn
+    ON tn.label = b.label
+),
+perf AS (
+  SELECT threshold, label,
+         CASE WHEN pred_n = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / pred_n END AS p,
+         CASE WHEN true_n = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / true_n END AS r,
+         tp, pred_n, true_n
+  FROM counts
+),
+perf2 AS (
+  SELECT *, CASE WHEN p + r = 0 THEN 0.0 ELSE 2 * p * r / (p + r) END AS f FROM perf
+),
+agg AS (
+  SELECT threshold,
+         CAST(sum(tp) AS BIGINT) AS tp, CAST(sum(pred_n) AS BIGINT) AS pred_n,
+         CAST(sum(true_n) AS BIGINT) AS true_n,
+         list_reduce(list(p ORDER BY label), (a,b) -> a + b) / count(*) AS macro_precision,
+         list_reduce(list(r ORDER BY label), (a,b) -> a + b) / count(*) AS macro_recall,
+         list_reduce(list(f ORDER BY label), (a,b) -> a + b) / count(*) AS macro_f1
+  FROM perf2 GROUP BY threshold
+)
+SELECT threshold,
+       CASE WHEN pred_n = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / pred_n END AS micro_precision,
+       CASE WHEN true_n = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / true_n END AS micro_recall,
+       CASE WHEN (CASE WHEN pred_n = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / pred_n END)
+               + (CASE WHEN true_n = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / true_n END) = 0
+            THEN 0.0
+            ELSE 2 * (CASE WHEN pred_n = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / pred_n END)
+                   * (CASE WHEN true_n = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / true_n END)
+                 / ((CASE WHEN pred_n = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / pred_n END)
+                  + (CASE WHEN true_n = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / true_n END))
+       END AS micro_f1,
+       macro_precision, macro_recall, macro_f1
+FROM agg"""
+    return with_chain(cte_scored(), body)
+
+
+# ---------------------------------------------------------------------------
+# Linking + graph materialization
+# ---------------------------------------------------------------------------
+
+def _alias_values() -> str:
+    return ", ".join(
+        f"('{a}', '{cid}')" for a, cid in sorted(c.ALIAS_DICT.items())
+    )
+
+
+CTE_LINKED = f"""
+aliases(alias, canonical_id) AS (VALUES {_alias_values()}),
+linked AS (
+  SELECT t.doc_id,
+         coalesce(ha.canonical_id, 'Q:surface:' || lower(t.head_text)) AS subj,
+         t.label AS pred,
+         coalesce(ta.canonical_id, 'Q:surface:' || lower(t.tail_text)) AS obj,
+         t.prob
+  FROM triples t
+  LEFT JOIN aliases ha ON lower(t.head_text) = ha.alias
+  LEFT JOIN aliases ta ON lower(t.tail_text) = ta.alias
+)
+"""
+
+
+def q_linked_triples() -> str:
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED)
+        + "\nSELECT doc_id, subj, pred, obj, prob FROM linked"
+    )
+
+
+def q_graph() -> str:
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED)
+        + """
+SELECT subj, pred, obj,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       max(prob) AS max_prob,
+       min(doc_id) AS min_doc_id
+FROM linked GROUP BY subj, pred, obj"""
     )

@@ -58,3 +58,78 @@ def triples(
     top_k: int = config.TOP_K,
 ) -> DataFrame:
     return decode_ops.decode(scored(spark, sf_dir), threshold, top_k)
+
+
+# --- coref clustering -------------------------------------------------------
+
+def mention_clusters(spark: SparkSession, sf_dir: str, use_cc: bool = False) -> DataFrame:
+    from glirel_spark.operators import coref
+
+    m = mentions(spark, sf_dir)
+    edges = coref.coref_edges(m)
+    clustered = (
+        coref.cluster_mentions_cc(m, edges) if use_cc else coref.cluster_mentions(m, edges)
+    )
+    return coref.cluster_index(m, clustered)
+
+
+def cluster_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import coref
+
+    return coref.aggregate_cluster_relations(
+        triples(spark, sf_dir), mention_clusters(spark, sf_dir)
+    )
+
+
+# --- evaluation replay ------------------------------------------------------
+
+def _eval_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """triples back in inclusive-index space for gold matching."""
+    return triples(spark, sf_dir).select(
+        "doc_id",
+        F.col("head_start").alias("h_start"),
+        (F.col("head_end") - 1).alias("h_end"),
+        F.col("tail_start").alias("t_start"),
+        (F.col("tail_end") - 1).alias("t_end"),
+        "label",
+    )
+
+
+def eval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import evaluate
+
+    s = scored(spark, sf_dir)
+    gold = evaluate.gold_triples(s)
+    preds = evaluate.annotated_pairs_filter(_eval_preds(spark, sf_dir), gold)
+    return evaluate.per_label_counts(preds, gold)
+
+
+def eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import evaluate
+
+    return evaluate.micro_macro(eval_counts(spark, sf_dir))
+
+
+def threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import evaluate
+
+    s = scored(spark, sf_dir)
+    return evaluate.threshold_search(s, evaluate.gold_triples(s))
+
+
+# --- linking + graph --------------------------------------------------------
+
+def linked_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import linking
+
+    return linking.link_triples(
+        triples(spark, sf_dir), linking.alias_df(spark)
+    ).select("doc_id", "subj", "pred", "obj", "prob")
+
+
+def graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+    from glirel_spark.operators import linking
+
+    linked = linking.link_triples(triples(spark, sf_dir), linking.alias_df(spark))
+    return graph_ops.materialize_graph(linked)

@@ -1,0 +1,84 @@
+"""Coref clustering: union-find semantics (utils.py:86-153), cluster
+ordering by earliest mention (utils.py:139-148), A8 aggregation
+(utils.py:155-218); union-find == label-propagation CC."""
+
+from __future__ import annotations
+
+from glirel_spark.operators.coref import (
+    aggregate_cluster_relations,
+    cluster_index,
+    cluster_mentions,
+    cluster_mentions_cc,
+    coref_edges,
+)
+
+M_SCHEMA = "doc_id string, m_id int, start int, end int, type string, text string"
+
+
+def _mentions(spark, rows):
+    return spark.createDataFrame(rows, M_SCHEMA)
+
+
+def test_transitive_chain(spark):
+    # same-text mentions at 0, 10, 20 with window 12: edges (0,10),(10,20)
+    # but NOT (0,20) -> one cluster only via transitivity.
+    m = _mentions(spark, [
+        ("d", 0, 0, 0, "T", "spark"),
+        ("d", 1, 10, 10, "T", "spark"),
+        ("d", 2, 20, 20, "T", "spark"),
+        ("d", 3, 5, 5, "T", "query"),
+    ])
+    e = coref_edges(m)
+    got = {(r.a, r.b) for r in e.collect()}
+    assert got == {(0, 1), (1, 2)}  # no direct 0-2 edge (dist 20 > 12)
+    cl = {r.m_id: r.root for r in cluster_mentions(m, e).collect()}
+    assert cl == {0: 0, 1: 0, 2: 0, 3: 3}
+
+
+def test_union_find_equals_label_propagation(spark):
+    rows = []
+    for d in range(4):
+        for i, (s, t) in enumerate(
+            [(0, "spark"), (3, "table"), (9, "spark"), (15, "spark"), (30, "table")]
+        ):
+            rows.append((f"d{d}", i, s + d, s + d, "T", t))
+    m = _mentions(spark, rows)
+    e = coref_edges(m)
+    uf = {(r.doc_id, r.m_id): r.root for r in cluster_mentions(m, e).collect()}
+    cc = {(r.doc_id, r.m_id): r.root for r in cluster_mentions_cc(m, e).collect()}
+    assert uf == cc and len(uf) == 20
+
+
+def test_cluster_ordering_by_earliest_mention(spark):
+    # cluster containing the earliest start gets idx 0 (W6)
+    m = _mentions(spark, [
+        ("d", 0, 2, 2, "T", "b"),   # cluster B (earliest start=2) -> idx 0
+        ("d", 1, 4, 4, "T", "a"),   # cluster A (start 4) -> idx 1
+        ("d", 2, 6, 6, "T", "b"),
+        ("d", 3, 8, 8, "T", "a"),
+    ])
+    e = coref_edges(m)
+    ci = cluster_index(m, cluster_mentions(m, e))
+    got = {r.m_id: r.cluster_idx for r in ci.collect()}
+    assert got == {0: 0, 2: 0, 1: 1, 3: 1}
+
+
+def test_aggregate_cluster_relations_dedup_and_self_drop(spark):
+    m = _mentions(spark, [
+        ("d", 0, 0, 0, "T", "spark"),
+        ("d", 1, 2, 2, "T", "spark"),   # same cluster as m0
+        ("d", 2, 5, 5, "T", "query"),
+    ])
+    mc = cluster_index(m, cluster_mentions(m, coref_edges(m)))
+    triples = spark.createDataFrame(
+        [
+            # two mention-level triples that collapse to one cluster triple
+            ("d", 0, 1, 5, 6, "feeds"),
+            ("d", 2, 3, 5, 6, "feeds"),
+            ("d", 0, 1, 2, 3, "SELF"),  # dropped
+        ],
+        "doc_id string, head_start int, head_end int, tail_start int, "
+        "tail_end int, label string",
+    )
+    out = aggregate_cluster_relations(triples, mc).collect()
+    assert [(r.h_idx, r.t_idx, r.r) for r in out] == [(0, 1, "feeds")]

@@ -1,0 +1,60 @@
+"""Linking + graph materialization: alias canonicalization (J7), salted
+two-stage aggregation == direct aggregation (skew-safety is semantics-
+preserving)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from glirel_spark.operators.graph import materialize_graph, materialize_graph_direct
+from glirel_spark.operators.linking import alias_df, canonicalize, link_triples
+
+T_SCHEMA = (
+    "doc_id string, head_start int, head_end int, tail_start int, tail_end int, "
+    "head_text string, tail_text string, label string, raw int, prob double"
+)
+
+
+def _triples(spark, rows):
+    return spark.createDataFrame(rows, T_SCHEMA)
+
+
+def test_canonicalize_alias_and_fallback(spark):
+    df = spark.createDataFrame([("Spark",), ("unknownthing",)], "t string")
+    out = canonicalize(df, alias_df(spark), "t", "cid").collect()
+    got = {r.t: r.cid for r in out}
+    assert got["Spark"] == "Q:apache_spark"         # case-insensitive match
+    assert got["unknownthing"] == "Q:surface:unknownthing"
+
+
+def test_link_triples_shape(spark):
+    t = _triples(spark, [("d", 0, 1, 2, 3, "spark", "customer", "used by", 90, 0.9)])
+    out = link_triples(t, alias_df(spark)).collect()[0]
+    assert (out.subj, out.pred, out.obj) == ("Q:apache_spark", "used by", "Q:customer")
+
+
+def test_salted_equals_direct(spark):
+    # skewed: one hot (subj,pred,obj) key across many docs
+    rows = []
+    for d in range(40):
+        rows.append((f"d{d:02d}", 0, 1, 2, 3, "spark", "customer", "used by", 90, 0.5 + d / 100))
+    rows.append(("d99", 0, 1, 2, 3, "table", "query", "feeds", 80, 0.8))
+    t = _triples(spark, rows)
+    linked = link_triples(t, alias_df(spark))
+    a = {tuple(r) for r in materialize_graph(linked).collect()}
+    b = {tuple(r) for r in materialize_graph_direct(linked).collect()}
+    assert a == b
+    hot = next(r for r in a if r[0] == "Q:apache_spark")
+    assert hot[3] == 40 and hot[4] == 40  # n_mentions, n_docs
+
+
+def test_graph_n_docs_distinct(spark):
+    rows = [
+        ("d1", 0, 1, 2, 3, "spark", "customer", "used by", 90, 0.9),
+        ("d1", 4, 5, 6, 7, "spark", "customer", "used by", 90, 0.7),  # same doc
+        ("d2", 0, 1, 2, 3, "spark", "customer", "used by", 90, 0.8),
+    ]
+    g = materialize_graph(link_triples(_triples(spark, rows), alias_df(spark)))
+    r = g.collect()[0]
+    assert r.n_mentions == 3 and r.n_docs == 2
+    assert r.max_prob == 0.9 and r.min_doc_id == "d1"
