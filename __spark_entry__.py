@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from glirel_spark import oracle  # noqa: E402
+from glirel_spark import oracle_corpus as oc  # noqa: E402
 from glirel_spark.plans import pipeline  # noqa: E402
 
 
@@ -45,6 +46,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "t_start", "t_end", "label", "raw", "prob",
         ),
         "triples": pipeline.triples,
+        # tensor plane: GLiREL-architecture scorer via mapInPandas
+        # (model weights are a seeded numpy test double -> rows-only check)
+        "triples_neural": pipeline.triples_neural,
         # coref clustering (union-find / connected components)
         "coref_clusters": pipeline.mention_clusters,
         "cluster_relations": pipeline.cluster_relations,
@@ -55,6 +59,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # linking + graph materialization
         "linked_triples": pipeline.linked_triples,
         "graph": pipeline.graph,
+        # corpus dedup (training-data pipeline)
+        "minhash_signatures": pipeline.minhash_signatures,
+        "minhash_neardups": pipeline.minhash_neardups,
+        "simhash": pipeline.simhash_signatures,
+        "simhash_neardups": pipeline.simhash_neardups,
+        "fingerprints": pipeline.fingerprints,
+        "exact_dedup": pipeline.exact_dedup,
+        # text analysis
+        "doc_quality": pipeline.doc_quality,
+        "token_counts": pipeline.token_counts,
+        "lang_id": pipeline.lang_id,  # pandas-UDF heuristic: rows-only check
+        # similarity search
+        "ann_topk": pipeline.ann_topk,
+        "ann_topk_ivf": pipeline.ann_topk_ivf,  # ANN (recall<1): rows-only
+        "embedding_neardups": pipeline.embedding_neardups,
+        # multimodal plumbing
+        "media_features": pipeline.media_features,
+        # events windowing / sessionization
+        "events_windowed": pipeline.events_windowed,
+        "events_sessionized": pipeline.events_sessionized,
     }
 
 
@@ -72,4 +96,17 @@ def oracle_sql() -> dict[str, str]:
         "threshold_search": oracle.q_threshold_search(),
         "linked_triples": oracle.q_linked_triples(),
         "graph": oracle.q_graph(),
+        "minhash_signatures": oc.q_minhash_signatures(),
+        "minhash_neardups": oc.q_minhash_neardups(),
+        "simhash": oc.q_simhash(),
+        "simhash_neardups": oc.q_simhash_neardups(),
+        "fingerprints": oc.q_fingerprint(),
+        "exact_dedup": oc.q_exact_dedup(),
+        "doc_quality": oc.q_doc_quality(),
+        "token_counts": oc.q_token_counts(),
+        "ann_topk": oc.q_ann_topk(),
+        "embedding_neardups": oc.q_embedding_neardups(),
+        "media_features": oc.q_media_features(),
+        "events_windowed": oc.q_events_windowed(),
+        "events_sessionized": oc.q_events_sessionized(),
     }

@@ -137,7 +137,7 @@ MINHASH_AB = [
 ]
 NEARDUP_JACCARD = 0.8
 
-SIMHASH_BITS = 16
+SIMHASH_BITS = 48  # 12-bit LSH chunks keep candidate blocks selective
 SIMHASH_AB = [(2 * i + 3, 7 * i + 5) for i in range(SIMHASH_BITS)]
 SIMHASH_MAX_HAMMING = 3
 

@@ -1,0 +1,122 @@
+"""The tensor-plane Spark boundary: one vectorized mapInPandas stage.
+
+Design (SURVEY.md §4, north_star):
+- UDF input is ONE ROW PER DOCUMENT (tokens + mention spans), not per
+  pair — pairs must be scored with document context, so exploding
+  before the UDF would duplicate the token sequence P times.
+- the model is a process-level singleton (DeterministicGLiREL.get()):
+  loaded once per executor python worker, never per batch. With real
+  weights this is the `--archives`-shipped checkpoint + ONNX session.
+- label reps are computed once per label set and cached inside the
+  model (the reference's fixed_relation_types single prompt,
+  base.py:319-325, lifted to per-partition granularity).
+- output is the scored-pair relation (doc_id, positions, label, prob):
+  the SAME shape the lexical scorer produces, so the entire decode /
+  linking / graph pipeline downstream is scorer-agnostic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from glirel_spark import config
+from glirel_spark.model.scorer import DeterministicGLiREL
+
+_OUT_SCHEMA = (
+    "doc_id string, h_start int, h_end int, t_start int, t_end int, "
+    "label string, prob double"
+)
+
+
+def score_pairs_neural(
+    docs_tokens: DataFrame,
+    mentions: DataFrame,
+    labels: list[str] | None = None,
+    max_distance: int | None = config.MAX_PAIR_DISTANCE,
+) -> DataFrame:
+    """(doc_id, tokens) x (doc_id, mentions) -> scored pairs.
+
+    Mentions are re-packed per doc (collect_list) so the UDF receives
+    one Arrow row per document; the join shuffles on doc_id — the same
+    partitioning the decode window reuses afterwards.
+    """
+    if labels is None:
+        labels = sorted(config.RELATION_LABELS.keys())
+    label_tuple = tuple(labels)
+
+    packed = (
+        mentions.groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list(F.struct("start", "end"))).alias("spans"))
+        .join(docs_tokens, "doc_id")
+        .select("doc_id", "tokens", "spans")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        model = DeterministicGLiREL.get()
+        for pdf in batches:
+            out_doc, out_hs, out_he, out_ts, out_te, out_lab, out_p = (
+                [], [], [], [], [], [], []
+            )
+            for doc_id, tokens, spans in zip(
+                pdf["doc_id"], pdf["tokens"], pdf["spans"]
+            ):
+                sp = np.asarray(
+                    [(s["start"], s["end"]) for s in spans], dtype=np.int64
+                ).reshape(-1, 2)
+                pidx, probs = model.score_doc(
+                    list(tokens), sp, label_tuple, max_distance
+                )
+                for (i, j), row in zip(pidx, probs):
+                    for ci, lab in enumerate(label_tuple):
+                        out_doc.append(doc_id)
+                        out_hs.append(int(sp[i, 0]))
+                        out_he.append(int(sp[i, 1]))
+                        out_ts.append(int(sp[j, 0]))
+                        out_te.append(int(sp[j, 1]))
+                        out_lab.append(lab)
+                        out_p.append(float(row[ci]))
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_doc,
+                    "h_start": pd.array(out_hs, dtype="int32"),
+                    "h_end": pd.array(out_he, dtype="int32"),
+                    "t_start": pd.array(out_ts, dtype="int32"),
+                    "t_end": pd.array(out_te, dtype="int32"),
+                    "label": out_lab,
+                    "prob": pd.array(out_p, dtype="float64"),
+                }
+            )
+
+    return packed.mapInPandas(run, _OUT_SCHEMA)
+
+
+def neural_triples(
+    docs_tokens: DataFrame,
+    mentions: DataFrame,
+    threshold: float = config.THRESHOLD,
+    top_k: int = config.TOP_K,
+) -> DataFrame:
+    """Full neural path: score -> threshold -> top-k -> format.
+
+    Reuses the relational decode by attaching the mention texts/types
+    back (an intra-doc equi-join on positions).
+    """
+    from glirel_spark.operators import decode as decode_ops
+    from glirel_spark.operators import scoring as scoring_ops
+
+    scored = score_pairs_neural(docs_tokens, mentions)
+    m = mentions.select("doc_id", "start", "end", "type", "text")
+    h = m.toDF("doc_id", "h_start", "h_end", "h_type", "h_text")
+    t = m.toDF("doc_id", "t_start", "t_end", "t_type", "t_text")
+    enriched = scored.join(h, ["doc_id", "h_start", "h_end"]).join(
+        t, ["doc_id", "t_start", "t_end"]
+    )
+    labels = scoring_ops.labels_df(docs_tokens.sparkSession)
+    enriched = enriched.join(F.broadcast(labels), "label", "left").withColumn(
+        "raw", F.lit(None).cast("int")
+    )
+    return decode_ops.decode(enriched, threshold, top_k)

@@ -141,13 +141,33 @@ def threshold_search(
     grid_df = scored.sparkSession.createDataFrame(
         [(t,) for t in grid], "threshold double"
     )
-    st = scored.crossJoin(F.broadcast(grid_df)).filter(F.col("prob") > F.col("threshold"))
-    w = W.partitionBy("threshold", *_POS).orderBy(F.desc("prob"), F.asc("label"))
-    preds = (
-        st.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= top_k)
-        .select("threshold", *_POS, "label")
-    )
+    if top_k == 1:
+        # Algebraic rewrite: with k=1, the survivor at threshold t is the
+        # global per-pair argmax whenever its prob > t (the filter removes
+        # lower-ranked labels first). Rank ONCE over the pair key, then
+        # cross with the grid and filter — one window instead of one per
+        # threshold (6x less window work at the reference grid size).
+        w1 = W.partitionBy(*_POS).orderBy(F.desc("prob"), F.asc("label"))
+        best = (
+            scored.withColumn("_rk", F.row_number().over(w1))
+            .filter(F.col("_rk") == 1)
+            .select(*_POS, "label", "prob")
+        )
+        preds = (
+            best.crossJoin(F.broadcast(grid_df))
+            .filter(F.col("prob") > F.col("threshold"))
+            .select("threshold", *_POS, "label")
+        )
+    else:
+        st = scored.crossJoin(F.broadcast(grid_df)).filter(
+            F.col("prob") > F.col("threshold")
+        )
+        w = W.partitionBy("threshold", *_POS).orderBy(F.desc("prob"), F.asc("label"))
+        preds = (
+            st.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= top_k)
+            .select("threshold", *_POS, "label")
+        )
     gold_pos = gold.select(*_POS).distinct()
     preds = preds.join(gold_pos, _POS, "left_semi")
 

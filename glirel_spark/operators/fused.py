@@ -1,0 +1,167 @@
+"""Fused per-document mention + pair plan (the 100-TB hot path).
+
+Mention extraction, span hygiene, and pair generation are all
+*per-document* computations, yet the general relational operators
+(mentions.py / pairs.py) express them as windows + self-joins — at
+sf0.1 that plan has 42 exchanges and recomputes the mention subtree 3x.
+
+This module computes the identical result as pure array expressions on
+the document row: gazetteer lookup via a map literal, overlap
+resolution as an intra-array dominance filter, pair expansion as a
+nested transform — ONE narrow map stage, ZERO shuffles until decode's
+top-k window. Tests assert row-for-row equality with the relational
+operators (which remain the general path when mentions arrive from an
+external NER table rather than a per-row rule).
+
+Semantics preserved (same citations as mentions.py/pairs.py):
+dedup P10, keep-longer overlap P11 w/ earlier-start tie-break, long-
+entity filter P12, end-inclusive spans, J1 bidirectional pairs with
+distance predicate + coref i<j mask, row-major ordering by m_id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from glirel_spark import config
+
+_MENTION_T = "array<struct<m_id:int,start:int,end:int,type:string,text:string>>"
+
+
+def _gaz_maps() -> tuple[Column, Column]:
+    uni_items: list[Column] = []
+    for tok, ty in sorted(config.ENTITY_UNIGRAMS.items()):
+        uni_items += [F.lit(tok), F.lit(ty)]
+    bi_items: list[Column] = []
+    for (a, b), ty in sorted(config.ENTITY_BIGRAMS.items()):
+        bi_items += [F.lit(f"{a} {b}"), F.lit(ty)]
+    return F.create_map(*uni_items), F.create_map(*bi_items)
+
+
+def mentions_col(tokens: Column, max_chars: int = 50) -> Column:
+    """array of numbered mention structs, identical to
+    mentions.extract_mentions output for this row."""
+    uni_map, bi_map = _gaz_maps()
+    n = F.size(tokens)
+
+    uni = F.filter(
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.struct(
+                i.cast("int").alias("start"),
+                i.cast("int").alias("end"),
+                uni_map[tokens[i]].alias("type"),
+                tokens[i].alias("text"),
+            ),
+        ),
+        lambda s: s["type"].isNotNull(),
+    )
+    bi_raw = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.struct(
+                i.cast("int").alias("start"),
+                (i + 1).cast("int").alias("end"),
+                bi_map[F.concat_ws(" ", tokens[i], tokens[i + 1])].alias("type"),
+                F.concat_ws(" ", tokens[i], tokens[i + 1]).alias("text"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<start:int,end:int,type:string,text:string>>"))
+    bi = F.filter(bi_raw, lambda s: s["type"].isNotNull())
+
+    cand = F.concat(uni, bi)
+    # P12 long-entity filter
+    cand = F.filter(cand, lambda s: F.length(s["text"]) <= max_chars)
+
+    # P11 dominance filter (keep-longer; equal length -> earlier start)
+    def dominated(s):
+        def dom(t):
+            overlap = ~((s["end"] < t["start"]) | (t["end"] < s["start"]))
+            s_len = s["end"] - s["start"]
+            t_len = t["end"] - t["start"]
+            stronger = (t_len > s_len) | ((t_len == s_len) & (t["start"] < s["start"]))
+            not_same = (s["start"] != t["start"]) | (s["end"] != t["end"])
+            return overlap & stronger & not_same
+
+        return F.exists(cand, dom)
+
+    kept = F.filter(cand, lambda s: ~dominated(s))
+    # number by (start, end) order  (dedup P10 is structurally a no-op
+    # here: one candidate per (start,end) by construction)
+    ordered = F.array_sort(
+        F.transform(
+            kept,
+            lambda s: F.struct(
+                s["start"].alias("start"),
+                s["end"].alias("end"),
+                s["type"].alias("type"),
+                s["text"].alias("text"),
+            ),
+        )
+    )
+    return F.transform(
+        ordered,
+        lambda s, i: F.struct(
+            i.cast("int").alias("m_id"),
+            s["start"].alias("start"),
+            s["end"].alias("end"),
+            s["type"].alias("type"),
+            s["text"].alias("text"),
+        ),
+    ).cast(_MENTION_T)
+
+
+def mentions_fused(docs_tokens: DataFrame) -> DataFrame:
+    """Exploded mentions table — same schema/rows as
+    mentions.extract_mentions, one narrow stage."""
+    return docs_tokens.select(
+        "doc_id", F.explode(mentions_col(F.col("tokens"))).alias("m")
+    ).select("doc_id", "m.m_id", "m.start", "m.end", "m.type", "m.text")
+
+
+def pairs_col(ments: Column, max_distance: int | None = config.MAX_PAIR_DISTANCE) -> Column:
+    """array of pair structs (J1) from a mention array — no join."""
+
+    def mk(h, t):
+        dist = F.abs(h["start"] - t["start"])
+        is_rel = F.lit(True) if max_distance is None else dist <= F.lit(max_distance)
+        is_coref = h["m_id"] < t["m_id"]
+        return F.struct(
+            h["m_id"].alias("head_m_id"),
+            t["m_id"].alias("tail_m_id"),
+            h["start"].alias("h_start"),
+            h["end"].alias("h_end"),
+            t["start"].alias("t_start"),
+            t["end"].alias("t_end"),
+            h["type"].alias("h_type"),
+            t["type"].alias("t_type"),
+            h["text"].alias("h_text"),
+            t["text"].alias("t_text"),
+            dist.cast("int").alias("dist"),
+            is_rel.alias("is_rel"),
+            is_coref.alias("is_coref"),
+        )
+
+    nested = F.transform(
+        ments, lambda h: F.filter(
+            F.transform(ments, lambda t: mk(h, t)),
+            lambda p: (p["head_m_id"] != p["tail_m_id"]) & (p["is_rel"] | p["is_coref"]),
+        )
+    )
+    return F.flatten(nested)
+
+
+def pairs_fused(
+    docs_tokens: DataFrame, max_distance: int | None = config.MAX_PAIR_DISTANCE
+) -> DataFrame:
+    """Exploded pairs table — same rows as pairs.generate_pairs over
+    mentions.extract_mentions; single narrow stage, zero shuffles."""
+    ments = mentions_col(F.col("tokens"))
+    return docs_tokens.select(
+        "doc_id", F.explode(pairs_col(ments, max_distance)).alias("p")
+    ).select(
+        "doc_id", "p.head_m_id", "p.tail_m_id", "p.h_start", "p.h_end",
+        "p.t_start", "p.t_end", "p.h_type", "p.t_type", "p.h_text",
+        "p.t_text", "p.dist", "p.is_rel", "p.is_coref",
+    )

@@ -56,6 +56,11 @@ def generate_pairs(
         .withColumn("is_rel", is_rel)
         .withColumn("is_coref", is_coref)
         .filter(F.col("is_rel") | F.col("is_coref"))
+        .select(
+            "doc_id", "head_m_id", "tail_m_id", "h_start", "h_end",
+            "t_start", "t_end", "h_type", "t_type", "h_text", "t_text",
+            "dist", "is_rel", "is_coref",
+        )
     )
 
 

@@ -1,0 +1,356 @@
+"""DuckDB oracle SQL for the corpus-pipeline operators (dedup, text
+stats, similarity search, multimodal plumbing, events windowing) —
+generated from glirel_spark/config.py constants like oracle.py.
+"""
+
+from __future__ import annotations
+
+from glirel_spark import config as c
+from glirel_spark.oracle import CTE_TOKENS
+
+# shared: vocabulary + token-id stream
+CTE_TIDS = """
+vocab AS (
+  SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS tid
+  FROM (SELECT DISTINCT token FROM toks)
+),
+dtids AS (
+  SELECT t.doc_id, t.pos, v.tid FROM toks t JOIN vocab v ON t.token = v.token
+)
+"""
+
+CTE_SHINGLES = f"""
+shing AS (
+  SELECT DISTINCT t0.doc_id,
+         (((t0.tid % {c.HASH_P}) * {c.SHINGLE_BASE} + t1.tid)
+            % {c.HASH_P} * {c.SHINGLE_BASE} + t2.tid) % {c.HASH_P} AS sh
+  FROM dtids t0
+  JOIN dtids t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  JOIN dtids t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+)
+"""
+
+
+def _sig_cols() -> str:
+    return ",\n         ".join(
+        f"min((sh * {a} + {b}) % {c.HASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(c.MINHASH_AB)
+    )
+
+
+CTE_SIG = f"""
+sig AS (
+  SELECT doc_id,
+         {_sig_cols()}
+  FROM shing GROUP BY doc_id
+)
+"""
+
+
+def _band_selects() -> str:
+    r = c.MINHASH_K // c.MINHASH_BANDS
+    parts = []
+    for band in range(c.MINHASH_BANDS):
+        key = "CAST(0 AS BIGINT)"
+        for j in range(r):
+            key = f"(({key}) * {c.SHINGLE_BASE} + mh{band * r + j}) % {c.HASH_P}"
+        parts.append(
+            f"SELECT doc_id, {band} AS band, {key} AS band_key FROM sig"
+        )
+    return "\n  UNION ALL ".join(parts)
+
+
+CTE_BANDS = f"""
+bands AS (
+  {_band_selects()}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+)
+"""
+
+
+def _with(*parts: str) -> str:
+    return "WITH " + ",\n".join(p.strip().rstrip(",") for p in parts)
+
+
+def q_minhash_signatures() -> str:
+    cols = ", ".join(f"mh{i}" for i in range(c.MINHASH_K))
+    return _with(CTE_TOKENS, CTE_TIDS, CTE_SHINGLES, CTE_SIG) + f"\nSELECT doc_id, {cols} FROM sig"
+
+
+def q_minhash_neardups() -> str:
+    return (
+        _with(CTE_TOKENS, CTE_TIDS, CTE_SHINGLES, CTE_SIG, CTE_BANDS)
+        + f"""
+, sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shing GROUP BY doc_id),
+inters AS (
+  SELECT cd.doc1, cd.doc2, CAST(count(*) AS BIGINT) AS inter
+  FROM cands cd
+  JOIN shing s1 ON s1.doc_id = cd.doc1
+  JOIN shing s2 ON s2.doc_id = cd.doc2 AND s2.sh = s1.sh
+  GROUP BY cd.doc1, cd.doc2
+),
+verified AS (
+  SELECT cd.doc1, cd.doc2,
+         CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+         CAST(z1.n + z2.n - coalesce(i.inter, 0) AS BIGINT) AS un
+  FROM cands cd
+  LEFT JOIN inters i ON i.doc1 = cd.doc1 AND i.doc2 = cd.doc2
+  JOIN sizes z1 ON z1.doc_id = cd.doc1
+  JOIN sizes z2 ON z2.doc_id = cd.doc2
+)
+SELECT doc1, doc2, inter, un, CAST(inter AS DOUBLE) / un AS jaccard
+FROM verified WHERE CAST(inter AS DOUBLE) / un >= {c.NEARDUP_JACCARD}"""
+    )
+
+
+def _simhash_sum_cols() -> str:
+    return ",\n         ".join(
+        f"sum(cnt * (((tid * {a} + {b}) % {c.HASH_P} % 2) * 2 - 1)) AS s{i}"
+        for i, (a, b) in enumerate(c.SIMHASH_AB)
+    )
+
+
+def _simhash_value() -> str:
+    return " + ".join(
+        f"(CASE WHEN s{i} > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(c.SIMHASH_BITS)
+    )
+
+
+CTE_SIMHASH = f"""
+tidc AS (
+  SELECT doc_id, tid, count(*) AS cnt FROM dtids GROUP BY doc_id, tid
+),
+sums AS (
+  SELECT doc_id,
+         {_simhash_sum_cols()}
+  FROM tidc GROUP BY doc_id
+),
+simsig AS (
+  SELECT doc_id, CAST({_simhash_value()} AS BIGINT) AS simhash FROM sums
+)
+"""
+
+
+def q_simhash() -> str:
+    return _with(CTE_TOKENS, CTE_TIDS, CTE_SIMHASH) + "\nSELECT doc_id, simhash FROM simsig"
+
+
+def q_simhash_neardups() -> str:
+    n_chunks = c.SIMHASH_MAX_HAMMING + 1
+    chunk_bits = c.SIMHASH_BITS // n_chunks
+    blocks = "\n  UNION ALL ".join(
+        f"SELECT doc_id, simhash, {ci} AS ck,"
+        f" (simhash >> {ci * chunk_bits}) % {1 << chunk_bits} AS ckey FROM simsig"
+        for ci in range(n_chunks)
+    )
+    return (
+        _with(CTE_TOKENS, CTE_TIDS, CTE_SIMHASH)
+        + f"""
+, blocks AS (
+  {blocks}
+),
+cands AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+         a.simhash AS sim1, b.simhash AS sim2
+  FROM blocks a JOIN blocks b
+    ON a.ck = b.ck AND a.ckey = b.ckey AND a.doc_id < b.doc_id
+)
+SELECT doc1, doc2, CAST(bit_count(xor(sim1, sim2)) AS INT) AS hamming
+FROM cands WHERE bit_count(xor(sim1, sim2)) <= {c.SIMHASH_MAX_HAMMING}"""
+    )
+
+
+CTE_FP = f"""
+fps AS (
+  SELECT doc_id,
+         list_reduce(list(tid ORDER BY pos),
+                     (a, b) -> (a * {c.FINGERPRINT_BASE} + b) % {c.HASH_P}) AS fp
+  FROM dtids GROUP BY doc_id
+)
+"""
+
+
+def q_fingerprint() -> str:
+    return _with(CTE_TOKENS, CTE_TIDS, CTE_FP) + "\nSELECT doc_id, fp FROM fps"
+
+
+def q_exact_dedup() -> str:
+    return (
+        _with(CTE_TOKENS, CTE_TIDS, CTE_FP)
+        + "\nSELECT fp, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keeper"
+        " FROM fps GROUP BY fp"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text stats
+# ---------------------------------------------------------------------------
+
+def q_doc_quality() -> str:
+    stop = ", ".join(f"'{s}'" for s in c.STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+         CAST(len(list_filter(string_split(text, ' '), t -> t IN ({stop}))) AS BIGINT) AS n_stop
+  FROM documents
+)
+SELECT doc_id, n_chars, n_tokens, n_distinct,
+       CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+       CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_ratio,
+       CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS mean_token_len,
+       (CAST(n_distinct AS DOUBLE) / n_tokens)
+         * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) AS quality_score
+FROM base"""
+
+
+def q_token_counts() -> str:
+    return """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(string_split(text, ' '),
+                          t -> CAST(ceil(length(t) / 4.0) AS BIGINT))),
+         (a, b) -> a + b) AS BIGINT) AS bpe_tokens
+FROM documents"""
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_reduce(list_transform(list_zip({a}, {b}),"
+    " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+CTE_EMBN = f"""
+embn AS (
+  SELECT vec_id, embedding,
+         sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+  FROM embeddings
+)
+"""
+
+
+def q_ann_topk() -> str:
+    dot = _DOT.format(a="q.q_emb", b="e.embedding")
+    return (
+        "WITH " + CTE_EMBN.strip().rstrip(",")
+        + f"""
+, q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+  FROM embn WHERE vec_id < {c.ANN_N_QUERIES}
+),
+scoredv AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+         {dot} / (q.q_nrm * e.nrm) AS cosine
+  FROM embn e CROSS JOIN q WHERE e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS INT) AS rk
+  FROM scoredv
+)
+SELECT q_id, n_id, cosine, rk FROM ranked WHERE rk <= {c.ANN_TOP_K}"""
+    )
+
+
+def _cell_expr(col: str) -> str:
+    bits = c.IVF_N_CELLS.bit_length() - 1
+    return " + ".join(
+        f"(CASE WHEN {col}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+
+
+def q_embedding_neardups(min_cosine: float = 0.98) -> str:
+    dot = _DOT.format(a="a.embedding", b="b.embedding")
+    return (
+        "WITH " + CTE_EMBN.strip().rstrip(",")
+        + f"""
+, cells AS (
+  SELECT vec_id, embedding, nrm, {_cell_expr('embedding')} AS cell FROM embn
+)
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       {dot} / (a.nrm * b.nrm) AS cosine
+FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE {dot} / (a.nrm * b.nrm) >= {min_cosine}"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (synthetic payload replay)
+# ---------------------------------------------------------------------------
+
+def q_media_features() -> str:
+    n = c.MEDIA_N_BYTES
+    return f"""
+WITH chunks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id AS did,
+         unnest(range(CAST(ceil(len(string_split(text, ' ')) / 12.0) AS BIGINT))) AS i
+  FROM documents
+),
+media AS (
+  SELECT doc_id, did, i,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS k
+  FROM chunks WHERE (did * 7 + i) % 5 = 0
+),
+feat AS (
+  SELECT doc_id,
+         'media://' || doc_id || '/' || CAST(i AS VARCHAR) AS media_ref,
+         CAST({n} AS BIGINT) AS n_bytes,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range({n}), j -> (did * 31 + j * 17) % 256)),
+            (a, b) -> a + b) AS BIGINT) AS byte_sum,
+         CAST(len(list_distinct(list_transform(range({n}),
+            j -> (did * 31 + j * 17) % 256))) AS INT) AS n_distinct
+  FROM media
+)
+SELECT doc_id, media_ref, n_bytes, byte_sum,
+       CAST(byte_sum AS DOUBLE) / {n} AS byte_mean, n_distinct
+FROM feat"""
+
+
+# ---------------------------------------------------------------------------
+# Events windowed aggregation (batch twin of the streaming query)
+# ---------------------------------------------------------------------------
+
+def q_events_windowed() -> str:
+    return """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+FROM events GROUP BY 1, 2"""
+
+
+def q_events_sessionized() -> str:
+    """Sessionization: gap > 30 min starts a new session (lag + cumsum);
+    event_id tie-breaks identical timestamps deterministically."""
+    return """
+WITH gaps AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+              ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM gaps
+)
+SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(ts) AS TIMESTAMP) AS sess_start,
+       CAST(max(ts) AS TIMESTAMP) AS sess_end
+FROM sess GROUP BY user_id, sess_id"""

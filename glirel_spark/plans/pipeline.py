@@ -38,11 +38,17 @@ def docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return mention_ops.extract_mentions(docs_tokens(spark, sf_dir), spark)
+    """Fused per-doc plan (operators/fused.py): zero-shuffle narrow
+    stage, row-identical to mention_ops.extract_mentions (tested)."""
+    from glirel_spark.operators import fused
+
+    return fused.mentions_fused(docs_tokens(spark, sf_dir))
 
 
 def pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return pair_ops.generate_pairs(mentions(spark, sf_dir))
+    from glirel_spark.operators import fused
+
+    return fused.pairs_fused(docs_tokens(spark, sf_dir))
 
 
 def scored(spark: SparkSession, sf_dir: str, include_coref: bool = False) -> DataFrame:
@@ -65,7 +71,9 @@ def triples(
 def mention_clusters(spark: SparkSession, sf_dir: str, use_cc: bool = False) -> DataFrame:
     from glirel_spark.operators import coref
 
-    m = mentions(spark, sf_dir)
+    # mentions feed three subtrees (edges, union-find input, index join):
+    # cache so the gazetteer/overlap stage computes once per run
+    m = mentions(spark, sf_dir).cache()
     edges = coref.coref_edges(m)
     clustered = (
         coref.cluster_mentions_cc(m, edges) if use_cc else coref.cluster_mentions(m, edges)
@@ -113,7 +121,8 @@ def eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import evaluate
 
-    s = scored(spark, sf_dir)
+    # scored feeds both preds and gold subtrees: cache to score once
+    s = scored(spark, sf_dir).cache()
     return evaluate.threshold_search(s, evaluate.gold_triples(s))
 
 
@@ -133,3 +142,115 @@ def graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     linked = linking.link_triples(triples(spark, sf_dir), linking.alias_df(spark))
     return graph_ops.materialize_graph(linked)
+
+
+# --- tensor-plane (neural) path ----------------------------------------------
+
+def triples_neural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.model import udf
+
+    dt = docs_tokens(spark, sf_dir)
+    return udf.neural_triples(dt, mention_ops.extract_mentions(dt, spark))
+
+
+# --- corpus / training-data operators ----------------------------------------
+
+def _flat_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.TableIO(spark, sf_dir).table("documents")
+
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import corpus_dedup as cd
+
+    dt = docs_tokens(spark, sf_dir)
+    return cd.minhash_signature(cd.shingles(cd.doc_token_ids(dt, cd.token_ids(dt))))
+
+
+def minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import corpus_dedup as cd
+
+    return cd.minhash_neardups(docs_tokens(spark, sf_dir))
+
+
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import corpus_dedup as cd
+
+    dt = docs_tokens(spark, sf_dir)
+    return cd.simhash(dt, cd.token_ids(dt))
+
+
+def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import corpus_dedup as cd
+
+    return cd.simhash_neardups(docs_tokens(spark, sf_dir))
+
+
+def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import corpus_dedup as cd
+
+    return cd.fingerprint(docs_tokens(spark, sf_dir))
+
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import corpus_dedup as cd
+
+    return cd.exact_dedup(docs_tokens(spark, sf_dir))
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import textstats
+
+    return textstats.doc_quality(_flat_docs(spark, sf_dir))
+
+
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import textstats
+
+    return textstats.token_counts(_flat_docs(spark, sf_dir))
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import textstats
+
+    return textstats.lang_id(_flat_docs(spark, sf_dir))
+
+
+def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import similarity
+
+    emb = tables.TableIO(spark, sf_dir).table("embeddings")
+    return similarity.brute_force_topk(emb)
+
+
+def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import similarity
+
+    emb = tables.TableIO(spark, sf_dir).table("embeddings")
+    return similarity.ivf_topk(emb)
+
+
+def embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import similarity
+
+    emb = tables.TableIO(spark, sf_dir).table("embeddings")
+    return similarity.embedding_neardups(emb)
+
+
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import multimodal
+
+    return multimodal.fake_decode_features(
+        multimodal.media_table(interleaved(spark, sf_dir))
+    )
+
+
+def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import events
+
+    return events.windowed_counts(tables.TableIO(spark, sf_dir).table("events"))
+
+
+def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import events
+
+    return events.sessionize(tables.TableIO(spark, sf_dir).table("events"))

@@ -1,0 +1,66 @@
+"""Dedup sketches: minhash LSH catches near-dups and rejects unrelated
+docs; fingerprint/exact dedup; simhash hamming properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from glirel_spark.operators.corpus_dedup import (
+    exact_dedup,
+    fingerprint,
+    minhash_neardups,
+    simhash,
+    simhash_neardups,
+    token_ids,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(f"d{i}", t.split(" ")) for i, t in enumerate(texts)],
+        "doc_id string, tokens array<string>",
+    )
+
+
+BASE = "spark table scan hash join merge sort window query stream vector data row column filter"
+
+
+def test_minhash_finds_neardup_rejects_distinct(spark):
+    near = BASE + " extra"          # one token appended -> high jaccard
+    other = "a b c d e f g h i j k l m n o p"
+    df = _docs(spark, [BASE, near, other])
+    out = minhash_neardups(df, threshold=0.5).collect()
+    pairs = {(r.doc1, r.doc2) for r in out}
+    assert ("d0", "d1") in pairs
+    assert all("d2" not in p for p in pairs)
+    r = next(r for r in out if (r.doc1, r.doc2) == ("d0", "d1"))
+    # 13 shared 3-shingles of 13/14 -> jaccard 13/14
+    assert r.inter == 13 and r.un == 14
+    assert r.jaccard == 13 / 14
+
+
+def test_exact_dedup_groups_identical_token_streams(spark):
+    df = _docs(spark, [BASE, BASE, "something else entirely here now ok"])
+    out = {r.keeper: r.n_docs for r in exact_dedup(df).collect()}
+    assert out == {"d0": 2, "d2": 1}
+
+
+def test_fingerprint_order_sensitive(spark):
+    df = _docs(spark, ["a b c", "c b a"])
+    fps = [r.fp for r in fingerprint(df).collect()]
+    assert fps[0] != fps[1]
+
+
+def test_simhash_identical_docs_same_hash(spark):
+    df = _docs(spark, [BASE, BASE])
+    out = [r.simhash for r in simhash(df, token_ids(df)).collect()]
+    assert out[0] == out[1]
+    nd = simhash_neardups(df).collect()
+    assert [(r.doc1, r.doc2, r.hamming) for r in nd] == [("d0", "d1", 0)]
+
+
+def test_simhash_distinct_docs_far(spark):
+    df = _docs(spark, ["a a a a a a a a", "z z z z z z z z",
+                       "m n o p q r s t"])
+    sh = simhash(df, token_ids(df))
+    assert sh.select(F.countDistinct("simhash")).collect()[0][0] >= 2
