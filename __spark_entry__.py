@@ -18,7 +18,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from glirel_spark import oracle  # noqa: E402
 from glirel_spark import oracle_corpus as oc  # noqa: E402
-from glirel_spark.plans import pipeline  # noqa: E402
+from glirel_spark.plans import pipeline, relational  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -79,6 +79,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events windowing / sessionization
         "events_windowed": pipeline.events_windowed,
         "events_sessionized": pipeline.events_sessionized,
+        # general relational/OLAP surface (TPC-H shapes)
+        "tpch_pricing_summary": relational.pricing_summary,
+        "tpch_top_orders": relational.top_orders,
+        "tpch_nation_activity": relational.nation_activity,
     }
 
 
@@ -109,4 +113,5 @@ def oracle_sql() -> dict[str, str]:
         "media_features": oc.q_media_features(),
         "events_windowed": oc.q_events_windowed(),
         "events_sessionized": oc.q_events_sessionized(),
+        **relational.ORACLE,
     }

@@ -38,9 +38,8 @@ def _gaz_maps() -> tuple[Column, Column]:
     return F.create_map(*uni_items), F.create_map(*bi_items)
 
 
-def mentions_col(tokens: Column, max_chars: int = 50) -> Column:
-    """array of numbered mention structs, identical to
-    mentions.extract_mentions output for this row."""
+def _candidates_col(tokens: Column, max_chars: int = 50) -> Column:
+    """Gazetteer candidates (pre-hygiene) for one row."""
     uni_map, bi_map = _gaz_maps()
     n = F.size(tokens)
 
@@ -69,12 +68,23 @@ def mentions_col(tokens: Column, max_chars: int = 50) -> Column:
         ),
     ).otherwise(F.array().cast("array<struct<start:int,end:int,type:string,text:string>>"))
     bi = F.filter(bi_raw, lambda s: s["type"].isNotNull())
-
     cand = F.concat(uni, bi)
     # P12 long-entity filter
-    cand = F.filter(cand, lambda s: F.length(s["text"]) <= max_chars)
+    return F.filter(cand, lambda s: F.length(s["text"]) <= max_chars)
 
-    # P11 dominance filter (keep-longer; equal length -> earlier start)
+
+def _hygiene_col(cand: Column) -> Column:
+    """P11 dominance filter + (start,end) numbering over a MATERIALIZED
+    candidates column.
+
+    IMPORTANT performance contract: ``cand`` must be a plain column
+    reference (materialized by a projection boundary), NOT a composite
+    expression — Catalyst inlines duplicated sub-expressions, and this
+    function references ``cand`` once per element inside ``exists``;
+    with an inlined expression that turns O(k) hygiene into O(k x
+    full-recompute) per row (measured 20x slowdown at sf0.1).
+    """
+
     def dominated(s):
         def dom(t):
             overlap = ~((s["end"] < t["start"]) | (t["end"] < s["start"]))
@@ -112,11 +122,27 @@ def mentions_col(tokens: Column, max_chars: int = 50) -> Column:
     ).cast(_MENTION_T)
 
 
+def with_mentions(docs_tokens: DataFrame, col_name: str = "_ments",
+                  max_chars: int = 50) -> DataFrame:
+    """docs_tokens + a materialized mention-array column. Two projection
+    boundaries (candidates, hygiene) so each array computes once per row
+    — see _hygiene_col's performance contract."""
+    return docs_tokens.withColumn(
+        "_cand", _candidates_col(F.col("tokens"), max_chars)
+    ).withColumn(col_name, _hygiene_col(F.col("_cand"))).drop("_cand")
+
+
+def mentions_col(tokens: Column, max_chars: int = 50) -> Column:
+    """Single-expression form (tests/small rows only — quadratic
+    re-evaluation without projection boundaries; use with_mentions)."""
+    return _hygiene_col(_candidates_col(tokens, max_chars))
+
+
 def mentions_fused(docs_tokens: DataFrame) -> DataFrame:
     """Exploded mentions table — same schema/rows as
     mentions.extract_mentions, one narrow stage."""
-    return docs_tokens.select(
-        "doc_id", F.explode(mentions_col(F.col("tokens"))).alias("m")
+    return with_mentions(docs_tokens).select(
+        "doc_id", F.explode("_ments").alias("m")
     ).select("doc_id", "m.m_id", "m.start", "m.end", "m.type", "m.text")
 
 
@@ -156,10 +182,12 @@ def pairs_fused(
     docs_tokens: DataFrame, max_distance: int | None = config.MAX_PAIR_DISTANCE
 ) -> DataFrame:
     """Exploded pairs table — same rows as pairs.generate_pairs over
-    mentions.extract_mentions; single narrow stage, zero shuffles."""
-    ments = mentions_col(F.col("tokens"))
-    return docs_tokens.select(
-        "doc_id", F.explode(pairs_col(ments, max_distance)).alias("p")
+    mentions.extract_mentions; single narrow stage, zero shuffles.
+
+    The mention array is materialized by with_mentions before the
+    nested pair transform references it k times (see _hygiene_col)."""
+    return with_mentions(docs_tokens).select(
+        "doc_id", F.explode(pairs_col(F.col("_ments"), max_distance)).alias("p")
     ).select(
         "doc_id", "p.head_m_id", "p.tail_m_id", "p.h_start", "p.h_end",
         "p.t_start", "p.t_end", "p.h_type", "p.t_type", "p.h_text",
