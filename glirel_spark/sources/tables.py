@@ -67,7 +67,12 @@ def interleaved_documents(flat_docs: DataFrame) -> DataFrame:
     in a single whole-stage-codegen map; at 10^12 docs it is an
     embarrassingly parallel scan.
     """
-    toks = F.split(F.col("text"), " ")
+    from glirel_spark.functions.barrier import materialized
+
+    # materialize the token array: the chunk lambda slices it per chunk,
+    # and Catalyst would otherwise inline (re-split) per reference
+    flat_docs = flat_docs.withColumn("_toks", materialized(F.split(F.col("text"), " ")))
+    toks = F.col("_toks")
     n_chunks = F.ceil(F.size(toks) / F.lit(_CHUNK)).cast("int")
     did = F.col("doc_id").cast("long")
 
