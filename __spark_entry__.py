@@ -72,7 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": pipeline.lang_id,  # pandas-UDF heuristic: rows-only check
         # similarity search
         "ann_topk": pipeline.ann_topk,
-        "ann_topk_ivf": pipeline.ann_topk_ivf,  # ANN (recall<1): rows-only
+        "ann_topk_ivf": pipeline.ann_topk_ivf,
         "embedding_neardups": pipeline.embedding_neardups,
         # multimodal plumbing
         "media_features": pipeline.media_features,
@@ -109,6 +109,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": oc.q_doc_quality(),
         "token_counts": oc.q_token_counts(),
         "ann_topk": oc.q_ann_topk(),
+        "ann_topk_ivf": oc.q_ann_topk_ivf(),
         "embedding_neardups": oc.q_embedding_neardups(),
         "media_features": oc.q_media_features(),
         "events_windowed": oc.q_events_windowed(),

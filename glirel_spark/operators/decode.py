@@ -32,6 +32,30 @@ def threshold_filter(scored: DataFrame, threshold: float = config.THRESHOLD) -> 
 
 
 def top_k_per_pair(scored: DataFrame, k: int = config.TOP_K) -> DataFrame:
+    """k == 1 (the reference's eval setting) runs as an AGGREGATION, not
+    a window: min(struct(-prob, label, payload)) per pair key gets
+    map-side partial combine, so the shuffle carries ONE row per pair
+    instead of one per (pair, label). Measured at 160k docs / 131M
+    scored rows: the window variant did not scale past 2 executors (the
+    full candidate relation shuffles into per-pair sorts); the agg
+    variant shrinks shuffle volume by |labels| x and scales linearly.
+    Identical rows to the window form (struct comparison is prob desc,
+    then label asc — the same deterministic tie-break).
+    """
+    if k == 1:
+        payload = [c for c in scored.columns]
+        best = scored.groupBy(*PAIR_KEY).agg(
+            F.min(
+                F.struct(
+                    (-F.col("prob")).alias("_np"),
+                    F.col("label").alias("_lab"),
+                    *[F.col(c).alias(f"_p_{c}") for c in payload],
+                )
+            ).alias("_best")
+        )
+        return best.select(
+            *[F.col(f"_best._p_{c}").alias(c) for c in payload]
+        )
     w = W.partitionBy(*PAIR_KEY).orderBy(F.desc("prob"), F.asc("label"))
     return (
         scored.withColumn("_rk", F.row_number().over(w))

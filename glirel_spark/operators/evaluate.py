@@ -144,14 +144,21 @@ def threshold_search(
     if top_k == 1:
         # Algebraic rewrite: with k=1, the survivor at threshold t is the
         # global per-pair argmax whenever its prob > t (the filter removes
-        # lower-ranked labels first). Rank ONCE over the pair key, then
-        # cross with the grid and filter — one window instead of one per
-        # threshold (6x less window work at the reference grid size).
-        w1 = W.partitionBy(*_POS).orderBy(F.desc("prob"), F.asc("label"))
+        # lower-ranked labels first). Compute the argmax ONCE as an
+        # aggregation (map-side combined; see decode.top_k_per_pair), then
+        # cross with the grid and filter — no per-threshold window work.
         best = (
-            scored.withColumn("_rk", F.row_number().over(w1))
-            .filter(F.col("_rk") == 1)
-            .select(*_POS, "label", "prob")
+            scored.groupBy(*_POS)
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("prob")).alias("_np"),
+                        F.col("label").alias("_lab"),
+                    )
+                ).alias("_b")
+            )
+            .select(*_POS, F.col("_b._lab").alias("label"),
+                    (-F.col("_b._np")).alias("prob"))
         )
         preds = (
             best.crossJoin(F.broadcast(grid_df))

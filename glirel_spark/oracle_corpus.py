@@ -285,6 +285,33 @@ def _cell_expr(col: str) -> str:
     )
 
 
+def q_ann_topk_ivf() -> str:
+    """IVF path is deterministic (sign-bit cells + exact rank within the
+    probed cell), so it gets a full value oracle too."""
+    dot = _DOT.format(a="q.q_emb", b="e.embedding")
+    return (
+        "WITH " + CTE_EMBN.strip().rstrip(",")
+        + f"""
+, cells AS (
+  SELECT vec_id, embedding, nrm, {_cell_expr('embedding')} AS cell FROM embn
+),
+q AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, cell
+  FROM cells WHERE vec_id < {c.ANN_N_QUERIES}
+),
+scoredv AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+         {dot} / (q.q_nrm * e.nrm) AS cosine
+  FROM cells e JOIN q ON e.cell = q.cell AND e.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS INT) AS rk
+  FROM scoredv
+)
+SELECT q_id, n_id, cosine, rk FROM ranked WHERE rk <= {c.ANN_TOP_K}"""
+    )
+
+
 def q_embedding_neardups(min_cosine: float = 0.98) -> str:
     dot = _DOT.format(a="a.embedding", b="b.embedding")
     return (
