@@ -61,6 +61,9 @@ spark = (
     # CPU-bound per-row work: favor parallelism over large shuffle blocks
     .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
     .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
+    # NOTE: shuffle goes through the box's single shared disk — on a
+    # real cluster every executor node brings its own local NVMe, so
+    # this is a sandbox-only serial term (see BENCH/BASELINE.md).
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
