@@ -26,6 +26,12 @@ def entry(spark: SparkSession) -> DataFrame:
     return pipeline.triples(spark, "/root/testdata/sf0.001")
 
 
+def _api_triples(spark: SparkSession, sf: str) -> DataFrame:
+    from glirel_spark.plans import api
+
+    return api.extract_triples(pipeline.docs_tokens(spark, sf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     import pyspark.sql.functions as F
 
@@ -47,8 +53,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
         "triples": pipeline.triples,
         # tensor plane: GLiREL-architecture scorer via mapInPandas
-        # (model weights are a seeded numpy test double -> rows-only check)
+        # (weights are a seeded numpy test double; value-checked against
+        # the committed golden table, tools/gen_golden.py)
         "triples_neural": pipeline.triples_neural,
+        # production per-doc API (spacy_integration.py:94-119 mirror) —
+        # same result relation as `triples`, exercised through
+        # plans/api.extract_triples so the public surface is oracle-checked
+        "api_triples": _api_triples,
         # coref clustering (union-find / connected components)
         "coref_clusters": pipeline.mention_clusters,
         "cluster_relations": pipeline.cluster_relations,
@@ -69,7 +80,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis
         "doc_quality": pipeline.doc_quality,
         "token_counts": pipeline.token_counts,
-        "lang_id": pipeline.lang_id,  # pandas-UDF heuristic: rows-only check
+        "lang_id": pipeline.lang_id,
         # similarity search
         "ann_topk": pipeline.ann_topk,
         "ann_topk_ivf": pipeline.ann_topk_ivf,
@@ -93,6 +104,10 @@ def oracle_sql() -> dict[str, str]:
         "pairs": oracle.q_pairs(),
         "scored": oracle.q_scored(),
         "triples": oracle.q_triples(),
+        # golden-table oracle: precomputed outside Spark by
+        # tools/gen_golden.py from the deterministic scorer double
+        "triples_neural": oracle.q_triples_neural(),
+        "api_triples": oracle.q_triples(),
         "coref_clusters": oracle.q_coref_clusters(),
         "cluster_relations": oracle.q_cluster_relations(),
         "eval_counts": oracle.q_eval_counts(),
@@ -108,6 +123,7 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup": oc.q_exact_dedup(),
         "doc_quality": oc.q_doc_quality(),
         "token_counts": oc.q_token_counts(),
+        "lang_id": oc.q_lang_id(),
         "ann_topk": oc.q_ann_topk(),
         "ann_topk_ivf": oc.q_ann_topk_ivf(),
         "embedding_neardups": oc.q_embedding_neardups(),

@@ -61,6 +61,9 @@ spark = (
     # CPU-bound per-row work: favor parallelism over large shuffle blocks
     .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
     .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
+    # zstd halves shuffle bytes through the box's one shared disk
+    .config("spark.io.compression.codec", "zstd")
+    .config("spark.shuffle.file.buffer", "1m")
     # NOTE: shuffle goes through the box's single shared disk — on a
     # real cluster every executor node brings its own local NVMe, so
     # this is a sandbox-only serial term (see BENCH/BASELINE.md).
@@ -85,8 +88,12 @@ dt = tables.text_of(inter).select(
 
 def job():
     rel = fused.pairs_fused(dt).filter("is_rel")
-    scored = scoring.score_pairs_lexical(rel, scoring.labels_df(spark))
-    triples = decode_ops.decode(scored)
+    labels = scoring.labels_df(spark)
+    scored = scoring.score_pairs_lexical(rel, labels)
+    # slim decode: the argmax shuffle carries keys+score only; mention
+    # surfaces re-join against the survivors (~|labels|x fewer rows)
+    triples = decode_ops.decode(
+        scored, mention_texts=fused.mentions_fused(dt), labels=labels)
     linked = linking.link_triples(triples, linking.alias_df(spark))
     graph_ops.materialize_graph(linked).write.format("noop").mode("overwrite").save()
 

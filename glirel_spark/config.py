@@ -38,9 +38,12 @@ ENTITY_UNIGRAMS: dict[str, str] = {
 
 # Bigram surface form (two consecutive tokens) -> entity type.
 # Bigrams deliberately overlap unigrams ("table scan" vs "table") and each
-# other ("sort merge" / "merge join") to exercise the reference's
-# overlap-resolution semantics (process_wiki_zsl.py:143-162: keep longer;
-# our tie-break for equal length: keep the earlier start).
+# other ("sort merge" / "merge join") to exercise overlap resolution.
+# Reference semantics (process_wiki_zsl.py:143-162): remove only strictly
+# CHAR-shorter overlapping spans (equal-length overlaps both survive).
+# This engine INTENTIONALLY deviates: token-length dominance with an
+# earlier-start tie-break — a deterministic total order (see
+# mentions.resolve_overlaps docstring for the rationale).
 ENTITY_BIGRAMS: dict[tuple[str, str], str] = {
     ("hash", "join"): "ALGO",
     ("table", "scan"): "ALGO",

@@ -38,6 +38,17 @@ def _rng(tag: str) -> np.random.Generator:
     return np.random.default_rng(int.from_bytes(h, "little"))
 
 
+def _mm(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """BLAS-free matmul: np.einsum with optimize=False runs a fixed-order
+    single-threaded sum-of-products, so results are bit-identical in any
+    process regardless of OPENBLAS/OMP thread count. `@` is NOT — OpenBLAS
+    picks kernels by thread count, and the low bits drift between the
+    executor workers and the golden generator (measured: 3% of probs).
+    Dims here are tiny (D=H=32), so the naive path costs nothing.
+    """
+    return np.einsum("ij,jk->ik", np.atleast_2d(a), np.atleast_2d(b), optimize=False)
+
+
 class DeterministicGLiREL:
     """Process-level singleton (one per executor python worker)."""
 
@@ -70,20 +81,33 @@ class DeterministicGLiREL:
             self._tok_cache[tok] = v
         return v
 
-    def encode_tokens(self, tokens: list[str]) -> np.ndarray:
-        """[n, D] token reps with +-1-token window-mean context mixing
-        (deterministic stand-in for T2-T8)."""
-        if not tokens:
+    def embed_matrix(self, uniques) -> np.ndarray:
+        """[U, D] embeddings for an array of unique tokens — the blake2b
+        seeding runs once per NEW token per process (cached), so a batch
+        of documents costs one gather, not a per-token Python loop."""
+        return np.stack([self.embed_token(t) for t in uniques]) if len(uniques) else np.zeros((0, D))
+
+    @staticmethod
+    def mix_context(e: np.ndarray) -> np.ndarray:
+        """+-1-token window-mean context mixing (deterministic stand-in
+        for T2-T8) over a [n, D] embedding matrix."""
+        n = len(e)
+        if n == 0:
             return np.zeros((0, D))
-        e = np.stack([self.embed_token(t) for t in tokens])
         ctx = e.copy()
         ctx[1:] += e[:-1]
         ctx[:-1] += e[1:]
-        denom = np.full((len(tokens), 1), 3.0)
+        denom = np.full((n, 1), 3.0)
         denom[0] = denom[-1] = 2.0
-        if len(tokens) == 1:
+        if n == 1:
             denom[0] = 1.0
         return ctx / denom
+
+    def encode_tokens(self, tokens: list[str]) -> np.ndarray:
+        """[n, D] token reps (embed + context mix)."""
+        if not tokens:
+            return np.zeros((0, D))
+        return self.mix_context(np.stack([self.embed_token(t) for t in tokens]))
 
     # --- label reps (T1/T7/T12), cached per label-set -----------------------
 
@@ -95,7 +119,7 @@ class DeterministicGLiREL:
                 words = lab.split(" ")
                 w = np.mean([self.embed_token(w_) for w_ in words], axis=0)
                 both = (self.rel_marker + w) / 2.0  # 'both' strategy
-                h = np.maximum(both @ self.W_prompt1, 0.0) @ self.W_prompt2
+                h = _mm(np.maximum(_mm(both, self.W_prompt1), 0.0), self.W_prompt2)[0]
                 reps.append(h)
             out = np.stack(reps)  # [C, H]
             self._label_cache[labels] = out
@@ -106,10 +130,10 @@ class DeterministicGLiREL:
     def span_reps(self, token_reps: np.ndarray, spans: np.ndarray) -> np.ndarray:
         """markerv1: relu(FFN(start) ⊕ FFN(end)) -> project. spans [k,2]
         inclusive indices."""
-        starts = token_reps[spans[:, 0]] @ self.W_start
-        ends = token_reps[spans[:, 1]] @ self.W_end
+        starts = _mm(token_reps[spans[:, 0]], self.W_start)
+        ends = _mm(token_reps[spans[:, 1]], self.W_end)
         cat = np.maximum(np.concatenate([starts, ends], axis=1), 0.0)
-        return cat @ self.W_span  # [k, H]
+        return _mm(cat, self.W_span)  # [k, H]
 
     @staticmethod
     def pair_indices(n: int, starts: np.ndarray,
@@ -124,26 +148,40 @@ class DeterministicGLiREL:
             mask &= np.abs(s[:, None] - s[None, :]) <= max_distance
         return np.argwhere(mask).astype(np.int64)
 
+    @staticmethod
+    def valid_spans(spans: np.ndarray, n_tokens: int) -> np.ndarray:
+        """P4 valid-span mask (base.py:222-227): drop spans whose end
+        exceeds the (possibly truncated) sequence. Callers that map the
+        returned pair indices back to span rows MUST apply this filter
+        themselves first — score_doc scores the filtered array."""
+        if len(spans):
+            return spans[spans[:, 1] <= n_tokens - 1]
+        return spans
+
     def score_doc(
         self,
         tokens: list[str],
         spans: np.ndarray,
         labels: tuple[str, ...],
         max_distance: int | None,
+        tok_reps: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Returns (pairs [P,2] span-list indices, probs [P, C])."""
-        # P4 valid-span mask (base.py:222-227): drop spans whose end
-        # exceeds the (possibly truncated) sequence.
-        if len(spans):
-            spans = spans[spans[:, 1] <= len(tokens) - 1]
-        tok_reps = self.encode_tokens(tokens)
+        """Returns (pairs [P,2] span-list indices, probs [P, C]).
+
+        Pair indices refer to the VALID (P4-filtered) span array, i.e.
+        ``valid_spans(spans, len(tokens))`` — identical to ``spans`` when
+        every span lies within the sequence."""
+        spans = self.valid_spans(spans, len(tokens))
+        if tok_reps is None:
+            tok_reps = self.encode_tokens(tokens)
         sreps = self.span_reps(tok_reps, spans)  # [k, H]
         pidx = self.pair_indices(len(spans), spans[:, 0], max_distance)
         if len(pidx) == 0:
             return pidx, np.zeros((0, len(labels)))
         pair = np.concatenate([sreps[pidx[:, 0]], sreps[pidx[:, 1]]], axis=1)
-        prep = np.maximum(pair, 0.0) @ self.W_pair  # [P, H]
+        prep = np.maximum(pair, 0.0)
+        prep = _mm(prep, self.W_pair)  # [P, H]
         lreps = self.label_reps(labels)  # [C, H]
-        logits = prep @ lreps.T  # T13 einsum('BKD,BCD->BKC') per doc
+        logits = _mm(prep, lreps.T)  # T13 einsum('BKD,BCD->BKC') per doc
         probs = 1.0 / (1.0 + np.exp(-logits))
         return pidx, probs

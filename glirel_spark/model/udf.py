@@ -61,15 +61,31 @@ def score_pairs_neural(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = DeterministicGLiREL.get()
         for pdf in batches:
+            # batch-level embedding: factorize every token in the Arrow
+            # batch once, embed only the UNIQUE tokens (process-cached),
+            # then each doc's rep matrix is a pure numpy gather + mix —
+            # no per-token Python in the per-doc loop.
+            tok_lists = [np.asarray(t, dtype=object) for t in pdf["tokens"]]
+            if tok_lists:
+                flat = np.concatenate([t for t in tok_lists if len(t)] or
+                                      [np.array([], dtype=object)])
+                codes, uniques = pd.factorize(flat)
+                emb_u = model.embed_matrix(uniques)
+                offsets = np.cumsum([0] + [len(t) for t in tok_lists])
             chunks: list[pd.DataFrame] = []
-            for doc_id, tokens, spans in zip(
-                pdf["doc_id"], pdf["tokens"], pdf["spans"]
+            for row_i, (doc_id, tokens, spans) in enumerate(
+                zip(pdf["doc_id"], tok_lists, pdf["spans"])
             ):
                 sp = np.asarray(
                     [(s["start"], s["end"]) for s in spans], dtype=np.int64
                 ).reshape(-1, 2)
+                # P4: filter HERE so the pair indices score_doc returns
+                # refer to the same span array we gather positions from.
+                sp = model.valid_spans(sp, len(tokens))
+                doc_codes = codes[offsets[row_i]:offsets[row_i + 1]]
+                reps = model.mix_context(emb_u[doc_codes])
                 pidx, probs = model.score_doc(
-                    list(tokens), sp, label_tuple, max_distance
+                    list(tokens), sp, label_tuple, max_distance, tok_reps=reps
                 )
                 n_pairs = len(pidx)
                 if n_pairs == 0:
@@ -104,23 +120,31 @@ def neural_triples(
     threshold: float = config.THRESHOLD,
     top_k: int = config.TOP_K,
 ) -> DataFrame:
-    """Full neural path: score -> threshold -> top-k -> format.
+    """Full neural path: score -> threshold -> top-k -> enrich -> format.
 
-    Reuses the relational decode by attaching the mention texts/types
-    back (an intra-doc equi-join on positions).
+    Scale shape: the threshold filter and the per-pair top-k aggregation
+    run on the SLIM scored relation (pair keys + label + prob only) —
+    mention texts/types and the label-constraint dimension join in
+    AFTERWARDS, against just the surviving triples (~7x fewer rows at
+    threshold 0.5), so the decode shuffle never carries string payloads.
+    Row-identical to enrich-first: (pair key, label) already determines
+    the row, so the join adds columns, never changes the argmax.
     """
     from glirel_spark.operators import decode as decode_ops
     from glirel_spark.operators import scoring as scoring_ops
 
     scored = score_pairs_neural(docs_tokens, mentions)
+    surv = decode_ops.threshold_filter(scored, threshold)
+    best = decode_ops.top_k_per_pair(surv, top_k)
     m = mentions.select("doc_id", "start", "end", "type", "text")
     h = m.toDF("doc_id", "h_start", "h_end", "h_type", "h_text")
     t = m.toDF("doc_id", "t_start", "t_end", "t_type", "t_text")
-    enriched = scored.join(h, ["doc_id", "h_start", "h_end"]).join(
+    enriched = best.join(h, ["doc_id", "h_start", "h_end"]).join(
         t, ["doc_id", "t_start", "t_end"]
     )
     labels = scoring_ops.labels_df(docs_tokens.sparkSession)
     enriched = enriched.join(F.broadcast(labels), "label", "left").withColumn(
         "raw", F.lit(None).cast("int")
     )
-    return decode_ops.decode(enriched, threshold, top_k)
+    out = decode_ops.constraint_filter(enriched)
+    return decode_ops.format_output(out)

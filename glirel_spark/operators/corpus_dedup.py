@@ -1,13 +1,13 @@
 """Corpus deduplication — the training-data-pipeline operators.
 
-All sketches use engine-portable integer arithmetic (token ids from a
-dense rank over the corpus vocabulary, polynomial shingle hashes,
-affine minhash permutations mod a prime), so every stage is
-oracle-checkable in DuckDB bit-for-bit.
+All sketches use engine-portable integer arithmetic (token ids from
+per-character polynomial hashes, polynomial shingle hashes, affine
+minhash permutations mod a prime), so every stage is oracle-checkable
+in DuckDB bit-for-bit.
 
 Scale notes (the whole point of these ops):
-- token-id assignment: vocabulary is tiny relative to the corpus; the
-  dense-rank runs over DISTINCT tokens then broadcast-joins back.
+- token-id assignment: a map-side char hash per token — no vocabulary
+  table, no global sort, no corpus-wide state of any kind.
 - minhash: explode to (doc, shingle) then ONE groupBy(doc) computing
   all K mins as conditional aggregates — a single shuffle keyed by doc,
   partial-aggregated map-side.
@@ -19,27 +19,25 @@ Scale notes (the whole point of these ops):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F, Window as W
+from pyspark.sql import DataFrame, functions as F
 
 from glirel_spark import config
 
 
-def token_ids(docs_tokens: DataFrame) -> DataFrame:
-    """(token, tid): dense rank over the distinct corpus vocabulary,
-    ordered by token string — deterministic across engines."""
-    vocab = docs_tokens.select(F.explode("tokens").alias("token")).distinct()
-    w = W.orderBy("token")
-    # single-partition window is fine: |vocab| << |corpus| by Heaps' law;
-    # at true web scale this becomes a sorted zipWithIndex over a small table.
-    return vocab.withColumn("tid", F.row_number().over(w).cast("long"))
+def doc_token_ids(docs_tokens: DataFrame) -> DataFrame:
+    """(doc_id, pos, tid) — token stream with integer ids.
 
-
-def doc_token_ids(docs_tokens: DataFrame, vocab: DataFrame) -> DataFrame:
-    """(doc_id, pos, tid) — token stream with integer ids (broadcast join)."""
-    toks = docs_tokens.select(
+    tid = per-character polynomial hash of the token (mod HASH_P): a pure
+    map-side expression with NO vocabulary table. A dense-rank vocabulary
+    would need a global sort of the distinct-token relation — on a web
+    crawl that relation has billions of rows (typos, unicode, code), so
+    id assignment must not depend on corpus-wide state. 64-bit-range
+    collisions are negligible and the DuckDB oracle replays the same
+    arithmetic exactly (oracle_corpus.CTE_THASH).
+    """
+    return docs_tokens.select(
         "doc_id", F.posexplode("tokens").alias("pos", "token")
-    )
-    return toks.join(F.broadcast(vocab), "token").select("doc_id", "pos", "tid")
+    ).select("doc_id", "pos", _char_hash(F.col("token")).alias("tid"))
 
 
 def shingles(doc_tids: DataFrame, k: int = config.SHINGLE_K) -> DataFrame:
@@ -210,8 +208,7 @@ def jaccard_verify(cands: DataFrame, sh: DataFrame) -> DataFrame:
 def minhash_neardups(docs_tokens: DataFrame,
                      threshold: float = config.NEARDUP_JACCARD) -> DataFrame:
     """Full pipeline: near-duplicate pairs with verified Jaccard >= t."""
-    vocab = token_ids(docs_tokens)
-    sh = shingles(doc_token_ids(docs_tokens, vocab))
+    sh = shingles(doc_token_ids(docs_tokens))
     sig = minhash_signature(sh)
     cands = candidate_pairs(lsh_bands(sig))
     return jaccard_verify(cands, sh).filter(F.col("jaccard") >= threshold)
@@ -221,16 +218,17 @@ def minhash_neardups(docs_tokens: DataFrame,
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash(docs_tokens: DataFrame, vocab: DataFrame) -> DataFrame:
+def simhash(docs_tokens: DataFrame) -> DataFrame:
     """(doc_id, simhash): SIMHASH_BITS-bit signature.
 
     bit_b(tid) = ((tid * A_b + B_b) mod P) mod 2; each token contributes
     its multiplicity × (±1) to bit b; signature bit = 1 iff sum > 0.
-    One groupBy(doc) with SIMHASH_BITS conditional sums — single shuffle.
+    One groupBy(doc) with SIMHASH_BITS conditional sums — single shuffle,
+    tids are map-side char hashes (no vocabulary stage).
     """
     p = config.HASH_P
     tid_counts = (
-        doc_token_ids(docs_tokens, vocab)
+        doc_token_ids(docs_tokens)
         .groupBy("doc_id", "tid")
         .agg(F.count("*").alias("cnt"))
     )
@@ -253,8 +251,7 @@ def simhash_neardups(docs_tokens: DataFrame,
     any pair within distance d shares at least one exact chunk
     (pigeonhole). Equi-join per chunk, then exact popcount verify.
     """
-    vocab = token_ids(docs_tokens)
-    sig = simhash(docs_tokens, vocab)
+    sig = simhash(docs_tokens)
     n_chunks = max_hamming + 1
     chunk_bits = config.SIMHASH_BITS // n_chunks
     blocks = None
@@ -283,8 +280,7 @@ def simhash_neardups(docs_tokens: DataFrame,
 def fingerprint(docs_tokens: DataFrame) -> DataFrame:
     """(doc_id, fp): rolling polynomial hash of the full token-id stream
     (order-sensitive document fingerprint)."""
-    vocab = token_ids(docs_tokens)
-    tids = doc_token_ids(docs_tokens, vocab)
+    tids = doc_token_ids(docs_tokens)
     # fold in pos order: fp = ((fp * B) + tid) mod P, via groupBy + sorted fold
     per_doc = tids.groupBy("doc_id").agg(
         F.array_sort(F.collect_list(F.struct("pos", "tid"))).alias("seq")

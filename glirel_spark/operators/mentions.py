@@ -94,8 +94,18 @@ def resolve_overlaps(mentions: DataFrame) -> DataFrame:
     Remove span s when an overlapping span t in the same doc dominates
     it: longer, or equal length with an earlier start. One-pass
     dominance (not iterative): equivalent to the reference's greedy on
-    this two-level (unigram vs bigram) hierarchy, and a deterministic
-    total order in general.
+    this two-level (unigram vs bigram) hierarchy.
+
+    INTENTIONAL DEVIATION from the reference tie-break: the reference
+    removes a span only when strictly SHORTER in CHAR length, keeping
+    both equal-length overlapping spans (e.g. 'sort merge'/'merge
+    join'); this engine measures length in TOKENS and drops the
+    later-starting of two equal-length overlapping spans. Rationale:
+    a deterministic total order — results are identical under any
+    partitioning and exactly replayable in the DuckDB oracle, whereas
+    keep-both produces order-dependent pair lists downstream. The same
+    rule is applied in the fused path (fused._hygiene_col) and the
+    oracle (oracle.CTE_MENTIONS mkept), so all three stay row-identical.
     """
     s = mentions.alias("s")
     t = mentions.alias("t")
@@ -125,9 +135,13 @@ def number_mentions(mentions: DataFrame) -> DataFrame:
 
 
 def extract_mentions(docs_tokens: DataFrame, spark: SparkSession) -> DataFrame:
-    """Full mention stage: gazetteer -> dedup -> overlap -> numbering."""
+    """Full mention stage: gazetteer -> dedup -> long-filter -> overlap
+    -> numbering. P12 runs BEFORE overlap resolution (reference order,
+    process_wiki_zsl.py:72 then :143-162): an over-long entity must not
+    dominate a shorter overlapping one it is about to be dropped for —
+    same order as the fused path and the DuckDB oracle."""
     gaz = gazetteer_df(spark)
     raw = extract_mentions_raw(docs_tokens, gaz)
     return number_mentions(
-        filter_long_entities(resolve_overlaps(dedup_spans(raw)))
+        resolve_overlaps(filter_long_entities(dedup_spans(raw)))
     ).select("doc_id", "m_id", "start", "end", "type", "text")

@@ -73,9 +73,10 @@ def insert_entity_markers(
     """P13 (base.py:12-57): marked token array for one row.
 
     ``ments`` must be the sorted, NON-OVERLAPPING mention array (the
-    hygiene output guarantees this); span k gains a +2k start shift.
-    Pure array expressions; index remapping for downstream spans is
-    new_start = start + 2 * rank(start), new_end = end + 2 * rank + 1.
+    hygiene output guarantees this). The open marker of span k (0-based
+    rank) itself precedes the span, so the remapping implemented by
+    remapped_mentions is
+    new_start = start + 2 * rank + 1, new_end = end + 2 * rank + 1.
     """
     n = F.size(tokens)
 

@@ -8,10 +8,7 @@ The fingerprint is in corpus_dedup.fingerprint (shared with dedup).
 
 from __future__ import annotations
 
-import math
-
-import pandas as pd
-from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql import DataFrame, functions as F
 
 from glirel_spark import config
 
@@ -68,46 +65,60 @@ def token_counts(docs: DataFrame) -> DataFrame:
 # --- language ID ------------------------------------------------------------
 # Tiny character-bigram profiles (hand-built, deterministic). The real
 # corpus carries a `lang` column; this heuristic exists as the operator a
-# production pipeline would run on raw text. Vectorized pandas UDF —
-# the Arrow-batched slow path, used only when native exprs can't express it.
+# production pipeline would run on raw text. Weights are integers (x10)
+# so the whole scorer is native column arithmetic — integer counts and
+# sums, ONE exactly-rounded IEEE division at the end — JVM-codegen'd
+# (scan-bound at 100 TB, no Python) and bit-identical in the DuckDB
+# oracle (oracle_corpus.q_lang_id).
 
-_PROFILES: dict[str, dict[str, float]] = {
-    "en": {"th": 3.0, "he": 2.5, "in": 2.0, "er": 2.0, "an": 1.8, " t": 1.5},
-    "de": {"en": 2.5, "er": 2.5, "ch": 2.2, "de": 2.0, "ei": 1.8, "sc": 1.5},
-    "fr": {"es": 2.2, "le": 2.2, "de": 2.0, "en": 1.8, "re": 1.6, "qu": 1.5},
-    "es": {"de": 2.2, "en": 2.0, "la": 2.0, "el": 1.8, "os": 1.8, "ar": 1.5},
+LANG_PROFILES: dict[str, dict[str, int]] = {
+    "en": {"th": 30, "he": 25, "in": 20, "er": 20, "an": 18, " t": 15},
+    "de": {"en": 25, "er": 25, "ch": 22, "de": 20, "ei": 18, "sc": 15},
+    "fr": {"es": 22, "le": 22, "de": 20, "en": 18, "re": 16, "qu": 15},
+    "es": {"de": 22, "en": 20, "la": 20, "el": 18, "os": 18, "ar": 15},
 }
 
-_LANGID_SCHEMA = T.StructType(
-    [
-        T.StructField("lang_pred", T.StringType()),
-        T.StructField("lang_score", T.DoubleType()),
-    ]
-)
 
-
-@F.pandas_udf(_LANGID_SCHEMA)
-def langid_udf(texts: pd.Series) -> pd.DataFrame:
-    preds, scores = [], []
-    for t in texts:
-        if not t:
-            preds.append("und")
-            scores.append(0.0)
-            continue
-        best_lang, best = "und", 0.0
-        n_bigrams = max(len(t) - 1, 1)
-        for lang, prof in sorted(_PROFILES.items()):
-            s = sum(w * t.count(bg) for bg, w in prof.items()) / n_bigrams
-            if s > best:
-                best_lang, best = lang, s
-        preds.append(best_lang)
-        scores.append(best if math.isfinite(best) else 0.0)
-    return pd.DataFrame({"lang_pred": preds, "lang_score": scores})
+def _bigram_count(text, bg: str):
+    """Non-overlapping occurrence count via replace-and-measure — the
+    same greedy left-to-right count as str.count / DuckDB replace()."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(bg), F.lit("")))) / 2
+    ).cast("long")
 
 
 def lang_id(docs: DataFrame) -> DataFrame:
-    out = docs.select(
+    """(doc_id, lang_pred, lang_score): argmax over per-language weighted
+    bigram counts, normalized by the document bigram count. Ties go to
+    the alphabetically-first language; all-zero scores -> 'und'."""
+    text = F.col("text")
+    langs = sorted(LANG_PROFILES)
+    n_bigrams = F.greatest(F.length(text) - 1, F.lit(1)).cast("long")
+
+    def score_int(lang: str):
+        s = F.lit(0).cast("long")
+        for bg, w in LANG_PROFILES[lang].items():
+            s = s + F.lit(w) * _bigram_count(text, bg)
+        return s
+
+    # array_max over (score, rev_alpha_rank, lang) structs: max score wins,
+    # ties resolve to the alphabetically-first language (max rev rank).
+    entries = F.array(*[
+        F.struct(
+            score_int(lang).alias("s"),
+            F.lit(len(langs) - 1 - i).alias("r"),
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(langs)
+    ])
+    best = F.array_max(entries)
+    pred = F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
+    score = F.when(
+        best["s"] > 0,
+        best["s"].cast("double") / (n_bigrams * 10).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        langid_udf(F.col("text")).alias("r"),
+        pred.alias("lang_pred"),
+        score.alias("lang_score"),
     )
-    return out.select("doc_id", "r.lang_pred", "r.lang_score")

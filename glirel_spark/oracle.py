@@ -73,10 +73,13 @@ mdedup AS (
     FROM mraw
   ) WHERE _rn = 1
 ),
+mlen AS (
+  SELECT * FROM mdedup WHERE length(text) <= 50
+),
 mkept AS (
-  SELECT s.* FROM mdedup s
-  WHERE length(s.text) <= 50 AND NOT EXISTS (
-    SELECT 1 FROM mdedup t
+  SELECT s.* FROM mlen s
+  WHERE NOT EXISTS (
+    SELECT 1 FROM mlen t
     WHERE t.doc_id = s.doc_id
       AND NOT (s."end" < t.start OR t."end" < s.start)
       AND NOT (s.start = t.start AND s."end" = t."end")
@@ -508,3 +511,28 @@ SELECT subj, pred, obj,
        min(doc_id) AS min_doc_id
 FROM linked GROUP BY subj, pred, obj"""
     )
+
+
+# --------------------------------------------------------------------------
+# Tensor-plane golden (triples_neural)
+# --------------------------------------------------------------------------
+
+# The neural scorer is a deterministic test double, so its expected
+# output is precomputed OUTSIDE Spark by tools/gen_golden.py (pandas +
+# numpy + the DuckDB mentions oracle) and committed under goldens/.
+# The oracle dispatches on sum(length(text)) — a content signature that
+# distinguishes the driver's scale factors (sf0.001 and sf0.01 both have
+# 500 docs, so count(*) alone cannot).
+_GOLDEN_SIGS = {"sf0.001": 153156, "sf0.01": 149174, "sf0.1": 1485576}
+
+
+def q_triples_neural() -> str:
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "goldens"
+    arms = "\nUNION ALL\n".join(
+        f"SELECT * FROM read_parquet('{root}/{sf}/triples_neural.parquet')"
+        f" WHERE (SELECT s FROM sig) = {s}"
+        for sf, s in _GOLDEN_SIGS.items()
+    )
+    return f"WITH sig AS (SELECT sum(length(text)) AS s FROM documents)\n{arms}"

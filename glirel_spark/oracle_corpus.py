@@ -8,20 +8,10 @@ from __future__ import annotations
 from glirel_spark import config as c
 from glirel_spark.oracle import CTE_TOKENS
 
-# shared: vocabulary + token-id stream
-CTE_TIDS = """
-vocab AS (
-  SELECT token, CAST(row_number() OVER (ORDER BY token) AS BIGINT) AS tid
-  FROM (SELECT DISTINCT token FROM toks)
-),
-dtids AS (
-  SELECT t.doc_id, t.pos, v.tid FROM toks t JOIN vocab v ON t.token = v.token
-)
-"""
-
-# minhash token ids: per-character polynomial hash (join-free on the
-# Spark side, corpus_dedup.with_shingle_array; the oracle re-derives the
-# same values with joins — plans differ, results must not)
+# token ids: per-character polynomial hash — shared by every sketch
+# (minhash, simhash, fingerprint). Matches corpus_dedup.doc_token_ids /
+# with_shingle_array arithmetic exactly; the oracle re-derives the same
+# values with joins — plans differ, results must not.
 CTE_THASH = f"""
 thash AS (
   SELECT doc_id, pos,
@@ -138,7 +128,7 @@ def _simhash_value() -> str:
 
 CTE_SIMHASH = f"""
 tidc AS (
-  SELECT doc_id, tid, count(*) AS cnt FROM dtids GROUP BY doc_id, tid
+  SELECT doc_id, tid, count(*) AS cnt FROM thash GROUP BY doc_id, tid
 ),
 sums AS (
   SELECT doc_id,
@@ -152,7 +142,7 @@ simsig AS (
 
 
 def q_simhash() -> str:
-    return _with(CTE_TOKENS, CTE_TIDS, CTE_SIMHASH) + "\nSELECT doc_id, simhash FROM simsig"
+    return _with(CTE_TOKENS, CTE_THASH, CTE_SIMHASH) + "\nSELECT doc_id, simhash FROM simsig"
 
 
 def q_simhash_neardups() -> str:
@@ -164,7 +154,7 @@ def q_simhash_neardups() -> str:
         for ci in range(n_chunks)
     )
     return (
-        _with(CTE_TOKENS, CTE_TIDS, CTE_SIMHASH)
+        _with(CTE_TOKENS, CTE_THASH, CTE_SIMHASH)
         + f"""
 , blocks AS (
   {blocks}
@@ -185,18 +175,18 @@ fps AS (
   SELECT doc_id,
          list_reduce(list(tid ORDER BY pos),
                      (a, b) -> (a * {c.FINGERPRINT_BASE} + b) % {c.HASH_P}) AS fp
-  FROM dtids GROUP BY doc_id
+  FROM thash GROUP BY doc_id
 )
 """
 
 
 def q_fingerprint() -> str:
-    return _with(CTE_TOKENS, CTE_TIDS, CTE_FP) + "\nSELECT doc_id, fp FROM fps"
+    return _with(CTE_TOKENS, CTE_THASH, CTE_FP) + "\nSELECT doc_id, fp FROM fps"
 
 
 def q_exact_dedup() -> str:
     return (
-        _with(CTE_TOKENS, CTE_TIDS, CTE_FP)
+        _with(CTE_TOKENS, CTE_THASH, CTE_FP)
         + "\nSELECT fp, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keeper"
         " FROM fps GROUP BY fp"
     )
@@ -224,6 +214,38 @@ SELECT doc_id, n_chars, n_tokens, n_distinct,
        (CAST(n_distinct AS DOUBLE) / n_tokens)
          * least(CAST(n_tokens AS DOUBLE) / 64.0, 1.0) AS quality_score
 FROM base"""
+
+
+def q_lang_id() -> str:
+    """Mirror of textstats.lang_id: integer weighted bigram counts, one
+    final division; ties -> alphabetically-first language."""
+    from glirel_spark.operators.textstats import LANG_PROFILES
+
+    langs = sorted(LANG_PROFILES)
+
+    def score(lang: str) -> str:
+        terms = " + ".join(
+            f"{w} * CAST((length(text) - length(replace(text, '{bg}', ''))) / 2 AS BIGINT)"
+            for bg, w in LANG_PROFILES[lang].items()
+        )
+        return f"CAST({terms} AS BIGINT)"
+
+    score_cols = ",\n         ".join(f"{score(lg)} AS s_{lg}" for lg in langs)
+    gm = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    pred_cases = " ".join(f"WHEN s_{lg} = gm THEN '{lg}'" for lg in langs)
+    return f"""
+WITH s AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         {score_cols},
+         CAST(greatest(length(text) - 1, 1) AS BIGINT) AS nb
+  FROM documents
+),
+g AS (SELECT *, {gm} AS gm FROM s)
+SELECT doc_id,
+       CASE WHEN gm <= 0 THEN 'und' {pred_cases} END AS lang_pred,
+       CASE WHEN gm <= 0 THEN 0.0
+            ELSE CAST(gm AS DOUBLE) / CAST(nb * 10 AS DOUBLE) END AS lang_score
+FROM g"""
 
 
 def q_token_counts() -> str:

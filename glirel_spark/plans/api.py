@@ -52,7 +52,10 @@ def extract_triples(
         return udf.neural_triples(docs_tokens, ments, threshold, top_k)
     rel = fused.pairs_fused(docs_tokens).filter("is_rel")
     scored = scoring_ops.score_pairs_lexical(rel, ldf)
-    return decode_ops.decode(scored, threshold, top_k)
+    return decode_ops.decode(
+        scored, threshold, top_k,
+        mention_texts=fused.mentions_fused(docs_tokens), labels=ldf,
+    )
 
 
 def as_relation_dicts(triples: DataFrame) -> DataFrame:

@@ -65,11 +65,12 @@ def run_resumable(
     """Process docs bucket-by-bucket, skipping completed ones.
 
     ``process_bucket(docs_subset) -> DataFrame`` is the pipeline stage
-    (e.g. triples extraction). Each bucket's output is appended, then
-    its lineage row committed — crash between the two replays the bucket
-    idempotently on resume (output re-partitioned by bucket, so replay
-    overwrites cleanly at the Iceberg layer; parquet sandbox appends are
-    deduplicated by the bucket column on read).
+    (e.g. triples extraction). Each bucket writes to its OWN partition
+    directory (``out_path/_bucket=b``) with mode('overwrite'): a crash
+    between the bucket write and the lineage commit replays the bucket
+    on resume, and the overwrite makes that replay idempotent — no
+    duplicate rows can survive, matching Iceberg's
+    dynamic-partition-overwrite snapshot semantics.
     """
     log = LineageLog(spark, lineage_path)
     done = set(log.completed_buckets())
@@ -79,10 +80,11 @@ def run_resumable(
             continue
         t0 = time.perf_counter()
         subset = bucketed.filter(F.col("_bucket") == b).drop("_bucket")
-        out = process_bucket(subset).withColumn("_bucket", F.lit(b))
-        out.write.mode("append").parquet(out_path)
+        bucket_dir = f"{out_path}/_bucket={b}"
+        out = process_bucket(subset)
+        out.write.mode("overwrite").parquet(bucket_dir)
         wall = time.perf_counter() - t0
         n_docs = subset.count()
-        n_out = spark.read.parquet(out_path).filter(F.col("_bucket") == b).count()
+        n_out = spark.read.parquet(bucket_dir).count()
         log.record(b, n_docs, n_out, wall)
     return spark.read.parquet(out_path).drop("_bucket")

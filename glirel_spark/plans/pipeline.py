@@ -83,17 +83,38 @@ def triples(
     threshold: float = config.THRESHOLD,
     top_k: int = config.TOP_K,
 ) -> DataFrame:
-    return decode_ops.decode(scored(spark, sf_dir), threshold, top_k)
+    from glirel_spark.operators import fused
+
+    # slim decode: the pair->argmax shuffle carries keys+score only;
+    # mention surfaces + constraint arrays re-join on the survivors
+    return decode_ops.decode(
+        scored(spark, sf_dir),
+        threshold,
+        top_k,
+        mention_texts=fused.mentions_fused(docs_tokens(spark, sf_dir)),
+        labels=scoring_ops.labels_df(spark),
+    )
 
 
 # --- coref clustering -------------------------------------------------------
 
-def mention_clusters(spark: SparkSession, sf_dir: str, use_cc: bool = False) -> DataFrame:
+# Above this corpus size the cogrouped union-find's per-doc python
+# overhead loses to the pure-DataFrame label-propagation twin; both are
+# row-identical (tests/test_coref.py) so routing is purely a plan choice.
+# Benched at sf0.1 (BENCH/BASELINE.md coref note) to place the crossover.
+COREF_CC_MIN_DOCS = 100_000
+
+
+def mention_clusters(
+    spark: SparkSession, sf_dir: str, use_cc: bool | None = None
+) -> DataFrame:
     from glirel_spark.operators import coref
 
     # mentions feed three subtrees (edges, union-find input, index join):
     # cache so the gazetteer/overlap stage computes once per run
     m = mentions(spark, sf_dir).cache()
+    if use_cc is None:
+        use_cc = docs_tokens(spark, sf_dir).count() >= COREF_CC_MIN_DOCS
     edges = coref.coref_edges(m)
     clustered = (
         coref.cluster_mentions_cc(m, edges) if use_cc else coref.cluster_mentions(m, edges)
@@ -194,8 +215,7 @@ def minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import corpus_dedup as cd
 
-    dt = docs_tokens(spark, sf_dir)
-    return cd.simhash(dt, cd.token_ids(dt))
+    return cd.simhash(docs_tokens(spark, sf_dir))
 
 
 def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -47,10 +47,15 @@ def top_orders(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
             _cents(F.col("l_extendedprice")) - _cents(F.col("l_extendedprice") * F.col("l_discount"))
         ).cast("long").alias("revenue_cents")
     )
-    w = W.orderBy(F.desc("revenue_cents"), F.asc("o_orderkey"))
+    # Top-k via orderBy().limit(k) -> TakeOrderedAndProject: each partition
+    # keeps its local top-k and only k rows travel to the driver-side merge,
+    # so the full |orders|-sized relation never lands on one task. The rank
+    # is then derived over the <=k survivors only; the literal partition key
+    # keeps WindowExec off the "no partition defined" global-shuffle path.
+    lim = rev.orderBy(F.desc("revenue_cents"), F.asc("o_orderkey")).limit(k)
+    w = W.partitionBy(F.lit(0)).orderBy(F.desc("revenue_cents"), F.asc("o_orderkey"))
     return (
-        rev.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= k)
+        lim.withColumn("rk", F.row_number().over(w))
         .select("o_orderkey", "o_orderdate", "revenue_cents", F.col("rk").cast("int").alias("rk"))
     )
 

@@ -38,6 +38,12 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # zstd shuffle/broadcast compression: ~2x smaller shuffle files
+        # than lz4 for this engine's string-heavy exchanges — directly
+        # shrinks the shared-disk serial term that caps sandbox scaling
+        # (BENCH/BASELINE.md), and on a real cluster cuts network bytes.
+        .config("spark.io.compression.codec", "zstd")
+        .config("spark.shuffle.file.buffer", "1m")
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)

@@ -45,6 +45,11 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--buckets", type=int, default=8)
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument(
+        "--eval-report", action="store_true",
+        help="also run the threshold-grid evaluation replay and write "
+        "results.txt / tables.txt / metrics.parquet + submission JSON",
+    )
     args = ap.parse_args()
 
     spark = get_spark("kgc-pipeline", cores=args.cores)
@@ -63,6 +68,20 @@ def main() -> None:
     )
     graph = graph_ops.materialize_graph(linked)
     graph_ops.write_graph(graph, f"{args.output}/graph")
+
+    if args.eval_report:
+        from glirel_spark.operators import evaluate, report
+
+        dt = tables.text_of(inter).select(
+            "doc_id", F.split("text", " ").alias("tokens")
+        )
+        rel = fused.pairs_fused(dt).filter("is_rel")
+        scored = scoring.score_pairs_lexical(rel, scoring.labels_df(spark)).cache()
+        search = evaluate.threshold_search(scored, evaluate.gold_triples(scored))
+        report.write_eval_report(search, f"{args.output}/eval")
+        report.write_submission(
+            decode_ops.decode(scored), f"{args.output}/eval/submission"
+        )
 
     n_docs = flat.count()
     n_edges = spark.read.parquet(f"{args.output}/graph").count()

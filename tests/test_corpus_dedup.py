@@ -11,7 +11,6 @@ from glirel_spark.operators.corpus_dedup import (
     minhash_neardups,
     simhash,
     simhash_neardups,
-    token_ids,
 )
 
 
@@ -53,7 +52,7 @@ def test_fingerprint_order_sensitive(spark):
 
 def test_simhash_identical_docs_same_hash(spark):
     df = _docs(spark, [BASE, BASE])
-    out = [r.simhash for r in simhash(df, token_ids(df)).collect()]
+    out = [r.simhash for r in simhash(df).collect()]
     assert out[0] == out[1]
     nd = simhash_neardups(df).collect()
     assert [(r.doc1, r.doc2, r.hamming) for r in nd] == [("d0", "d1", 0)]
@@ -62,5 +61,5 @@ def test_simhash_identical_docs_same_hash(spark):
 def test_simhash_distinct_docs_far(spark):
     df = _docs(spark, ["a a a a a a a a", "z z z z z z z z",
                        "m n o p q r s t"])
-    sh = simhash(df, token_ids(df))
+    sh = simhash(df)
     assert sh.select(F.countDistinct("simhash")).collect()[0][0] >= 2

@@ -54,3 +54,26 @@ def test_overlap_non_adjacent_untouched(spark):
         "doc_id string, start int, end int, type string, text string",
     )
     assert resolve_overlaps(m).count() == 2
+
+
+def test_long_entity_filtered_before_overlap_resolution(spark):
+    """P12 order (reference process_wiki_zsl.py:72 then 143-162): an
+    over-long entity is dropped BEFORE dominance, so a shorter span it
+    overlaps must survive."""
+    from glirel_spark.operators.mentions import (
+        filter_long_entities,
+        resolve_overlaps,
+    )
+
+    long_text = "x" * 60
+    m = spark.createDataFrame(
+        [("d0", 0, 9, "ALGO", long_text),  # >50 chars, spans 0-9
+         ("d0", 1, 1, "TOOL", "spark")],   # overlapped + token-shorter
+        "doc_id string, start int, end int, type string, text string",
+    )
+    kept = resolve_overlaps(filter_long_entities(m)).collect()
+    assert [(r.start, r.end) for r in kept] == [(1, 1)]
+    # wrong order (overlap first) would dominate-drop 'spark' then drop
+    # the long span too, leaving nothing:
+    wrong = filter_long_entities(resolve_overlaps(m)).collect()
+    assert wrong == []

@@ -63,3 +63,56 @@ def test_neural_triples_decode_integration(spark):
     assert len(keys) == len(set(keys))
     # output convention: exclusive end
     assert all(r.head_end > r.head_start for r in rows)
+
+def test_out_of_range_span_positions_map_correctly(spark):
+    """P4 regression: when a mention's end exceeds the token sequence,
+    the UDF must drop it BEFORE mapping pair indices back to span rows —
+    otherwise every later span's positions shift (the round-1 latent
+    bug: indices into the unfiltered array)."""
+    docs = spark.createDataFrame(
+        [("d0", "spark query table".split(" "))],
+        "doc_id string, tokens array<string>",
+    )
+    # phantom span (9,9) sorts FIRST in no... actually sorts last; use
+    # (1,9): sorts between (0,0) and (2,2) so a stale index would shift
+    # the (2,2) mention's reported positions.
+    m = spark.createDataFrame(
+        [("d0", 0, 0, 0, "TOOL", "spark"),
+         ("d0", 1, 1, 9, "EVENT", "broken"),
+         ("d0", 2, 2, 2, "OBJECT", "table")],
+        "doc_id string, m_id int, start int, end int, type string, text string",
+    )
+    out = score_pairs_neural(docs, m).select(
+        "h_start", "h_end", "t_start", "t_end"
+    ).distinct().collect()
+    got = {(r.h_start, r.h_end, r.t_start, r.t_end) for r in out}
+    # only the two valid spans pair up; no position may reference (1,9)
+    assert got == {(0, 0, 2, 2), (2, 2, 0, 0)}
+
+
+def test_udf_scores_match_direct_score_doc(spark):
+    """The batched/factorized embedding path must be BIT-identical to
+    the per-doc encode path (same kernel, different batching)."""
+    toks = "spark feeds the table scan near customer query".split(" ")
+    docs = spark.createDataFrame(
+        [("d0", toks)], "doc_id string, tokens array<string>"
+    )
+    m = extract_mentions(docs, spark)
+    rows = score_pairs_neural(docs, m).collect()
+    model = DeterministicGLiREL()
+    sp = np.asarray(
+        sorted((r.start, r.end) for r in m.collect()), dtype=np.int64
+    ).reshape(-1, 2)
+    from glirel_spark import config
+
+    labels = tuple(sorted(config.RELATION_LABELS))
+    pidx, probs = model.score_doc(toks, sp, labels, 8)
+    expect = {}
+    for pi in range(len(pidx)):
+        hs, he = sp[pidx[pi, 0]]
+        ts, te = sp[pidx[pi, 1]]
+        for ci, lab in enumerate(labels):
+            expect[(hs, he, ts, te, lab)] = probs[pi, ci]
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert r.prob == expect[(r.h_start, r.h_end, r.t_start, r.t_end, r.label)]

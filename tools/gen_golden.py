@@ -1,0 +1,135 @@
+"""Generate the expected-output golden table for ``triples_neural``.
+
+The tensor-plane scorer is a fully deterministic test double (seeded
+blake2b -> RNG weights, glirel_spark/model/scorer.py), so its expected
+output is computable OUTSIDE Spark: this script replays the neural
+pipeline with pandas + numpy + DuckDB only —
+
+  mentions   <- the DuckDB mentions oracle (oracle.q_mentions — itself
+                value-verified against the Spark mentions operator)
+  tokens     <- text.split(' ') (== docs_tokens, tests/test_tokenize.py)
+  scoring    <- the SAME DeterministicGLiREL numpy kernel the executors
+                run (identical code + identical inputs -> identical bits)
+  threshold / top-k / constraints / format
+             <- independent pandas re-implementation of the decode path
+
+so the Spark-side plumbing (mapInPandas batching, span packing, the
+slim top-k aggregation, enrichment joins, constraint filter, output
+format) is value-checked end-to-end; only the numeric kernel is shared,
+which is exactly what "deterministic test double" means. With real
+GLiREL weights this same script would run the reference PyTorch model
+(reference decode semantics: glirel/model.py:363-490).
+
+Usage: python tools/gen_golden.py  (writes goldens/<sf>/triples_neural.parquet)
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from glirel_spark import config, oracle  # noqa: E402
+from glirel_spark.model.scorer import DeterministicGLiREL  # noqa: E402
+
+SF_DIRS = {
+    "sf0.001": "/root/testdata/sf0.001",
+    "sf0.01": "/root/testdata/sf0.01",
+    "sf0.1": "/root/testdata/sf0.1",
+}
+
+OUT_COLS = [
+    "doc_id", "head_start", "head_end", "tail_start", "tail_end",
+    "head_text", "tail_text", "label", "raw", "prob",
+]
+
+
+def expected_triples_neural(sf_dir: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    mentions = con.execute(oracle.q_mentions()).fetchdf()
+    docs = con.execute(
+        "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents"
+    ).fetchdf()
+    dup = mentions.groupby(["doc_id", "start", "end"]).size().max()
+    assert dup == 1, "mentions must be unique per (doc, start, end)"
+
+    model = DeterministicGLiREL.get()
+    labels = tuple(sorted(config.RELATION_LABELS.keys()))
+    allowed = {
+        lab: (c.get("allowed_head"), c.get("allowed_tail"))
+        for lab, c in config.RELATION_LABELS.items()
+    }
+    tokens_by_doc = dict(zip(docs["doc_id"], docs["text"].str.split(" ")))
+    meta = {
+        (r.doc_id, r.start, r.end): (r.type, r.text)
+        for r in mentions.itertuples(index=False)
+    }
+
+    rows: list[tuple] = []
+    for doc_id, g in mentions.groupby("doc_id", sort=False):
+        toks = tokens_by_doc[doc_id]
+        sp = np.asarray(
+            sorted(zip(g["start"].astype(np.int64), g["end"].astype(np.int64))),
+            dtype=np.int64,
+        ).reshape(-1, 2)
+        sp = model.valid_spans(sp, len(toks))
+        pidx, probs = model.score_doc(
+            toks, sp, labels, config.MAX_PAIR_DISTANCE
+        )
+        if len(pidx) == 0:
+            continue
+        # threshold (strict >), then argmax per pair with the decode
+        # tie-break: prob desc, label asc.
+        for pi in range(len(pidx)):
+            hs, he = sp[pidx[pi, 0]]
+            ts, te = sp[pidx[pi, 1]]
+            best = None
+            for ci, lab in enumerate(labels):
+                p = probs[pi, ci]
+                if p > config.THRESHOLD and (
+                    best is None or (-p, lab) < (-best[1], best[0])
+                ):
+                    best = (lab, p)
+            if best is None:
+                continue
+            lab, p = best
+            ah, at = allowed[lab]
+            h_type, h_text = meta[(doc_id, hs, he)]
+            t_type, t_text = meta[(doc_id, ts, te)]
+            if ah is not None and h_type not in ah:
+                continue
+            if at is not None and t_type not in at:
+                continue
+            rows.append(
+                (doc_id, int(hs), int(he) + 1, int(ts), int(te) + 1,
+                 h_text, t_text, lab, None, float(p))
+            )
+
+    out = pd.DataFrame(rows, columns=OUT_COLS)
+    out["raw"] = pd.array([None] * len(out), dtype="Int32")
+    for c in ("head_start", "head_end", "tail_start", "tail_end"):
+        out[c] = out[c].astype("int32")
+    return out
+
+
+def main() -> int:
+    root = Path(__file__).resolve().parent.parent / "goldens"
+    for name, sf_dir in SF_DIRS.items():
+        out = expected_triples_neural(sf_dir)
+        dest = root / name
+        dest.mkdir(parents=True, exist_ok=True)
+        out.to_parquet(dest / "triples_neural.parquet", index=False)
+        print(f"{name}: {len(out)} rows -> {dest / 'triples_neural.parquet'}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
