@@ -84,16 +84,18 @@ for r in reps[1:]:
 big = big.repartition(total_cores * 2)
 inter = tables.interleaved_documents(big)
 dt = tables.text_of(inter).select(
-    "doc_id", F.split("text", " ").alias("tokens")).cache()
+    "doc_id", F.split("text", " ").alias("tokens"))
+# one cached gazetteer/hygiene pass feeds pairs AND decode enrichment
+dm = fused.with_mentions(dt).cache()
 
 def job():
-    rel = fused.pairs_fused(dt).filter("is_rel")
+    rel = fused.pairs_from(dm).filter("is_rel")
     labels = scoring.labels_df(spark)
     scored = scoring.score_pairs_lexical(rel, labels)
     # slim decode: the argmax shuffle carries keys+score only; mention
     # surfaces re-join against the survivors (~|labels|x fewer rows)
     triples = decode_ops.decode(
-        scored, mention_texts=fused.mentions_fused(dt), labels=labels)
+        scored, mention_texts=fused.mentions_from(dm), labels=labels)
     linked = linking.link_triples(triples, linking.alias_df(spark))
     graph_ops.materialize_graph(linked).write.format("noop").mode("overwrite").save()
 

@@ -24,20 +24,39 @@ from pyspark.sql import DataFrame, functions as F
 from glirel_spark import config
 
 
-def doc_token_ids(docs_tokens: DataFrame) -> DataFrame:
+def token_dict(docs_tokens: DataFrame) -> DataFrame:
+    """(token, tid) with tid = the per-character polynomial hash of the
+    token. tid is a PURE FUNCTION of the token string — no dense rank, no
+    global sort, no corpus-wide ordering state (the scale defect of a
+    vocabulary window) — so this dictionary is merely a compute-saving
+    materialization: hashing runs once per DISTINCT token instead of
+    once per corpus position."""
+    vocab = docs_tokens.select(F.explode("tokens").alias("token")).distinct()
+    return vocab.withColumn("tid", _char_hash(F.col("token")))
+
+
+def doc_token_ids(docs_tokens: DataFrame, use_dict: bool = True) -> DataFrame:
     """(doc_id, pos, tid) — token stream with integer ids.
 
-    tid = per-character polynomial hash of the token (mod HASH_P): a pure
-    map-side expression with NO vocabulary table. A dense-rank vocabulary
-    would need a global sort of the distinct-token relation — on a web
-    crawl that relation has billions of rows (typos, unicode, code), so
-    id assignment must not depend on corpus-wide state. 64-bit-range
-    collisions are negligible and the DuckDB oracle replays the same
-    arithmetic exactly (oracle_corpus.CTE_THASH).
+    tid = per-character polynomial hash (mod HASH_P), replayed exactly by
+    the DuckDB oracle (oracle_corpus.CTE_THASH). Two equivalent plans:
+    - use_dict=True: hash the DISTINCT vocabulary once, broadcast-join
+      back — right when the vocabulary fits in a broadcast (most corpora
+      by Heaps' law);
+    - use_dict=False: compute the hash inline per position — zero
+      corpus-wide state, right for adversarial vocabularies (a 100 TB
+      web crawl with billions of distinct junk tokens).
+    Because tid = f(token), BOTH plans yield identical values — the
+    choice is an optimizer decision, never a semantic one.
     """
-    return docs_tokens.select(
+    toks = docs_tokens.select(
         "doc_id", F.posexplode("tokens").alias("pos", "token")
-    ).select("doc_id", "pos", _char_hash(F.col("token")).alias("tid"))
+    )
+    if use_dict:
+        return toks.join(F.broadcast(token_dict(docs_tokens)), "token").select(
+            "doc_id", "pos", "tid"
+        )
+    return toks.select("doc_id", "pos", _char_hash(F.col("token")).alias("tid"))
 
 
 def shingles(doc_tids: DataFrame, k: int = config.SHINGLE_K) -> DataFrame:

@@ -145,12 +145,19 @@ def mentions_col(tokens: Column, max_chars: int = 50) -> Column:
     return _hygiene_col(_candidates_col(tokens, max_chars))
 
 
+def mentions_from(docs_ments: DataFrame) -> DataFrame:
+    """Exploded mentions table from a (possibly cached) with_mentions
+    frame — lets callers share ONE gazetteer/hygiene pass across the
+    mention, pair, and decode-enrichment subtrees (plan-keyed cache)."""
+    return docs_ments.select(
+        "doc_id", F.explode("_ments").alias("m")
+    ).select("doc_id", "m.m_id", "m.start", "m.end", "m.type", "m.text")
+
+
 def mentions_fused(docs_tokens: DataFrame) -> DataFrame:
     """Exploded mentions table — same schema/rows as
     mentions.extract_mentions, one narrow stage."""
-    return with_mentions(docs_tokens).select(
-        "doc_id", F.explode("_ments").alias("m")
-    ).select("doc_id", "m.m_id", "m.start", "m.end", "m.type", "m.text")
+    return mentions_from(with_mentions(docs_tokens))
 
 
 def pairs_col(ments: Column, max_distance: int | None = config.MAX_PAIR_DISTANCE) -> Column:
@@ -185,6 +192,19 @@ def pairs_col(ments: Column, max_distance: int | None = config.MAX_PAIR_DISTANCE
     return F.flatten(nested)
 
 
+def pairs_from(
+    docs_ments: DataFrame, max_distance: int | None = config.MAX_PAIR_DISTANCE
+) -> DataFrame:
+    """Exploded pairs table from a (possibly cached) with_mentions frame."""
+    return docs_ments.select(
+        "doc_id", F.explode(pairs_col(F.col("_ments"), max_distance)).alias("p")
+    ).select(
+        "doc_id", "p.head_m_id", "p.tail_m_id", "p.h_start", "p.h_end",
+        "p.t_start", "p.t_end", "p.h_type", "p.t_type", "p.h_text",
+        "p.t_text", "p.dist", "p.is_rel", "p.is_coref",
+    )
+
+
 def pairs_fused(
     docs_tokens: DataFrame, max_distance: int | None = config.MAX_PAIR_DISTANCE
 ) -> DataFrame:
@@ -193,10 +213,4 @@ def pairs_fused(
 
     The mention array is materialized by with_mentions before the
     nested pair transform references it k times (see _hygiene_col)."""
-    return with_mentions(docs_tokens).select(
-        "doc_id", F.explode(pairs_col(F.col("_ments"), max_distance)).alias("p")
-    ).select(
-        "doc_id", "p.head_m_id", "p.tail_m_id", "p.h_start", "p.h_end",
-        "p.t_start", "p.t_end", "p.h_type", "p.t_type", "p.h_text",
-        "p.t_text", "p.dist", "p.is_rel", "p.is_coref",
-    )
+    return pairs_from(with_mentions(docs_tokens), max_distance)

@@ -45,16 +45,21 @@ def extract_triples(
     spark = docs_tokens.sparkSession
     label_dict = labels if labels is not None else config.RELATION_LABELS
     ldf = labels_df_from_dict(spark, label_dict)
+    # one cached gazetteer/hygiene pass feeds the pair subtree AND the
+    # decode enrichment (plan-keyed cache, shared with pipeline.docs_ments
+    # when called on the same docs_tokens plan)
+    dm = fused.with_mentions(docs_tokens).cache()
     if scorer == "neural":
         from glirel_spark.model import udf
 
-        ments = fused.mentions_fused(docs_tokens)
-        return udf.neural_triples(docs_tokens, ments, threshold, top_k)
-    rel = fused.pairs_fused(docs_tokens).filter("is_rel")
+        return udf.neural_triples(
+            docs_tokens, fused.mentions_from(dm), threshold, top_k
+        )
+    rel = fused.pairs_from(dm).filter("is_rel")
     scored = scoring_ops.score_pairs_lexical(rel, ldf)
     return decode_ops.decode(
         scored, threshold, top_k,
-        mention_texts=fused.mentions_fused(docs_tokens), labels=ldf,
+        mention_texts=fused.mentions_from(dm), labels=ldf,
     )
 
 

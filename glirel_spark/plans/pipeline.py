@@ -14,7 +14,6 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from glirel_spark import config
 from glirel_spark.operators import decode as decode_ops
-from glirel_spark.operators import mentions as mention_ops
 from glirel_spark.operators import pairs as pair_ops
 from glirel_spark.operators import scoring as scoring_ops
 from glirel_spark.sources import tables
@@ -57,18 +56,31 @@ def docs_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", F.split("text", " ").alias("tokens")).cache()
 
 
+def docs_ments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tokens, _ments) — the gazetteer/hygiene pass,
+    MATERIALIZED (cached). This is the single most expensive narrow
+    stage; the mention table, the pair table, and the decode enrichment
+    all derive from it, so one cache entry (plan-keyed, shared across
+    every query in the session) replaces three recomputations. On a
+    cluster this is "write the mention-annotated corpus as a table" —
+    the same stage boundary as docs_tokens."""
+    from glirel_spark.operators import fused
+
+    return fused.with_mentions(docs_tokens(spark, sf_dir)).cache()
+
+
 def mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fused per-doc plan (operators/fused.py): zero-shuffle narrow
     stage, row-identical to mention_ops.extract_mentions (tested)."""
     from glirel_spark.operators import fused
 
-    return fused.mentions_fused(docs_tokens(spark, sf_dir))
+    return fused.mentions_from(docs_ments(spark, sf_dir))
 
 
 def pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import fused
 
-    return fused.pairs_fused(docs_tokens(spark, sf_dir))
+    return fused.pairs_from(docs_ments(spark, sf_dir))
 
 
 def scored(spark: SparkSession, sf_dir: str, include_coref: bool = False) -> DataFrame:
@@ -83,15 +95,14 @@ def triples(
     threshold: float = config.THRESHOLD,
     top_k: int = config.TOP_K,
 ) -> DataFrame:
-    from glirel_spark.operators import fused
-
     # slim decode: the pair->argmax shuffle carries keys+score only;
     # mention surfaces + constraint arrays re-join on the survivors
+    # (mentions come from the SAME cached docs_ments pass as the pairs)
     return decode_ops.decode(
         scored(spark, sf_dir),
         threshold,
         top_k,
-        mention_texts=fused.mentions_fused(docs_tokens(spark, sf_dir)),
+        mention_texts=mentions(spark, sf_dir),
         labels=scoring_ops.labels_df(spark),
     )
 
@@ -110,9 +121,9 @@ def mention_clusters(
 ) -> DataFrame:
     from glirel_spark.operators import coref
 
-    # mentions feed three subtrees (edges, union-find input, index join):
-    # cache so the gazetteer/overlap stage computes once per run
-    m = mentions(spark, sf_dir).cache()
+    # mentions feed three subtrees (edges, union-find input, index join);
+    # the expensive gazetteer/overlap pass is already cached (docs_ments)
+    m = mentions(spark, sf_dir)
     if use_cc is None:
         use_cc = docs_tokens(spark, sf_dir).count() >= COREF_CC_MIN_DOCS
     edges = coref.coref_edges(m)
@@ -190,8 +201,11 @@ def graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 def triples_neural(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.model import udf
 
-    dt = docs_tokens(spark, sf_dir)
-    return udf.neural_triples(dt, mention_ops.extract_mentions(dt, spark))
+    # fused mentions are row-identical to extract_mentions (tested) and
+    # come from the shared docs_ments cache
+    return udf.neural_triples(
+        docs_tokens(spark, sf_dir), mentions(spark, sf_dir)
+    )
 
 
 # --- corpus / training-data operators ----------------------------------------

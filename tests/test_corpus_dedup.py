@@ -63,3 +63,15 @@ def test_simhash_distinct_docs_far(spark):
                        "m n o p q r s t"])
     sh = simhash(df)
     assert sh.select(F.countDistinct("simhash")).collect()[0][0] >= 2
+
+
+def test_doc_token_ids_dict_equals_inline(spark):
+    """tid = f(token): the broadcast-dictionary plan and the inline
+    map-side plan must produce identical ids (plan choice, not
+    semantics)."""
+    from glirel_spark.operators.corpus_dedup import doc_token_ids
+
+    df = _docs(spark, [BASE, "completely novel words not in base"])
+    a = sorted(map(tuple, doc_token_ids(df, use_dict=True).collect()))
+    b = sorted(map(tuple, doc_token_ids(df, use_dict=False).collect()))
+    assert a == b and len(a) > 0

@@ -25,3 +25,27 @@ def test_stream_equals_batch(spark):
         for r in batch.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_triples_stream_equals_batch(spark, tmp_path):
+    """Streaming extraction (foreachBatch decode) == batch flagship."""
+    from glirel_spark.plans import pipeline
+    from glirel_spark.streaming.triples_stream import (
+        read_documents_stream,
+        run_extraction_stream,
+    )
+
+    out = str(tmp_path / "triples")
+    ckpt = str(tmp_path / "ckpt")
+    run_extraction_stream(read_documents_stream(spark, SF), out, ckpt)
+    got = {
+        (r.doc_id, r.head_start, r.head_end, r.tail_start, r.tail_end,
+         r.label, r.prob)
+        for r in spark.read.parquet(out).collect()
+    }
+    want = {
+        (r.doc_id, r.head_start, r.head_end, r.tail_start, r.tail_end,
+         r.label, r.prob)
+        for r in pipeline.triples(spark, SF).collect()
+    }
+    assert got == want and len(got) > 0
