@@ -73,6 +73,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # corpus dedup (training-data pipeline)
         "minhash_signatures": pipeline.minhash_signatures,
         "minhash_neardups": pipeline.minhash_neardups,
+        # near-dup FAMILY resolution: connected components over verified
+        # near-dup pairs -> canonical doc per family (keep/drop decision)
+        "dedup_clusters": pipeline.dedup_clusters,
         "simhash": pipeline.simhash_signatures,
         "simhash_neardups": pipeline.simhash_neardups,
         "fingerprints": pipeline.fingerprints,
@@ -117,6 +120,8 @@ def oracle_sql() -> dict[str, str]:
         "graph": oracle.q_graph(),
         "minhash_signatures": oc.q_minhash_signatures(),
         "minhash_neardups": oc.q_minhash_neardups(),
+        # recursive-CTE transitive closure (min reachable doc_id)
+        "dedup_clusters": oc.q_dedup_clusters(),
         "simhash": oc.q_simhash(),
         "simhash_neardups": oc.q_simhash_neardups(),
         "fingerprints": oc.q_fingerprint(),

@@ -92,10 +92,11 @@ def job():
     rel = fused.pairs_from(dm).filter("is_rel")
     labels = scoring.labels_df(spark)
     scored = scoring.score_pairs_lexical(rel, labels)
-    # slim decode: the argmax shuffle carries keys+score only; mention
-    # surfaces re-join against the survivors (~|labels|x fewer rows)
-    triples = decode_ops.decode(
-        scored, mention_texts=fused.mentions_from(dm), labels=labels)
+    # payload decode: scored already carries surfaces + constraint
+    # arrays; map-side combine collapses each pair to one pre-shuffle
+    # row, so no enrich joins (measured faster AND better-scaling than
+    # the slim form at both cluster sizes — BENCH/BASELINE.md)
+    triples = decode_ops.decode(scored)
     linked = linking.link_triples(triples, linking.alias_df(spark))
     graph_ops.materialize_graph(linked).write.format("noop").mode("overwrite").save()
 

@@ -137,6 +137,107 @@ def cluster_mentions_cc(
     return labels
 
 
+_CLUSTERED_SCHEMA = (
+    "doc_id string, m_id int, start int, end int, type string, text string, "
+    "cluster_idx int"
+)
+
+
+def cluster_ments_fused(
+    docs_ments: DataFrame,
+    max_dist: int = COREF_MAX_DIST,
+    ments_col: str = "_ments",
+) -> DataFrame:
+    """Fused coref: edges + union-find (reference semantics
+    glirel/modules/utils.py:86-153) + W6 cluster ordering
+    (utils.py:139-148) as ONE zero-shuffle mapInPandas stage over
+    per-doc mention arrays (the cached gazetteer pass,
+    fused.with_mentions).
+
+    Row-identical to cluster_index(cluster_mentions(...)) — tested — by
+    this argument: the coref edge rule (same text, |Δstart| <= d) is an
+    interval graph on a line per (doc, text) group, so its connected
+    components are exactly the maximal runs of start-sorted mentions
+    whose consecutive gaps are <= d (any pair straddling a gap > d is
+    itself > d apart). No per-pair edge materialization, no cogroup, no
+    iteration: one lexsort + run-break cumsum over the whole Arrow
+    batch, vectorized numpy end-to-end (no per-doc Python loop).
+
+    At 10^12 docs this is the plan you want: clustering state never
+    leaves the row's partition; the general-graph twins
+    (cluster_mentions / cluster_mentions_cc) remain for edge relations
+    that arrive as separate tables.
+    """
+    import numpy as np
+
+    def run(batches):
+        for pdf in batches:
+            ments = pdf[ments_col]
+            counts = np.fromiter(
+                (len(m) for m in ments), dtype=np.int64, count=len(ments)
+            )
+            n = int(counts.sum())
+            if n == 0:
+                continue
+            flat = [m for arr in ments for m in arr]
+            ri = np.repeat(np.arange(len(ments)), counts)
+            m_id = np.fromiter((m["m_id"] for m in flat), dtype=np.int64, count=n)
+            start = np.fromiter((m["start"] for m in flat), dtype=np.int64, count=n)
+            end = np.fromiter((m["end"] for m in flat), dtype=np.int64, count=n)
+            typ = np.array([m["type"] for m in flat], dtype=object)
+            text = np.array([m["text"] for m in flat], dtype=object)
+            tcode, _ = pd.factorize(text)
+
+            # sort by (doc, text, start, m_id); components = runs with
+            # consecutive start gaps <= max_dist within a (doc, text) group
+            order = np.lexsort((m_id, start, tcode, ri))
+            s_ri, s_tc, s_st, s_mid = ri[order], tcode[order], start[order], m_id[order]
+            brk = np.empty(n, dtype=bool)
+            brk[0] = True
+            brk[1:] = (
+                (s_ri[1:] != s_ri[:-1])
+                | (s_tc[1:] != s_tc[:-1])
+                | (s_st[1:] - s_st[:-1] > max_dist)
+            )
+            first = np.flatnonzero(brk)
+            sizes = np.diff(np.append(first, n))
+            # union-find root == component min m_id (unions keep the
+            # smaller id as root)
+            c_mid = np.minimum.reduceat(s_mid, first)
+            c_st = s_st[first]  # min start (sorted)
+            c_ri = s_ri[first]
+            # W6: cluster_idx = rank of (min start, min m_id) within doc
+            c_order = np.lexsort((c_mid, c_st, c_ri))
+            new_doc = np.empty(len(first), dtype=bool)
+            new_doc[0] = True
+            new_doc[1:] = c_ri[c_order][1:] != c_ri[c_order][:-1]
+            doc_first = np.maximum.accumulate(
+                np.where(new_doc, np.arange(len(first)), 0)
+            )
+            rank_sorted = np.arange(len(first)) - doc_first
+            c_idx = np.empty(len(first), dtype=np.int64)
+            c_idx[c_order] = rank_sorted
+            elem_cidx = np.repeat(c_idx, sizes)
+
+            inv = np.empty(n, dtype=np.int64)
+            inv[order] = np.arange(n)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[ri],
+                    "m_id": m_id.astype(np.int32),
+                    "start": start.astype(np.int32),
+                    "end": end.astype(np.int32),
+                    "type": typ,
+                    "text": text,
+                    "cluster_idx": elem_cidx[inv].astype(np.int32),
+                }
+            )
+
+    return docs_ments.select("doc_id", ments_col).mapInPandas(
+        run, _CLUSTERED_SCHEMA
+    )
+
+
 def cluster_index(mentions: DataFrame, clustered: DataFrame) -> DataFrame:
     """W6: cluster_idx = dense_rank of clusters by earliest mention start
     within the doc (utils.py:139-148). Returns (doc_id, m_id, start, end,

@@ -312,6 +312,78 @@ def fingerprint(docs_tokens: DataFrame) -> DataFrame:
     return per_doc.select("doc_id", fp.alias("fp"))
 
 
+def neardup_clusters(
+    docs_tokens: DataFrame,
+    neardups: DataFrame | None = None,
+    threshold: float = config.NEARDUP_JACCARD,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate FAMILY resolution: connected components over the
+    verified MinHash near-dup pairs, canonical doc = min doc_id per
+    family. Output: (doc_id, canonical_id, is_canonical) for EVERY
+    corpus document — the keep/drop decision a training-data dedup pass
+    actually consumes (transitive closure matters: A~B, B~C with A!~C
+    must still collapse to one family, which pairwise filtering alone
+    cannot express).
+
+    Scale shape: min-label propagation iterates ONLY over the edge-node
+    subgraph (docs appearing in at least one near-dup pair — a tiny
+    fraction of a deduplicated web corpus), converging in O(log
+    diameter) joins with localCheckpoint lineage truncation per round;
+    the full corpus joins in exactly once at the end (left join for the
+    singleton default). Same loop structure as coref.cluster_mentions_cc
+    / GraphFrames connected components.
+    """
+    if neardups is None:
+        neardups = minhash_neardups_arr(docs_tokens, threshold)
+    e = neardups.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("root", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(F.col("doc_id").alias("b"), F.col("root").alias("nroot")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nroot").alias("nbr_root"))
+            .withColumnRenamed("a", "doc_id")
+        )
+        new_labels = (
+            labels.join(nbr, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("root"), F.coalesce(F.col("nbr_root"), F.col("root"))
+                ).alias("root"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("root", "_old"), "doc_id"
+            )
+            .filter(F.col("root") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    docs = docs_tokens.select(F.col("doc_id").cast("string").alias("doc_id"))
+    canonical = F.coalesce(F.col("root"), F.col("doc_id"))
+    return docs.join(labels, "doc_id", "left").select(
+        "doc_id",
+        canonical.alias("canonical_id"),
+        (canonical == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
 def exact_dedup(docs_tokens: DataFrame) -> DataFrame:
     """Exact duplicate groups by fingerprint: keeper = min doc_id.
 

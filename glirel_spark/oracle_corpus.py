@@ -112,6 +112,53 @@ FROM verified WHERE CAST(inter AS DOUBLE) / un >= {c.NEARDUP_JACCARD}"""
     )
 
 
+def q_dedup_clusters() -> str:
+    """Near-dup family resolution: transitive closure over the verified
+    near-dup pairs via a recursive reachability CTE (min reachable
+    doc_id = the canonical), singletons default to themselves. Mirrors
+    corpus_dedup.neardup_clusters (min-label propagation fixpoint ==
+    min over the connected component)."""
+    neardups = f"""
+neardups AS (
+  SELECT cd.doc1, cd.doc2
+  FROM cands cd
+  LEFT JOIN (
+    SELECT cd2.doc1, cd2.doc2, CAST(count(*) AS BIGINT) AS inter
+    FROM cands cd2
+    JOIN shing s1 ON s1.doc_id = cd2.doc1
+    JOIN shing s2 ON s2.doc_id = cd2.doc2 AND s2.sh = s1.sh
+    GROUP BY cd2.doc1, cd2.doc2
+  ) i ON i.doc1 = cd.doc1 AND i.doc2 = cd.doc2
+  JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shing GROUP BY doc_id) z1
+    ON z1.doc_id = cd.doc1
+  JOIN (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shing GROUP BY doc_id) z2
+    ON z2.doc_id = cd.doc2
+  WHERE CAST(coalesce(i.inter, 0) AS DOUBLE)
+        / (z1.n + z2.n - coalesce(i.inter, 0)) >= {c.NEARDUP_JACCARD}
+),
+edges AS (
+  SELECT doc1 AS a, doc2 AS b FROM neardups
+  UNION ALL SELECT doc2, doc1 FROM neardups
+),
+reach(src, node) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+),
+comp AS (SELECT node AS doc_id, min(src) AS canonical FROM reach GROUP BY node)
+"""
+    base = _with(CTE_TOKENS, CTE_THASH, CTE_SHINGLES, CTE_SIG, CTE_BANDS, neardups)
+    return (
+        base.replace("WITH ", "WITH RECURSIVE ", 1)
+        + """
+SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+       coalesce(c2.canonical, CAST(d.doc_id AS VARCHAR)) AS canonical_id,
+       coalesce(c2.canonical, CAST(d.doc_id AS VARCHAR)) = CAST(d.doc_id AS VARCHAR)
+         AS is_canonical
+FROM documents d LEFT JOIN comp c2 ON c2.doc_id = CAST(d.doc_id AS VARCHAR)"""
+    )
+
+
 def _simhash_sum_cols() -> str:
     return ",\n         ".join(
         f"sum(cnt * (((tid * {a} + {b}) % {c.HASH_P} % 2) * 2 - 1)) AS s{i}"

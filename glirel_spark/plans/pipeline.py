@@ -95,25 +95,26 @@ def triples(
     threshold: float = config.THRESHOLD,
     top_k: int = config.TOP_K,
 ) -> DataFrame:
-    # slim decode: the pair->argmax shuffle carries keys+score only;
-    # mention surfaces + constraint arrays re-join on the survivors
-    # (mentions come from the SAME cached docs_ments pass as the pairs)
-    return decode_ops.decode(
-        scored(spark, sf_dir),
-        threshold,
-        top_k,
-        mention_texts=mentions(spark, sf_dir),
-        labels=scoring_ops.labels_df(spark),
-    )
+    # payload decode: scored (from the fused pair plan) already carries
+    # mention surfaces + broadcast-joined constraint arrays, and the
+    # map-side-combined argmax collapses each pair to ONE pre-shuffle
+    # row — so carrying the payload through the agg costs ~2x bytes/row
+    # but eliminates the 4 enrich-join exchanges of the slim form.
+    # Measured head-to-head at 320k docs (BENCH/BASELINE.md): payload
+    # 162.3s/42.5s at 1/4 executors (0.956 efficiency) vs slim
+    # 167.1s/47.8s (0.874) — faster at both levels AND scales better.
+    # Slim mode remains for scorers that emit key-only relations (the
+    # neural mapInPandas output, model/udf.neural_triples).
+    return decode_ops.decode(scored(spark, sf_dir), threshold, top_k)
 
 
 # --- coref clustering -------------------------------------------------------
 
-# Above this corpus size the cogrouped union-find's per-doc python
+# When the general-graph twins are requested explicitly (use_cc not
+# None): above ~100k docs the cogrouped union-find's per-doc python
 # overhead loses to the pure-DataFrame label-propagation twin; both are
 # row-identical (tests/test_coref.py) so routing is purely a plan choice.
-# Benched at sf0.1 (BENCH/BASELINE.md coref note) to place the crossover.
-COREF_CC_MIN_DOCS = 100_000
+# The default is neither: the fused zero-shuffle clustering below.
 
 
 def mention_clusters(
@@ -121,11 +122,16 @@ def mention_clusters(
 ) -> DataFrame:
     from glirel_spark.operators import coref
 
-    # mentions feed three subtrees (edges, union-find input, index join);
-    # the expensive gazetteer/overlap pass is already cached (docs_ments)
-    m = mentions(spark, sf_dir)
     if use_cc is None:
-        use_cc = docs_tokens(spark, sf_dir).count() >= COREF_CC_MIN_DOCS
+        # default: fused zero-shuffle clustering straight off the cached
+        # gazetteer pass (edges + union-find + W6 ordering in one narrow
+        # mapInPandas stage) — row-identical to the general twins below
+        # (tests/test_coref.py::test_fused_equals_union_find_pipeline)
+        return coref.cluster_ments_fused(docs_ments(spark, sf_dir))
+    # general-graph twins, for mention/edge relations that arrive as
+    # separate tables (external NER): per-doc union-find (small docs) or
+    # label-propagation connected components (scale path)
+    m = mentions(spark, sf_dir)
     edges = coref.coref_edges(m)
     clustered = (
         coref.cluster_mentions_cc(m, edges) if use_cc else coref.cluster_mentions(m, edges)
@@ -236,6 +242,12 @@ def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import corpus_dedup as cd
 
     return cd.simhash_neardups(docs_tokens(spark, sf_dir))
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import corpus_dedup as cd
+
+    return cd.neardup_clusters(docs_tokens(spark, sf_dir))
 
 
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:

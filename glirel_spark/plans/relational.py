@@ -50,13 +50,25 @@ def top_orders(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     # Top-k via orderBy().limit(k) -> TakeOrderedAndProject: each partition
     # keeps its local top-k and only k rows travel to the driver-side merge,
     # so the full |orders|-sized relation never lands on one task. The rank
-    # is then derived over the <=k survivors only; the literal partition key
-    # keeps WindowExec off the "no partition defined" global-shuffle path.
+    # over the <=k survivors is WINDOW-FREE (a lit() partition key gets
+    # constant-folded out of the spec, resurrecting the global WindowExec):
+    # pack the k rows into one sorted array and posexplode — one k-row agg.
     lim = rev.orderBy(F.desc("revenue_cents"), F.asc("o_orderkey")).limit(k)
-    w = W.partitionBy(F.lit(0)).orderBy(F.desc("revenue_cents"), F.asc("o_orderkey"))
-    return (
-        lim.withColumn("rk", F.row_number().over(w))
-        .select("o_orderkey", "o_orderdate", "revenue_cents", F.col("rk").cast("int").alias("rk"))
+    packed = lim.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    (-F.col("revenue_cents")).alias("_nr"),
+                    F.col("o_orderkey").alias("o_orderkey"),
+                    F.col("o_orderdate").alias("o_orderdate"),
+                    F.col("revenue_cents").alias("revenue_cents"),
+                )
+            )
+        ).alias("arr")
+    )
+    return packed.select(F.posexplode("arr").alias("_pos", "r")).select(
+        "r.o_orderkey", "r.o_orderdate", "r.revenue_cents",
+        (F.col("_pos") + 1).cast("int").alias("rk"),
     )
 
 

@@ -82,3 +82,42 @@ def test_aggregate_cluster_relations_dedup_and_self_drop(spark):
     )
     out = aggregate_cluster_relations(triples, mc).collect()
     assert [(r.h_idx, r.t_idx, r.r) for r in out] == [(0, 1, "feeds")]
+
+
+def test_fused_equals_union_find_pipeline(spark):
+    """cluster_ments_fused over per-doc mention arrays == the general
+    cluster_index(cluster_mentions(...)) path, row for row — including
+    transitive chains (gap runs), multiple text groups, and docs with
+    zero edges."""
+    from glirel_spark.operators.coref import cluster_ments_fused
+
+    rows = []
+    for d in range(6):
+        # same-text chain 0,10,20 (transitive), an isolated far mention,
+        # and a second text group interleaved
+        layout = [
+            (0, "spark"), (10, "spark"), (20, "spark"), (60, "spark"),
+            (3, "merge join"), (13, "merge join"), (40, "hash"),
+        ]
+        for i, (s, t) in enumerate(sorted(layout)):
+            e = s + len(t.split()) - 1
+            rows.append((f"d{d}", i, s + d, e + d, "T", t))
+    m = _mentions(spark, rows)
+    expected = {
+        (r.doc_id, r.m_id): (r.start, r.end, r.type, r.text, r.cluster_idx)
+        for r in cluster_index(m, cluster_mentions(m, coref_edges(m))).collect()
+    }
+
+    # pack the same mentions into per-doc arrays (the docs_ments shape)
+    import pyspark.sql.functions as F
+
+    dm = m.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("m_id", "start", "end", "type", "text"))
+        ).alias("_ments")
+    )
+    got = {
+        (r.doc_id, r.m_id): (r.start, r.end, r.type, r.text, r.cluster_idx)
+        for r in cluster_ments_fused(dm).collect()
+    }
+    assert got == expected and len(got) == len(rows)

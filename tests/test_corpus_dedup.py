@@ -75,3 +75,29 @@ def test_doc_token_ids_dict_equals_inline(spark):
     a = sorted(map(tuple, doc_token_ids(df, use_dict=True).collect()))
     b = sorted(map(tuple, doc_token_ids(df, use_dict=False).collect()))
     assert a == b and len(a) > 0
+
+
+def test_neardup_clusters_transitive_families(spark):
+    """CC over near-dup pairs: A~B, B~C, A!~C still one family with
+    canonical = min doc_id (lexicographic on the string ids, matching
+    DuckDB VARCHAR min); non-edge docs are their own canonical."""
+    from glirel_spark.operators.corpus_dedup import neardup_clusters
+
+    docs = spark.createDataFrame(
+        [(d, ["w"]) for d in ["1", "10", "2", "3", "9"]],
+        "doc_id string, tokens array<string>",
+    )
+    nd = spark.createDataFrame(
+        [("10", "2"), ("2", "3")], "doc1 string, doc2 string"
+    )
+    out = {
+        r.doc_id: (r.canonical_id, r.is_canonical)
+        for r in neardup_clusters(docs, neardups=nd).collect()
+    }
+    assert out == {
+        "10": ("10", True),   # '10' < '2' < '3' lexicographically
+        "2": ("10", False),
+        "3": ("10", False),   # transitive: 3 reaches 10 only via 2
+        "1": ("1", True),
+        "9": ("9", True),
+    }

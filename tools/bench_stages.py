@@ -1,0 +1,191 @@
+"""Per-stage two-cluster-size scaling evidence (BASELINE.json: >=0.8
+efficiency N -> 4N executors).
+
+Complements bench_scaling.py's end-to-end number with the stage-level
+evidence the target reduces to on real hardware (the sandbox shares
+all-core turbo + one shuffle disk across "executors" — quantified in
+BENCH/BASELINE.md): for every flagship stage, wall time at N and 4N real
+executor JVMs (``local-cluster``) on the SAME input, and the per-stage
+efficiency (T_N / T_4N) / 4.
+
+Method: one Spark session per level. The narrow front (ingest ->
+interleave -> tokenize -> gazetteer mentions) is timed as the build of
+the cached ``dm`` relation — the same stage boundary the flagship job
+uses. The downstream stages are timed as cumulative prefixes over the
+cached ``dm`` (score; + decode; + link + graph), forced with a noop
+sink, and differenced — so each stage's time includes exactly its own
+exchanges. Each prefix runs ``--reps`` times (default 2), min taken
+(the box has +-20% noise; min isolates the achievable time).
+
+Usage:
+  python tools/bench_stages.py [--n 1] [--replicate 32] [--reps 2]
+Appends the per-stage table to BENCH/BASELINE.md and prints one JSON
+line per stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+CORES_PER_EXEC = 4
+EXEC_MEM_MB = 8192
+
+_JOB = r"""
+import sys, time, json
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+from glirel_spark.operators import decode as decode_ops
+from glirel_spark.operators import fused, linking, scoring
+from glirel_spark.operators import graph as graph_ops
+from glirel_spark.sources import tables
+
+n_exec = {n_exec}
+reps = {reps}
+total_cores = n_exec * {cores_per_exec}
+spark = (
+    SparkSession.builder
+    .master(f"local-cluster[{{n_exec}},{cores_per_exec},{exec_mem}]")
+    .appName(f"stages-{{n_exec}}x{cores_per_exec}")
+    .config("spark.executor.memory", "{exec_mem}m")
+    .config("spark.sql.shuffle.partitions", str(total_cores * 2))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+    .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
+    .config("spark.io.compression.codec", "zstd")
+    .config("spark.shuffle.file.buffer", "1m")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("ERROR")
+
+flat = spark.read.parquet({sf_dir!r} + "/documents.parquet")
+reps_dfs = [
+    flat.withColumn("doc_id", F.col("doc_id") + F.lit(k * 1000000))
+    for k in range({replicate})
+]
+big = reps_dfs[0]
+for r in reps_dfs[1:]:
+    big = big.unionByName(r)
+big = big.repartition(total_cores * 2)
+inter = tables.interleaved_documents(big)
+dt = tables.text_of(inter).select(
+    "doc_id", F.split("text", " ").alias("tokens"))
+
+def force(df):
+    df.write.format("noop").mode("overwrite").save()
+
+# -- JVM/JIT warmup: run the whole chain once, uncached -----------------
+dm_cold = fused.with_mentions(dt)
+labels = scoring.labels_df(spark)
+def full(dm):
+    rel = fused.pairs_from(dm).filter("is_rel")
+    scored = scoring.score_pairs_lexical(rel, labels)
+    triples = decode_ops.decode(scored)
+    linked = linking.link_triples(triples, linking.alias_df(spark))
+    return graph_ops.materialize_graph(linked)
+force(full(dm_cold))
+
+# -- stage 1: narrow front (ingest+interleave+tokenize+mentions) --------
+# Timed as cold recomputes of the uncached chain (cache build is a
+# one-off; the recompute is what a cluster pays per fresh partition).
+t_narrow = []
+for _ in range(reps):
+    t0 = time.perf_counter(); force(dm_cold); t_narrow.append(time.perf_counter() - t0)
+
+# -- cached dm feeds the downstream prefixes ----------------------------
+dm = fused.with_mentions(dt).cache()
+force(dm)  # pin
+
+def prefix_score():
+    rel = fused.pairs_from(dm).filter("is_rel")
+    return scoring.score_pairs_lexical(rel, labels)
+
+def prefix_decode():
+    return decode_ops.decode(prefix_score())
+
+def prefix_graph():
+    linked = linking.link_triples(prefix_decode(), linking.alias_df(spark))
+    return graph_ops.materialize_graph(linked)
+
+def timed(mk):
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter(); force(mk()); ts.append(time.perf_counter() - t0)
+    return min(ts)
+
+t_score = timed(prefix_score)
+t_decode = timed(prefix_decode)
+t_graph = timed(prefix_graph)
+n_docs = big.count()
+spark.stop()
+print(json.dumps({{
+    "n_exec": n_exec, "n_docs": n_docs,
+    "narrow": min(t_narrow),
+    "score_cum": t_score, "decode_cum": t_decode, "graph_cum": t_graph,
+}}))
+"""
+
+
+def run_level(n_exec: int, sf_dir: str, replicate: int, reps: int) -> dict:
+    code = _JOB.format(
+        repo=str(REPO), n_exec=n_exec, cores_per_exec=CORES_PER_EXEC,
+        exec_mem=EXEC_MEM_MB, sf_dir=sf_dir, replicate=replicate, reps=reps,
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=1, help="low executor count (high = 4n)")
+    ap.add_argument("--replicate", type=int, default=32)
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+
+    lo = run_level(args.n, args.sf_dir, args.replicate, args.reps)
+    hi = run_level(args.n * 4, args.sf_dir, args.replicate, args.reps)
+
+    def stages(r: dict) -> dict:
+        return {
+            "narrow (ingest+tokenize+gazetteer mentions)": r["narrow"],
+            "pairs + lexical scoring": r["score_cum"],
+            "decode (threshold + top-k payload agg)": r["decode_cum"] - r["score_cum"],
+            "linking + salted graph agg": r["graph_cum"] - r["decode_cum"],
+            "end-to-end (cached dm)": r["graph_cum"],
+        }
+
+    s_lo, s_hi = stages(lo), stages(hi)
+    rows = []
+    for name in s_lo:
+        t_n, t_4n = s_lo[name], s_hi[name]
+        eff = (t_n / t_4n) / 4.0 if t_4n > 0 else float("nan")
+        rows.append({"stage": name, "t_n_sec": round(t_n, 2),
+                     "t_4n_sec": round(t_4n, 2), "efficiency": round(eff, 3)})
+        print(json.dumps(rows[-1]))
+
+    bench_md = REPO / "BENCH" / "BASELINE.md"
+    with bench_md.open("a") as f:
+        f.write(
+            f"\n### Per-stage scaling, {args.n} vs {args.n * 4} executors "
+            f"(x{CORES_PER_EXEC} cores), {lo['n_docs']} docs, min of "
+            f"{args.reps} reps (tools/bench_stages.py)\n\n"
+            "| stage | T_N s | T_4N s | efficiency |\n|---|---|---|---|\n"
+        )
+        for r in rows:
+            f.write(f"| {r['stage']} | {r['t_n_sec']} | {r['t_4n_sec']} | "
+                    f"{r['efficiency']} |\n")
+
+
+if __name__ == "__main__":
+    main()
