@@ -12,9 +12,11 @@ not have that artifact).
 The measured job: the flagship extraction+linking pipeline
 (documents -> fused mentions/pairs -> scored -> triples -> linked ->
 salted graph), fully materialized. Per level: one warmup run (JIT +
-token-cache build; a production cluster is long-running), then the
-timed run. Input: the sf corpus replicated REPLICATE x with offset doc
-ids (deterministic; no external data).
+token-cache build; a production cluster is long-running), then REPS
+timed runs with the MINIMUM reported (the shared box has +-20-25%
+run-to-run noise; min isolates each level's achievable time). Input:
+the sf corpus replicated REPLICATE x with offset doc ids
+(deterministic; no external data).
 
 Prints one JSON line and appends a row to BENCH/BASELINE.md:
   efficiency = (T_N / T_4N) / 4      (1.0 = perfect linear scaling)
@@ -36,8 +38,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # hardware-capped at ~0.79 (3.17x) before Spark runs a single task.
 REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "64"))
 N_EXEC_LO = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
+REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
 CORES_PER_EXEC = 4
-EXEC_MEM_MB = 8192
+# 12 GiB per executor (same at BOTH levels, so memory-per-core is
+# equal and the comparison fair): at 8 GiB the 320k-doc cached mention
+# relation was marginal against the single executor's storage
+# fraction, making T_N vary with eviction luck run to run.
+EXEC_MEM_MB = 12288
 
 _JOB = r"""
 import sys, time, json
@@ -101,12 +108,21 @@ def job():
     graph_ops.materialize_graph(linked).write.format("noop").mode("overwrite").save()
 
 job()  # warmup: JIT + cache build
-t0 = time.perf_counter()
-job()
-elapsed = time.perf_counter() - t0
+# min of {reps} timed runs: the box has +-20-25% run-to-run noise
+# (page-cache drift, thermal/turbo sag under sustained load); min
+# isolates each level's achievable time, which is what the efficiency
+# ratio is about. Single-run ratios measured 0.53-1.005 on identical
+# code; min-of-2 in one session reproduces within a few percent.
+times = []
+for _ in range({reps}):
+    t0 = time.perf_counter()
+    job()
+    times.append(time.perf_counter() - t0)
+elapsed = min(times)
 n_docs = big.count()
 spark.stop()
-print(json.dumps({{"n_exec": n_exec, "sec": elapsed, "n_docs": n_docs}}))
+print(json.dumps({{"n_exec": n_exec, "sec": elapsed, "n_docs": n_docs,
+                   "all_runs": [round(t, 3) for t in times]}}))
 """
 
 
@@ -114,6 +130,7 @@ def run_level(n_exec: int) -> dict:
     code = _JOB.format(
         repo=str(REPO), n_exec=n_exec, cores_per_exec=CORES_PER_EXEC,
         exec_mem=EXEC_MEM_MB, sf_dir=SF_DIR, replicate=REPLICATE,
+        reps=REPS,
     )
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, check=True

@@ -121,3 +121,67 @@ def test_fused_equals_union_find_pipeline(spark):
         for r in cluster_ments_fused(dm).collect()
     }
     assert got == expected and len(got) == len(rows)
+
+
+def test_fused_matches_python_union_find_on_random_layouts(spark):
+    """Randomized (seeded) layouts vs an independent pure-Python
+    union-find + ordering oracle: validates the run-break equivalence
+    argument (components of the |Δstart|<=d graph on a line are
+    gap-broken runs) over layouts with duplicate texts, singletons,
+    dense chains, and empty docs."""
+    import random
+
+    from glirel_spark.operators.coref import COREF_MAX_DIST, cluster_ments_fused
+
+    rng = random.Random(20260816)
+    texts = ["spark", "merge join", "hash", "scan", "spark sql"]
+    docs, expected = [], {}
+    for d in range(60):
+        k = rng.randint(0, 12)
+        starts = sorted(rng.sample(range(0, 80), k))
+        ments = []
+        for i, s in enumerate(starts):
+            t = rng.choice(texts)
+            ments.append((i, s, s + len(t.split()) - 1, "T", t))
+        docs.append((f"d{d}", [list(m) for m in ments]))
+
+        # pure-python union-find oracle
+        parent = {m[0]: m[0] for m in ments}
+
+        def find(u):
+            while parent[u] != u:
+                parent[u] = parent[parent[u]]
+                u = parent[u]
+            return u
+
+        for a in ments:
+            for b in ments:
+                if (
+                    a[0] < b[0]
+                    and a[4] == b[4]
+                    and abs(a[1] - b[1]) <= COREF_MAX_DIST
+                ):
+                    ra, rb = find(a[0]), find(b[0])
+                    if ra != rb:
+                        lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                        parent[hi] = lo
+        comps = {}
+        for m in ments:
+            comps.setdefault(find(m[0]), []).append(m)
+        ranked = sorted(
+            comps.items(), key=lambda kv: (min(x[1] for x in kv[1]), kv[0])
+        )
+        for ci, (_, members) in enumerate(ranked):
+            for m in members:
+                expected[(f"d{d}", m[0])] = ci
+
+    dm = spark.createDataFrame(
+        docs,
+        "doc_id string, _ments array<struct<m_id:int,start:int,end:int,"
+        "type:string,text:string>>",
+    )
+    got = {
+        (r.doc_id, r.m_id): r.cluster_idx
+        for r in cluster_ments_fused(dm).collect()
+    }
+    assert got == expected
