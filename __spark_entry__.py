@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": pipeline.doc_quality,
         "token_counts": pipeline.token_counts,
         "lang_id": pipeline.lang_id,
+        # deterministic hash-based stratified downsampling per language
+        "corpus_sample": pipeline.corpus_sample,
         # similarity search
         "ann_topk": pipeline.ann_topk,
         "ann_topk_ivf": pipeline.ann_topk_ivf,
@@ -129,6 +131,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": oc.q_doc_quality(),
         "token_counts": oc.q_token_counts(),
         "lang_id": oc.q_lang_id(),
+        "corpus_sample": oc.q_corpus_sample(),
         "ann_topk": oc.q_ann_topk(),
         "ann_topk_ivf": oc.q_ann_topk_ivf(),
         "embedding_neardups": oc.q_embedding_neardups(),

@@ -87,6 +87,61 @@ def _bigram_count(text, bg: str):
     ).cast("long")
 
 
+# --- deterministic stratified sampling ---------------------------------------
+# The standard training-data pipeline op after dedup/quality/lang-id:
+# downsample over-represented strata (languages, sources) with a
+# DETERMINISTIC keep decision — a pure function of (doc_id, stratum) —
+# so reruns, resumed checkpoints, and the DuckDB oracle all select the
+# same rows. At 100 TB this is a scan + filter: no shuffle, no state,
+# no RNG (Bernoulli sampling with rand() is neither reproducible across
+# retries nor oracle-checkable).
+
+SAMPLE_RATES_BPS: dict[str, int] = {
+    "en": 5000,   # basis points of 10_000: keep ~50% of English
+    "de": 2500,
+    "fr": 2500,
+    "es": 1000,
+}
+SAMPLE_DEFAULT_BPS = 500
+_SAMPLE_SALT = "sample:v1:"
+
+
+def _sample_hash(doc_id, lang):
+    """Polynomial char hash of 'sample:v1:<doc_id>:<lang>' mod HASH_P —
+    the same arithmetic family as corpus_dedup token ids, replayed
+    exactly by the oracle (oracle_corpus.q_corpus_sample)."""
+    key = F.concat(F.lit(_SAMPLE_SALT), F.col(doc_id).cast("string"),
+                   F.lit(":"), F.col(lang))
+    return F.aggregate(
+        F.split(key, ""),
+        F.lit(0).cast("long"),
+        lambda a, c: (a * config.SHINGLE_BASE + F.ascii(c)) % config.HASH_P,
+    )
+
+
+def stratified_sample(docs: DataFrame,
+                      rates_bps: dict[str, int] | None = None,
+                      default_bps: int = SAMPLE_DEFAULT_BPS) -> DataFrame:
+    """(doc_id, lang, bucket, rate_bps) for the KEPT rows: keep a doc iff
+    hash(doc_id, lang) % 10000 < rate_bps[lang]. Per-stratum rates are a
+    broadcast-free CASE expression (the rate table is a literal map)."""
+    if rates_bps is None:
+        rates_bps = SAMPLE_RATES_BPS
+    rate = F.lit(default_bps)
+    for lg, bps in sorted(rates_bps.items()):
+        rate = F.when(F.col("lang") == lg, F.lit(bps)).otherwise(rate)
+    bucket = (_sample_hash("doc_id", "lang") % F.lit(10_000)).cast("int")
+    return (
+        docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            "lang",
+            bucket.alias("bucket"),
+            rate.cast("int").alias("rate_bps"),
+        )
+        .filter(F.col("bucket") < F.col("rate_bps"))
+    )
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """(doc_id, lang_pred, lang_score): argmax over per-language weighted
     bigram counts, normalized by the document bigram count. Ties go to

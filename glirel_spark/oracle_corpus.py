@@ -295,6 +295,34 @@ SELECT doc_id,
 FROM g"""
 
 
+def q_corpus_sample() -> str:
+    """Mirror of textstats.stratified_sample: polynomial char hash of
+    'sample:v1:<doc_id>:<lang>' mod HASH_P, bucket = hash % 10000, keep
+    iff bucket < per-language rate (basis points)."""
+    from glirel_spark.operators.textstats import (
+        SAMPLE_DEFAULT_BPS,
+        SAMPLE_RATES_BPS,
+        _SAMPLE_SALT,
+    )
+
+    whens = " ".join(
+        f"WHEN '{lg}' THEN {bps}" for lg, bps in sorted(SAMPLE_RATES_BPS.items())
+    )
+    return f"""
+WITH h AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang,
+         CAST(list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(
+               string_split('{_SAMPLE_SALT}' || CAST(doc_id AS VARCHAR) || ':' || lang, ''),
+               ch -> CAST(ascii(ch) AS BIGINT))),
+           (a, b) -> (a * {c.SHINGLE_BASE} + b) % {c.HASH_P}) % 10000 AS INT) AS bucket,
+         CAST(CASE lang {whens} ELSE {SAMPLE_DEFAULT_BPS} END AS INT) AS rate_bps
+  FROM documents
+)
+SELECT doc_id, lang, bucket, rate_bps FROM h WHERE bucket < rate_bps"""
+
+
 def q_token_counts() -> str:
     return """
 SELECT CAST(doc_id AS VARCHAR) AS doc_id,

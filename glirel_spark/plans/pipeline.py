@@ -280,6 +280,12 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_id(_flat_docs(spark, sf_dir))
 
 
+def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import textstats
+
+    return textstats.stratified_sample(_flat_docs(spark, sf_dir))
+
+
 def ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import similarity
 

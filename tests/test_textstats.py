@@ -1,0 +1,52 @@
+"""Stratified sampling: deterministic keep decision (pure function of
+(doc_id, lang)), per-stratum rates, python-replicated hash golden."""
+
+from __future__ import annotations
+
+from glirel_spark import config
+from glirel_spark.operators.textstats import (
+    _SAMPLE_SALT,
+    SAMPLE_RATES_BPS,
+    stratified_sample,
+)
+
+
+def _phash(s: str) -> int:
+    a = 0
+    for ch in s:
+        a = (a * config.SHINGLE_BASE + ord(ch)) % config.HASH_P
+    return a
+
+
+def _expected(doc_id: str, lang: str, default_bps: int = 500):
+    bucket = _phash(f"{_SAMPLE_SALT}{doc_id}:{lang}") % 10_000
+    rate = SAMPLE_RATES_BPS.get(lang, default_bps)
+    return bucket, rate, bucket < rate
+
+
+def test_stratified_sample_matches_python_hash_and_is_deterministic(spark):
+    rows = [(i, f"t{i}", lang) for i, lang in enumerate(
+        ["en", "de", "fr", "es", "zh"] * 40
+    )]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        r.doc_id: (r.bucket, r.rate_bps)
+        for r in stratified_sample(docs).collect()
+    }
+    # keep set == python replay, buckets/rates exact
+    for i, _, lang in rows:
+        bucket, rate, keep = _expected(str(i), lang)
+        if keep:
+            assert got[str(i)] == (bucket, rate), (i, lang)
+        else:
+            assert str(i) not in got
+    # rerun -> identical rows (pure function, no RNG)
+    again = {
+        r.doc_id: (r.bucket, r.rate_bps)
+        for r in stratified_sample(docs).collect()
+    }
+    assert again == got
+    # en keeps more than zh (5000 vs default 500 bps) on this corpus
+    en = sum(1 for i, _, lg in rows if lg == "en" and str(i) in got)
+    zh = sum(1 for i, _, lg in rows if lg == "zh" and str(i) in got)
+    assert en > zh

@@ -33,7 +33,9 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 CORES_PER_EXEC = 4
-EXEC_MEM_MB = 8192
+# 12 GiB per executor at both levels (matches bench_scaling.py's final
+# protocol): keeps the cached mention relation resident at 1 executor.
+EXEC_MEM_MB = 12288
 
 _JOB = r"""
 import sys, time, json
