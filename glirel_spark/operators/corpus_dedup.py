@@ -117,11 +117,15 @@ def with_shingle_array(docs_tokens: DataFrame, col_name: str = "_sh") -> DataFra
     return out.withColumn(col_name, materialized(sh)).drop("_th")
 
 
-def minhash_signature_arr(docs_tokens: DataFrame) -> DataFrame:
+def minhash_signature_arr(
+    docs_tokens: DataFrame, shingled: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, mh0..mh{K-1}) with NO shuffle: array_min over affine
-    permutations of the per-row shingle array."""
+    permutations of the per-row shingle array. Pass ``shingled`` (a
+    with_shingle_array frame, possibly cached) to share the shingle
+    pass with the jaccard-verify subtree."""
     p = config.HASH_P
-    df = with_shingle_array(docs_tokens)
+    df = shingled if shingled is not None else with_shingle_array(docs_tokens)
 
     def perm(a: int, b: int):
         return lambda s: (s * a + b) % p
@@ -134,21 +138,32 @@ def minhash_signature_arr(docs_tokens: DataFrame) -> DataFrame:
     return df.select(*cols)
 
 
-def shingles_arr(docs_tokens: DataFrame) -> DataFrame:
+def shingles_arr(
+    docs_tokens: DataFrame, shingled: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, sh) exploded from the array form (for jaccard verify)."""
-    return with_shingle_array(docs_tokens).select(
-        "doc_id", F.explode("_sh").alias("sh")
-    )
+    df = shingled if shingled is not None else with_shingle_array(docs_tokens)
+    return df.select("doc_id", F.explode("_sh").alias("sh"))
 
 
 def minhash_neardups_arr(
-    docs_tokens: DataFrame, threshold: float = config.NEARDUP_JACCARD
+    docs_tokens: DataFrame,
+    threshold: float = config.NEARDUP_JACCARD,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Join-free pipeline: signatures (map-only) -> band join -> exact
-    jaccard verify on candidates only."""
-    sig = minhash_signature_arr(docs_tokens)
+    jaccard verify on candidates only.
+
+    The signature subtree and the verify subtree both consume the
+    per-row shingle arrays; pass a cached ``shingled`` frame so the
+    char-hash + shingle pass runs once, not twice (at scale: write the
+    shingled corpus as a table — the same stage boundary as the
+    mention-annotated corpus)."""
+    if shingled is None:
+        shingled = with_shingle_array(docs_tokens)
+    sig = minhash_signature_arr(docs_tokens, shingled=shingled)
     cands = candidate_pairs(lsh_bands(sig))
-    return jaccard_verify(cands, shingles_arr(docs_tokens)).filter(
+    return jaccard_verify(cands, shingles_arr(docs_tokens, shingled=shingled)).filter(
         F.col("jaccard") >= threshold
     )
 
@@ -317,6 +332,7 @@ def neardup_clusters(
     neardups: DataFrame | None = None,
     threshold: float = config.NEARDUP_JACCARD,
     max_iter: int = 20,
+    shingled: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate FAMILY resolution: connected components over the
     verified MinHash near-dup pairs, canonical doc = min doc_id per
@@ -335,7 +351,7 @@ def neardup_clusters(
     / GraphFrames connected components.
     """
     if neardups is None:
-        neardups = minhash_neardups_arr(docs_tokens, threshold)
+        neardups = minhash_neardups_arr(docs_tokens, threshold, shingled=shingled)
     e = neardups.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
     sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     labels = (

@@ -220,16 +220,32 @@ def _flat_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables.TableIO(spark, sf_dir).table("documents")
 
 
+def docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, tokens, _sh) — the char-hash + shingle pass, MATERIALIZED
+    (cached, plan-keyed like docs_ments). The minhash signature subtree,
+    the jaccard-verify subtree, and the dedup-family query all consume
+    it; one cache entry replaces two-or-more recomputations of the most
+    expensive narrow stage in the dedup family. On a cluster this is
+    "write the shingled corpus as a table"."""
+    from glirel_spark.operators import corpus_dedup as cd
+
+    return cd.with_shingle_array(docs_tokens(spark, sf_dir)).cache()
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import corpus_dedup as cd
 
-    return cd.minhash_signature_arr(docs_tokens(spark, sf_dir))
+    return cd.minhash_signature_arr(
+        docs_tokens(spark, sf_dir), shingled=docs_shingled(spark, sf_dir)
+    )
 
 
 def minhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import corpus_dedup as cd
 
-    return cd.minhash_neardups_arr(docs_tokens(spark, sf_dir))
+    return cd.minhash_neardups_arr(
+        docs_tokens(spark, sf_dir), shingled=docs_shingled(spark, sf_dir)
+    )
 
 
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,7 +263,9 @@ def simhash_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import corpus_dedup as cd
 
-    return cd.neardup_clusters(docs_tokens(spark, sf_dir))
+    return cd.neardup_clusters(
+        docs_tokens(spark, sf_dir), shingled=docs_shingled(spark, sf_dir)
+    )
 
 
 def fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
