@@ -124,6 +124,10 @@ def main() -> int:
     root = Path(__file__).resolve().parent.parent / "goldens"
     for name, sf_dir in SF_DIRS.items():
         out = expected_triples_neural(sf_dir)
+        # byte-stable emission order (DuckDB parallel fetch order varies
+        # run to run; values are identical — the driver compare sorts —
+        # but a canonical order keeps the committed parquet diff-free)
+        out = out.sort_values(list(out.columns)).reset_index(drop=True)
         dest = root / name
         dest.mkdir(parents=True, exist_ok=True)
         out.to_parquet(dest / "triples_neural.parquet", index=False)
