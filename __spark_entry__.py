@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_search": pipeline.threshold_search,
         # linking + graph materialization
         "linked_triples": pipeline.linked_triples,
+        # blocked MinHash-LSH fuzzy alias candidates (north_star linking)
+        "link_candidates": pipeline.link_candidates,
         "graph": pipeline.graph,
         # corpus dedup (training-data pipeline)
         "minhash_signatures": pipeline.minhash_signatures,
@@ -119,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "eval_metrics": oracle.q_eval_metrics(),
         "threshold_search": oracle.q_threshold_search(),
         "linked_triples": oracle.q_linked_triples(),
+        "link_candidates": oc.q_link_candidates(),
         "graph": oracle.q_graph(),
         "minhash_signatures": oc.q_minhash_signatures(),
         "minhash_neardups": oc.q_minhash_neardups(),

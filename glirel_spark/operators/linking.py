@@ -50,3 +50,92 @@ def link_triples(triples: DataFrame, aliases: DataFrame) -> DataFrame:
         "doc_id", "subj", F.col("label").alias("pred"), "obj", "prob",
         "head_start", "head_end", "tail_start", "tail_end",
     )
+
+
+# --- fuzzy candidate generation (north_star: blocked MinHash-LSH) -----------
+
+def _as_char_docs(strings: DataFrame, col: str) -> DataFrame:
+    """(doc_id=string, tokens=characters): a string relation in the shape
+    the dedup LSH machinery consumes. With single-character tokens the
+    per-token polynomial hash reduces to ascii(c), so the char-3-gram
+    shingles/signatures reuse corpus_dedup's arithmetic verbatim —
+    one implementation, one oracle family."""
+    return strings.select(
+        F.col(col).alias("doc_id"), F.split(F.col(col), "").alias("tokens")
+    )
+
+
+def fuzzy_alias_candidates(
+    mentions: DataFrame,
+    aliases: DataFrame,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Blocked MinHash-LSH candidate generation for entity linking
+    (north_star; reference seed: data_proc.py:43-52 sliding-window
+    alias match, which is exact — this is its at-scale fuzzy form).
+
+    Output: (surface, alias, canonical_id, inter, un, jaccard) for
+    surface/alias pairs whose char-3-gram Jaccard >= threshold (default
+    0.3 — the closed sandbox vocabulary's only fuzzy family, token-
+    prefix containment like 'table'/'table scan', sits at 0.375),
+    surface != alias (exact matches are the broadcast path in
+    `canonicalize`; this op exists for typos/inflections).
+
+    Scale shape — the part that matters at a 10^8-alias dictionary:
+    - LSH runs over DISTINCT lowered surfaces (Heaps-bounded, tiny vs
+      the mention table); mentions re-join by surface afterwards.
+    - both sides get band keys from their own signature arrays (pure
+      map work); candidates come from a band-key EQUI-join — never a
+      cartesian product, never a broadcast of the dictionary.
+    - exact Jaccard verifies candidates only (shingle equi-join).
+    Surfaces shorter than SHINGLE_K chars produce no shingles and fall
+    through to the exact-match path only (documented contract).
+    """
+    from glirel_spark.operators import corpus_dedup as cd
+
+    surf = mentions.select(F.lower(F.col("text")).alias("s")).distinct()
+    alias_norm = aliases.select(
+        F.lower(F.col("alias")).alias("s"),
+        F.col("canonical_id"),
+    ).distinct()
+
+    s_docs = cd.with_shingle_array(_as_char_docs(surf, "s"))
+    a_docs = cd.with_shingle_array(_as_char_docs(alias_norm.select("s"), "s"))
+
+    s_bands = cd.lsh_bands(cd.minhash_signature_arr(None, shingled=s_docs))
+    a_bands = cd.lsh_bands(cd.minhash_signature_arr(None, shingled=a_docs))
+    cands = (
+        s_bands.toDF("surface", "band", "band_key")
+        .join(a_bands.toDF("alias", "band", "band_key"), ["band", "band_key"])
+        .filter(F.col("surface") != F.col("alias"))
+        .select("surface", "alias")
+        .distinct()
+    )
+
+    # exact char-shingle Jaccard on candidates only (bipartite verify)
+    s_sh = s_docs.select(F.col("doc_id").alias("surface"), F.explode("_sh").alias("sh"))
+    a_sh = a_docs.select(F.col("doc_id").alias("alias"), F.explode("_sh").alias("sh"))
+    s_n = s_sh.groupBy("surface").agg(F.count("*").alias("n1"))
+    a_n = a_sh.groupBy("alias").agg(F.count("*").alias("n2"))
+    inter = (
+        cands.join(s_sh, "surface")
+        .join(a_sh, ["alias", "sh"])
+        .groupBy("surface", "alias")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        cands.join(inter, ["surface", "alias"], "left")
+        .join(s_n, "surface")
+        .join(a_n, "alias")
+        .select(
+            "surface", "alias",
+            F.coalesce("inter", F.lit(0)).cast("long").alias("inter"),
+            (F.col("n1") + F.col("n2") - F.coalesce("inter", F.lit(0)))
+            .cast("long").alias("un"),
+        )
+        .withColumn("jaccard", F.col("inter").cast("double") / F.col("un"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.join(
+        alias_norm.withColumnRenamed("s", "alias"), "alias"
+    ).select("surface", "alias", "canonical_id", "inter", "un", "jaccard")

@@ -493,3 +493,78 @@ SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
        CAST(min(ts) AS TIMESTAMP) AS sess_start,
        CAST(max(ts) AS TIMESTAMP) AS sess_end
 FROM sess GROUP BY user_id, sess_id"""
+
+
+def q_link_candidates(threshold: float = 0.3) -> str:
+    """Mirror of linking.fuzzy_alias_candidates: char-3-gram MinHash-LSH
+    candidates between distinct mention surfaces and the alias
+    dictionary, exact-Jaccard-verified. Single-char token hash = ascii,
+    so the shingle/signature/band arithmetic is the corpus_dedup family
+    applied to character streams."""
+    from glirel_spark.oracle import CTE_MENTIONS, CTE_TOKENS
+
+    p, b = c.HASH_P, c.SHINGLE_BASE
+    alias_vals = ", ".join(
+        f"('{a}', '{cid}')" for a, cid in sorted(c.ALIAS_DICT.items())
+    )
+    sig_cols = _sig_cols()
+    r = c.MINHASH_K // c.MINHASH_BANDS
+    band_parts = []
+    for band in range(c.MINHASH_BANDS):
+        key = "CAST(0 AS BIGINT)"
+        for j in range(r):
+            key = f"(({key}) * {b} + mh{band * r + j}) % {p}"
+        band_parts.append(f"SELECT s, {band} AS band, {key} AS band_key FROM csig")
+    cbands = "\n  UNION ALL ".join(band_parts)
+
+    return f"""
+WITH {CTE_TOKENS.strip().rstrip(',')},
+{CTE_MENTIONS.strip().rstrip(',')},
+surfs AS (SELECT DISTINCT lower(text) AS s FROM mentions),
+adict(alias, canonical_id) AS (VALUES {alias_vals}),
+anorm AS (SELECT DISTINCT lower(alias) AS s, canonical_id FROM adict),
+sstr AS (SELECT s FROM surfs UNION SELECT s FROM anorm),
+cshing AS (
+  SELECT DISTINCT s,
+         (((CAST(ascii(substring(s, CAST(i + 1 AS INT), 1)) AS BIGINT) % {p}) * {b}
+            + CAST(ascii(substring(s, CAST(i + 2 AS INT), 1)) AS BIGINT)) % {p} * {b}
+            + CAST(ascii(substring(s, CAST(i + 3 AS INT), 1)) AS BIGINT)) % {p} AS sh
+  FROM (SELECT s, unnest(range(greatest(length(s) - 2, 0))) AS i FROM sstr)
+),
+csig AS (
+  SELECT s,
+         {sig_cols}
+  FROM cshing GROUP BY s
+),
+cbands AS (
+  {cbands}
+),
+cands AS (
+  SELECT DISTINCT sb.s AS surface, ab.s AS alias
+  FROM cbands sb
+  JOIN cbands ab ON sb.band = ab.band AND sb.band_key = ab.band_key
+  JOIN surfs ON surfs.s = sb.s
+  JOIN (SELECT DISTINCT s FROM anorm) an ON an.s = ab.s
+  WHERE sb.s <> ab.s
+),
+sizes AS (SELECT s, CAST(count(*) AS BIGINT) AS n FROM cshing GROUP BY s),
+inters AS (
+  SELECT cd2.surface, cd2.alias, CAST(count(*) AS BIGINT) AS inter
+  FROM cands cd2
+  JOIN cshing s1 ON s1.s = cd2.surface
+  JOIN cshing s2 ON s2.s = cd2.alias AND s2.sh = s1.sh
+  GROUP BY cd2.surface, cd2.alias
+),
+ver AS (
+  SELECT c3.surface, c3.alias,
+         CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+         CAST(z1.n + z2.n - coalesce(i.inter, 0) AS BIGINT) AS un
+  FROM cands c3
+  LEFT JOIN inters i ON i.surface = c3.surface AND i.alias = c3.alias
+  JOIN sizes z1 ON z1.s = c3.surface
+  JOIN sizes z2 ON z2.s = c3.alias
+)
+SELECT v.surface, v.alias, a2.canonical_id, v.inter, v.un,
+       CAST(v.inter AS DOUBLE) / v.un AS jaccard
+FROM ver v JOIN anorm a2 ON a2.s = v.alias
+WHERE CAST(v.inter AS DOUBLE) / v.un >= {threshold}"""

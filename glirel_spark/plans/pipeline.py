@@ -194,6 +194,14 @@ def linked_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "subj", "pred", "obj", "prob")
 
 
+def link_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import linking
+
+    return linking.fuzzy_alias_candidates(
+        mentions(spark, sf_dir), linking.alias_df(spark)
+    )
+
+
 def graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import graph as graph_ops
     from glirel_spark.operators import linking
