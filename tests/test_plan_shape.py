@@ -17,13 +17,13 @@ def test_flagship_triples_plan_is_window_free_single_shuffle(spark):
 
     plan = _plan(pipeline.triples(spark, SF))
     assert "Window" not in plan  # decode is an aggregation, not a window
-    # shuffle exchanges: the decode argmax, plus the one-time ingest
-    # repartition inside the cached corpus subtree. Anything beyond
-    # these means an enrich join / re-shuffle crept back in.
-    n_shuffles = plan.count("Exchange hashpartitioning") + plan.count(
-        "Exchange RoundRobinPartitioning"
-    )
-    assert n_shuffles <= 2, f"flagship plan grew shuffles:\n{plan}"
+    # exactly ONE hash-partitioned shuffle: the decode argmax. Any
+    # enrich join or re-shuffle creeping back in would add more.
+    # (The ingest repartition is RoundRobin inside the cached subtree
+    # and is excluded — AQE's toString prints finalized cached plans
+    # twice, which makes counting it order-dependent across tests.)
+    n_shuffles = plan.count("Exchange hashpartitioning")
+    assert n_shuffles <= 1, f"flagship plan grew shuffles:\n{plan}"
 
 
 def test_top_orders_plan_has_no_global_window(spark):
