@@ -91,6 +91,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search
         "ann_topk": pipeline.ann_topk,
         "ann_topk_ivf": pipeline.ann_topk_ivf,
+        # trained coarse quantizer (sample-fit k-means) + multi-probe —
+        # the genuine 10^12-row IVF shape (operators/kmeans.py)
+        "ann_topk_kmeans": pipeline.ann_topk_kmeans,
         "embedding_neardups": pipeline.embedding_neardups,
         # multimodal plumbing
         "media_features": pipeline.media_features,
@@ -137,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_sample": oc.q_corpus_sample(),
         "ann_topk": oc.q_ann_topk(),
         "ann_topk_ivf": oc.q_ann_topk_ivf(),
+        "ann_topk_kmeans": oc.q_ann_topk_kmeans(),
         "embedding_neardups": oc.q_embedding_neardups(),
         "media_features": oc.q_media_features(),
         "events_windowed": oc.q_events_windowed(),

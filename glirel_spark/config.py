@@ -156,6 +156,11 @@ FINGERPRINT_BASE = 1_000_003  # rolling-hash base for document fingerprint
 ANN_TOP_K = 5
 ANN_N_QUERIES = 10  # brute-force query set = first N vec_ids
 IVF_N_CELLS = 16  # coarse cells for the IVF-style scale path
+# trained IVF (sample-fit spherical k-means, operators/kmeans.py)
+IVF_KM_CELLS = 8  # coarse centroids (FAISS-style trained quantizer)
+IVF_KM_SAMPLE = 512  # driver-side fit sample cap
+IVF_KM_ITERS = 8  # Lloyd iterations
+IVF_KM_NPROBE = 2  # query-side multi-probe width
 
 # --------------------------------------------------------------------------
 # Multimodal (synthetic deterministic media bytes; decode itself is stubbed)

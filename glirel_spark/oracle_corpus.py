@@ -409,6 +409,60 @@ SELECT q_id, n_id, cosine, rk FROM ranked WHERE rk <= {c.ANN_TOP_K}"""
     )
 
 
+def q_ann_topk_kmeans() -> str:
+    """Trained-IVF (k-means) ANN oracle. The coarse quantizer fit is
+    driver-side and deterministic (operators/kmeans.fit_centroids), so
+    both engines share the SAME centroid doubles (repr round-trip);
+    DuckDB then independently recomputes cell assignment, multi-probe
+    selection, the candidate join, and the cosine rank. The centroids
+    depend on which sf's embeddings are registered, so the query
+    dispatches on the documents-corpus signature like q_triples_neural.
+    """
+    from glirel_spark.operators import kmeans
+    from glirel_spark.oracle import _GOLDEN_SIGS
+
+    dot_c = _DOT.format(a="e.embedding", b="c.cvec")
+    dot_q = _DOT.format(a="q.q_emb", b="e.embedding")
+    ctes = [CTE_EMBN.strip().rstrip(",")]
+    arms = []
+    for i, (sf, sig) in enumerate(_GOLDEN_SIGS.items()):
+        cents = kmeans.fit_centroids(f"/root/testdata/{sf}")
+        rows = ",\n    ".join(
+            f"({j}, [{', '.join(repr(v) for v in c)}])"
+            for j, c in enumerate(cents)
+        )
+        ctes.append(
+            f"""cents_{i}(cell, cvec) AS (VALUES
+    {rows}),
+probes_{i} AS (
+  SELECT e.vec_id, e.embedding, e.nrm, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {dot_c} DESC, c.cell ASC) AS pr
+  FROM embn e CROSS JOIN cents_{i} c
+),
+assign_{i} AS (SELECT vec_id, embedding, nrm, cell FROM probes_{i} WHERE pr = 1),
+q_{i} AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, cell
+  FROM probes_{i} WHERE vec_id < {c.ANN_N_QUERIES} AND pr <= {c.IVF_KM_NPROBE}
+),
+ranked_{i} AS (
+  SELECT q.q_id, e.vec_id AS n_id,
+         {dot_q} / (q.q_nrm * e.nrm) AS cosine,
+         CAST(row_number() OVER (PARTITION BY q.q_id
+              ORDER BY {dot_q} / (q.q_nrm * e.nrm) DESC, e.vec_id ASC) AS INT) AS rk
+  FROM assign_{i} e JOIN q_{i} q ON e.cell = q.cell AND e.vec_id <> q.q_id
+)"""
+        )
+        arms.append(
+            f"SELECT q_id, n_id, cosine, rk FROM ranked_{i}\n"
+            f"WHERE rk <= {c.ANN_TOP_K} AND (SELECT s FROM sig) = {sig}"
+        )
+    sig_cte = "sig AS (SELECT sum(length(text)) AS s FROM documents)"
+    return (
+        "WITH " + ",\n".join([sig_cte] + ctes) + "\n" + "\nUNION ALL\n".join(arms)
+    )
+
+
 def q_embedding_neardups(min_cosine: float = 0.98) -> str:
     dot = _DOT.format(a="a.embedding", b="b.embedding")
     return (

@@ -326,6 +326,14 @@ def ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb)
 
 
+def ann_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import kmeans
+
+    emb = tables.TableIO(spark, sf_dir).table("embeddings")
+    cents = kmeans.fit_centroids(sf_dir)
+    return kmeans.kmeans_ivf_topk(emb, cents)
+
+
 def embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import similarity
 

@@ -1,0 +1,77 @@
+"""Trained-IVF ANN (sample-fit spherical k-means + multi-probe).
+
+Checks: deterministic fit, Spark cell assignment == the fit's own
+numpy argmax rule, recall floor over the sign-bit IVF, and monotone
+multi-probe recall. The value-level cross-engine check lives in the
+driver oracle (oracle_corpus.q_ann_topk_kmeans).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from glirel_spark.operators import kmeans, similarity
+from glirel_spark.sources import tables
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_fit_deterministic():
+    a = kmeans.fit_centroids(SF)
+    kmeans.fit_centroids.cache_clear()
+    b = kmeans.fit_centroids(SF)
+    assert a == b  # bit-identical across processes/imports
+    assert len(a) > 0 and len(a[0]) == 64
+    for c in a:  # unit-norm centroids (spherical k-means)
+        assert abs(sum(v * v for v in c) - 1.0) < 1e-9
+
+
+def test_assignment_matches_numpy_argmax(spark):
+    import pyarrow.parquet as pq
+
+    cents = kmeans.fit_centroids(SF)
+    cm = np.asarray(cents, dtype=np.float64)
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = np.asarray(t.column("embedding").to_pylist(), dtype=np.float64)
+    vec_ids = np.asarray(t.column("vec_id"))
+    scores = np.einsum("nd,kd->nk", emb, cm, optimize=False)
+    expect = dict(zip(vec_ids.tolist(), np.argmax(scores, axis=1).tolist()))
+
+    df = tables.TableIO(spark, SF).table("embeddings")
+    got = dict(
+        df.select(
+            "vec_id",
+            kmeans.assign_cell_expr(F.col("embedding"), cents).alias("cell"),
+        ).collect()
+    )
+    # numpy einsum and Spark's left-fold dot may round differently only
+    # if summation orders differed — they don't (both accumulate in
+    # index order), so the argmax must agree exactly.
+    assert got == expect
+
+
+def test_recall_beats_signbit_and_multiprobe_monotone(spark):
+    emb = tables.TableIO(spark, SF).table("embeddings")
+    cents = kmeans.fit_centroids(SF)
+    bf = {(r.q_id, r.n_id) for r in similarity.brute_force_topk(emb).collect()}
+    sign = {(r.q_id, r.n_id) for r in similarity.ivf_topk(emb).collect()}
+    rec = {}
+    for p in (1, 2, 4):
+        km = {
+            (r.q_id, r.n_id)
+            for r in kmeans.kmeans_ivf_topk(emb, cents, n_probe=p).collect()
+        }
+        rec[p] = len(bf & km) / len(bf)
+    # trained quantizer beats fixed sign-bit cells at the default probe
+    assert rec[2] > len(bf & sign) / len(bf)
+    assert rec[2] >= 0.4  # measured 0.52 at sf0.001, 0.58 at sf0.1
+    assert rec[1] <= rec[2] <= rec[4]  # multi-probe only adds candidates
+
+
+def test_no_python_udf_in_plan(spark):
+    emb = tables.TableIO(spark, SF).table("embeddings")
+    cents = kmeans.fit_centroids(SF)
+    plan = kmeans.kmeans_ivf_topk(emb, cents)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan  # query side broadcast, corpus never shuffled for the join
