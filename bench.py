@@ -32,6 +32,7 @@ BENCH_QUERIES = [
     "minhash_neardups",   # LSH dedup
     "simhash",            # simhash signatures
     "ann_topk",           # brute-force cosine top-k
+    "ann_topk_kmeans",    # trained-IVF multi-probe ANN (scale path)
     "doc_quality",        # text stats scan
     "media_features",     # multimodal mapInPandas
     "events_sessionized", # window sessionization

@@ -88,10 +88,6 @@ def fit_centroids(
     return tuple(tuple(float(v) for v in row) for row in cents)
 
 
-def _cent_lit(cent: tuple[float, ...]) -> Column:
-    return F.array(*[F.lit(float(v)) for v in cent])
-
-
 def _dot(a: Column, b: Column) -> Column:
     # identical fold shape to similarity._dot / oracle _DOT
     return F.aggregate(
@@ -101,10 +97,17 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def cell_scores(emb_col: Column, centroids) -> list[Column]:
-    """One fold-dot score per centroid (centroids are unit-norm, so
-    argmax dot == argmax cosine for a fixed vector)."""
-    return [_dot(emb_col, _cent_lit(c)) for c in centroids]
+def cell_scores(emb_col: Column, centroids) -> Column:
+    """Array of fold-dot scores, one per centroid (centroids are
+    unit-norm, so argmax dot == argmax cosine for a fixed vector).
+
+    The whole k x d centroid matrix is ONE nested-array Literal and the
+    dot appears once inside a higher-order ``transform`` — a flat list
+    of per-centroid dot expressions (k copies of a 64-element literal
+    each) made Catalyst analysis + codegen the dominant cost (~10s of
+    driver time for k=8, d=64)."""
+    cents = F.lit([[float(v) for v in c] for c in centroids])
+    return F.transform(cents, lambda cv: _dot(emb_col, cv))
 
 
 def probe_cells_expr(emb_col: Column, centroids, n_probe: int) -> Column:
@@ -114,13 +117,9 @@ def probe_cells_expr(emb_col: Column, centroids, n_probe: int) -> Column:
     (neg_score asc, cell asc) == (score desc, cell asc) — the DuckDB
     oracle's ``ORDER BY s DESC, cell ASC`` row_number picks the same
     cells."""
-    pairs = F.array(
-        *[
-            F.struct(
-                (-s).alias("neg"), F.lit(j).cast("int").alias("cell")
-            )
-            for j, s in enumerate(cell_scores(emb_col, centroids))
-        ]
+    pairs = F.transform(
+        cell_scores(emb_col, centroids),
+        lambda s, i: F.struct((-s).alias("neg"), i.cast("int").alias("cell")),
     )
     top = F.slice(F.array_sort(pairs), 1, n_probe)
     return F.transform(top, lambda p: p["cell"])
