@@ -131,6 +131,65 @@ def assign_cell_expr(emb_col: Column, centroids) -> Column:
     return F.element_at(probe_cells_expr(emb_col, centroids, 1), 1)
 
 
+def build_index(emb: DataFrame, centroids, path: str) -> None:
+    """Materialize the IVF index: corpus + norm + assigned cell, written
+    partitioned BY CELL. This is the build-once pass (one map-only scan,
+    no shuffle — partitionBy splits files locally); afterwards every
+    search touches only its probed cells' files via partition pruning,
+    which is how a 10^12-row corpus avoids re-scanning itself per query
+    batch. On a cluster this table is the Iceberg index table."""
+    from glirel_spark.operators import similarity
+
+    base = similarity.with_norm(emb).withColumn(
+        "cell", assign_cell_expr(F.col("embedding"), centroids)
+    )
+    base.write.partitionBy("cell").mode("overwrite").parquet(path)
+
+
+def search_index(
+    index: DataFrame,
+    queries: DataFrame,
+    centroids,
+    k: int = config.ANN_TOP_K,
+    n_probe: int = config.IVF_KM_NPROBE,
+) -> DataFrame:
+    """Top-k over a prebuilt cell-partitioned index.
+
+    ``queries`` is (q_id, q_emb); its probe cells join the index on the
+    PARTITION column, so with the query side broadcast Spark inserts a
+    dynamic-partition-pruning subquery on the index scan — only probed
+    cells' files are read. Ranking semantics identical to
+    ``kmeans_ivf_topk``.
+    """
+    from pyspark.sql import Window as W
+
+    from glirel_spark.operators.similarity import _norm
+
+    q = queries.select(
+        "q_id",
+        "q_emb",
+        _norm(F.col("q_emb")).alias("q_nrm"),
+        F.explode(
+            probe_cells_expr(F.col("q_emb"), centroids, n_probe)
+        ).alias("cell"),
+    )
+    pairs = index.join(F.broadcast(q), "cell").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (
+        F.col("q_nrm") * F.col("nrm")
+    )
+    scored = pairs.select(
+        "q_id", F.col("vec_id").alias("n_id"), cos.alias("cosine")
+    )
+    w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "cosine", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 def kmeans_ivf_topk(
     emb: DataFrame,
     centroids,

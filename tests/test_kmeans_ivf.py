@@ -69,6 +69,27 @@ def test_recall_beats_signbit_and_multiprobe_monotone(spark):
     assert rec[1] <= rec[2] <= rec[4]  # multi-probe only adds candidates
 
 
+def test_index_search_equals_direct_and_prunes(spark, tmp_path):
+    emb = tables.TableIO(spark, SF).table("embeddings")
+    cents = kmeans.fit_centroids(SF)
+    path = str(tmp_path / "ivf_index")
+    kmeans.build_index(emb, cents, path)
+    idx = spark.read.parquet(path)
+    qs = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_emb")
+    )
+    out = kmeans.search_index(idx, qs, cents)
+    direct = kmeans.kmeans_ivf_topk(emb, cents)
+    assert {tuple(r) for r in out.collect()} == {
+        tuple(r) for r in direct.collect()
+    }
+    # the index scan must be partition-pruned to the probed cells via a
+    # dynamic-pruning subquery on the broadcast join key — at 10^12 rows
+    # this is what turns per-query cost from O(corpus) into O(probed cells)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression(cell" in plan
+
+
 def test_no_python_udf_in_plan(spark):
     emb = tables.TableIO(spark, SF).table("embeddings")
     cents = kmeans.fit_centroids(SF)
