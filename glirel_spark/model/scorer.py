@@ -12,24 +12,36 @@ The reference scores entity pairs with (glirel/model.py:141-259):
   T12 prompt FFN over label reps       (model.py:75-80, 226)
   T13 dot scorer + sigmoid             (layers.py:146-194, model.py:383)
 
-This container has no torch and no network, so the transformer encoder
-is replaced by a deterministic embedding + window-mean context mixer;
-every OTHER stage keeps the reference's exact dataflow shape (same
-tensor shapes, same pair ordering contract as
-generate_entity_pairs_indices / test_rel_rep.py). With real weights the
-numpy ops are swapped for an ONNX session — the Spark plumbing
+This container has no torch and no network, so the transformer token
+encoder (T2-T6) is replaced by a deterministic per-token embedding;
+the T8 word-level re-encoder, however, is a REAL single-layer BiLSTM
+(the same recurrence as layers.py:9-30 LstmSeq2SeqEncoder: PyTorch
+(i, f, g, o) gate order, H/2 hidden per direction, concat to D),
+run batched over the Arrow batch (time-major loop, so the python loop
+is O(T), never O(docs x T)). Every other stage keeps the reference's
+exact dataflow shape (same tensor shapes, same pair ordering contract
+as generate_entity_pairs_indices / test_rel_rep.py).
+
+Weights are pluggable: if ``GLIREL_NUMPY_CHECKPOINT`` names an ``.npz``
+file, every parameter is loaded from it by attribute name (export from
+a real torch checkpoint with
+``np.savez(path, lstm_fwd_Wx=sd['rnn.lstm.weight_ih_l0'].T.numpy(), ...)``);
+otherwise the seeded blake2b init below is the "checkpoint", keeping
+the whole plane deterministic and golden-checkable. The Spark plumbing
 (model-per-executor singleton, label-rep caching, Arrow batching) is
-the part this engine owns, and it is identical either way.
+identical either way.
 """
 
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 
 D = 32  # embedding dim
 H = 32  # hidden dim
+HL = D // 2  # per-direction LSTM hidden (concat -> D)
 _SEED = 42
 
 
@@ -69,6 +81,24 @@ class DeterministicGLiREL:
         self.W_prompt1 = _rng("W_prompt1").standard_normal((D, 4 * H)) / np.sqrt(D)
         self.W_prompt2 = _rng("W_prompt2").standard_normal((4 * H, H)) / np.sqrt(4 * H)
         self.rel_marker = _rng("[REL]").standard_normal(D)
+        # T8 BiLSTM (layers.py:9-30): gates in PyTorch (i, f, g, o) order
+        for d in ("fwd", "bwd"):
+            setattr(self, f"lstm_{d}_Wx",
+                    _rng(f"lstm_{d}_Wx").standard_normal((D, 4 * HL)) / np.sqrt(D))
+            setattr(self, f"lstm_{d}_Wh",
+                    _rng(f"lstm_{d}_Wh").standard_normal((HL, 4 * HL)) / np.sqrt(HL))
+            setattr(self, f"lstm_{d}_b", np.zeros(4 * HL))
+        ckpt = os.environ.get("GLIREL_NUMPY_CHECKPOINT")
+        if ckpt:
+            with np.load(ckpt) as z:
+                for name in z.files:  # override by attribute name
+                    cur = getattr(self, name)  # unknown name -> loud AttributeError
+                    arr = np.asarray(z[name], dtype=np.float64)
+                    if arr.shape != cur.shape:
+                        raise ValueError(
+                            f"checkpoint param {name}: shape {arr.shape} != {cur.shape}"
+                        )
+                    setattr(self, name, arr)
         self._tok_cache: dict[str, np.ndarray] = {}
         self._label_cache: dict[tuple[str, ...], np.ndarray] = {}
 
@@ -87,27 +117,70 @@ class DeterministicGLiREL:
         of documents costs one gather, not a per-token Python loop."""
         return np.stack([self.embed_token(t) for t in uniques]) if len(uniques) else np.zeros((0, D))
 
-    @staticmethod
-    def mix_context(e: np.ndarray) -> np.ndarray:
-        """+-1-token window-mean context mixing (deterministic stand-in
-        for T2-T8) over a [n, D] embedding matrix."""
-        n = len(e)
-        if n == 0:
-            return np.zeros((0, D))
-        ctx = e.copy()
-        ctx[1:] += e[:-1]
-        ctx[:-1] += e[1:]
-        denom = np.full((n, 1), 3.0)
-        denom[0] = denom[-1] = 2.0
-        if n == 1:
-            denom[0] = 1.0
-        return ctx / denom
+    def _lstm_dir(self, x: np.ndarray, Wx, Wh, b) -> np.ndarray:
+        """One LSTM direction over a padded [B, T, D] batch -> [B, T, HL].
+
+        The input projection is ONE einsum for the whole batch; the
+        python loop runs over TIME only (T <= max_len), so the per-doc
+        cost is a handful of [B, HL]-shaped vectorized steps. Rows
+        evolve independently (the hidden matmul mixes hidden dims within
+        a row, never across rows), so a doc's reps are bit-identical
+        whether it is encoded alone or inside any batch — the property
+        that lets gen_golden.py replay per-doc what the executors run
+        batched."""
+        bsz, t_len, _ = x.shape
+        xp = np.einsum("btd,dk->btk", x, Wx, optimize=False) + b
+        h = np.zeros((bsz, HL))
+        c = np.zeros((bsz, HL))
+        out = np.zeros((bsz, t_len, HL))
+        for t in range(t_len):
+            g = xp[:, t] + np.einsum("bh,hk->bk", h, Wh, optimize=False)
+            i = 1.0 / (1.0 + np.exp(-g[:, :HL]))
+            f = 1.0 / (1.0 + np.exp(-g[:, HL:2 * HL]))
+            gg = np.tanh(g[:, 2 * HL:3 * HL])
+            o = 1.0 / (1.0 + np.exp(-g[:, 3 * HL:]))
+            c = f * c + i * gg
+            h = o * np.tanh(c)
+            out[:, t] = h
+        return out
+
+    def encode_batch(self, embs: list[np.ndarray]) -> list[np.ndarray]:
+        """T8 BiLSTM over a batch of per-doc [n_i, D] embedding matrices
+        -> per-doc [n_i, D] context reps (HL forward ⊕ HL backward).
+
+        Forward runs on the zero-padded batch (causal: padding after a
+        doc's length cannot reach its valid positions). Backward runs on
+        each doc's OWN reversal (gathered per row), so padding never
+        leaks into the recurrence there either.
+        """
+        lens = np.array([len(e) for e in embs], dtype=np.int64)
+        t_len = int(lens.max(initial=0))
+        if t_len == 0:
+            return [np.zeros((0, D)) for _ in embs]
+        bsz = len(embs)
+        x = np.zeros((bsz, t_len, D))
+        for r, e in enumerate(embs):
+            x[r, : len(e)] = e
+        fwd = self._lstm_dir(x, self.lstm_fwd_Wx, self.lstm_fwd_Wh, self.lstm_fwd_b)
+        # per-doc reversal: rev_x[r, t] = x[r, len_r-1-t] for t < len_r
+        ar = np.arange(t_len)
+        ridx = np.clip(lens[:, None] - 1 - ar[None, :], 0, None)
+        valid = ar[None, :] < lens[:, None]
+        rev_x = np.where(
+            valid[:, :, None], np.take_along_axis(x, ridx[:, :, None], axis=1), 0.0
+        )
+        rev = self._lstm_dir(rev_x, self.lstm_bwd_Wx, self.lstm_bwd_Wh, self.lstm_bwd_b)
+        # un-reverse by gathering: bwd[r, s] = rev[r, len_r-1-s]; positions
+        # past len_r read garbage but are sliced off below.
+        bwd = np.take_along_axis(rev, ridx[:, :, None], axis=1)
+        full = np.concatenate([fwd, bwd], axis=2)
+        return [full[r, : lens[r]] for r in range(bsz)]
 
     def encode_tokens(self, tokens: list[str]) -> np.ndarray:
-        """[n, D] token reps (embed + context mix)."""
+        """[n, D] token reps (embed + T8 BiLSTM), single-doc path."""
         if not tokens:
             return np.zeros((0, D))
-        return self.mix_context(np.stack([self.embed_token(t) for t in tokens]))
+        return self.encode_batch([np.stack([self.embed_token(t) for t in tokens])])[0]
 
     # --- label reps (T1/T7/T12), cached per label-set -----------------------
 

@@ -72,6 +72,12 @@ def score_pairs_neural(
                 codes, uniques = pd.factorize(flat)
                 emb_u = model.embed_matrix(uniques)
                 offsets = np.cumsum([0] + [len(t) for t in tok_lists])
+                # T8 BiLSTM over the WHOLE Arrow batch at once: the
+                # python recurrence loop is O(max_len), not O(docs).
+                reps_list = model.encode_batch(
+                    [emb_u[codes[offsets[i]:offsets[i + 1]]]
+                     for i in range(len(tok_lists))]
+                )
             chunks: list[pd.DataFrame] = []
             for row_i, (doc_id, tokens, spans) in enumerate(
                 zip(pdf["doc_id"], tok_lists, pdf["spans"])
@@ -82,8 +88,7 @@ def score_pairs_neural(
                 # P4: filter HERE so the pair indices score_doc returns
                 # refer to the same span array we gather positions from.
                 sp = model.valid_spans(sp, len(tokens))
-                doc_codes = codes[offsets[row_i]:offsets[row_i + 1]]
-                reps = model.mix_context(emb_u[doc_codes])
+                reps = reps_list[row_i]
                 pidx, probs = model.score_doc(
                     list(tokens), sp, label_tuple, max_distance, tok_reps=reps
                 )

@@ -21,6 +21,41 @@ def test_scorer_deterministic_across_instances():
     assert np.array_equal(pa, pb) and np.allclose(sa, sb, atol=0)
 
 
+def test_bilstm_batch_equals_single_and_is_bidirectional():
+    m = DeterministicGLiREL.get()
+    rng = np.random.default_rng(0)
+    docs = [rng.standard_normal((n, 32)) for n in (7, 1, 100, 3, 0, 55)]
+    batch = m.encode_batch(docs)
+    for e, b in zip(docs, batch):
+        assert b.shape == e.shape
+        # any batch composition yields the doc's standalone bits — the
+        # invariant gen_golden.py's per-doc replay relies on
+        assert np.array_equal(m.encode_batch([e])[0], b)
+    x = rng.standard_normal((10, 32))
+    y = x.copy()
+    y[9] += 1.0
+    # T8 is a real bidirectional recurrence: the LAST token must change
+    # the FIRST position's rep (window-mean or forward-only would not)
+    assert not np.array_equal(m.encode_batch([x])[0][0], m.encode_batch([y])[0][0])
+
+
+def test_checkpoint_pluggable_weights(tmp_path, monkeypatch):
+    base = DeterministicGLiREL()
+    path = tmp_path / "ckpt.npz"
+    w = np.zeros_like(base.lstm_fwd_Wx)
+    np.savez(path, lstm_fwd_Wx=w)
+    monkeypatch.setenv("GLIREL_NUMPY_CHECKPOINT", str(path))
+    loaded = DeterministicGLiREL()
+    assert np.array_equal(loaded.lstm_fwd_Wx, w)
+    assert np.array_equal(loaded.W_pair, base.W_pair)  # others keep seeded init
+    np.savez(path, lstm_fwd_Wx=np.zeros((3, 3)))
+    import pytest
+
+    with pytest.raises(ValueError, match="shape"):
+        DeterministicGLiREL()
+    monkeypatch.delenv("GLIREL_NUMPY_CHECKPOINT")
+
+
 def test_pair_indices_match_reference_contract():
     # row-major i!=j (test_rel_rep.py golden shape)
     starts = np.array([1, 2, 3])
