@@ -25,6 +25,13 @@ def test_fit_deterministic():
     assert len(a) > 0 and len(a[0]) == 64
     for c in a:  # unit-norm centroids (spherical k-means)
         assert abs(sum(v * v for v in c) - 1.0) < 1e-9
+    # the persisted-index job stores centroids as JSON; the round trip
+    # must be bit-exact so a later search job uses the SAME quantizer
+    import json
+
+    assert tuple(
+        tuple(r) for r in json.loads(json.dumps([list(c) for c in a]))
+    ) == a
 
 
 def test_assignment_matches_numpy_argmax(spark):
