@@ -78,6 +78,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # near-dup FAMILY resolution: connected components over verified
         # near-dup pairs -> canonical doc per family (keep/drop decision)
         "dedup_clusters": pipeline.dedup_clusters,
+        # benchmark decontamination (shingle overlap vs the eval split)
+        "decontaminate": pipeline.decontaminate,
         "simhash": pipeline.simhash_signatures,
         "simhash_neardups": pipeline.simhash_neardups,
         "fingerprints": pipeline.fingerprints,
@@ -130,6 +132,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardups": oc.q_minhash_neardups(),
         # recursive-CTE transitive closure (min reachable doc_id)
         "dedup_clusters": oc.q_dedup_clusters(),
+        "decontaminate": oc.q_decontaminate(),
         "simhash": oc.q_simhash(),
         "simhash_neardups": oc.q_simhash_neardups(),
         "fingerprints": oc.q_fingerprint(),

@@ -149,6 +149,9 @@ SIMHASH_MAX_HAMMING = 3
 # --------------------------------------------------------------------------
 STOPWORDS = ["the", "a"]
 FINGERPRINT_BASE = 1_000_003  # rolling-hash base for document fingerprint
+# benchmark decontamination: the deterministic pseudo-eval split
+# (doc_id % MOD == 0) standing in for an external benchmark table
+DECONTAM_EVAL_MOD = 97
 
 # --------------------------------------------------------------------------
 # Similarity search

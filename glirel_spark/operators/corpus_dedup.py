@@ -411,3 +411,34 @@ def exact_dedup(docs_tokens: DataFrame) -> DataFrame:
         F.count("*").cast("long").alias("n_docs"),
         F.min("doc_id").alias("keeper"),
     )
+
+
+def decontaminate(
+    shingled: DataFrame, eval_mod: int = config.DECONTAM_EVAL_MOD
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document sharing
+    at least one k-token shingle with the eval split.
+
+    The eval split here is ``doc_id % eval_mod == 0`` — a deterministic
+    stand-in for the external benchmark table a production pipeline
+    joins against (GSM8K/MMLU-style decontamination sweeps; e.g. the
+    13-gram overlap filters described in the GPT-3/PaLM appendices).
+
+    Scale shape: benchmarks are SMALL AND BOUNDED by construction, so
+    the eval shingle set is collected once and inlined as a single
+    array literal (on a cluster: a broadcast variable); the corpus side
+    is then a pure map-only scan — ``array_intersect`` per row against
+    the in-memory set, NO join, NO shuffle, no matter how many training
+    documents flow past. ``n_hits`` counts distinct shared shingles
+    (both sides are distinct by construction).
+    """
+    is_eval = (F.col("doc_id").cast("long") % eval_mod) == 0
+    ev = shingled.filter(is_eval).select(F.explode("_sh").alias("sh")).distinct()
+    eval_hashes = sorted(r.sh for r in ev.collect())
+    lit = F.lit(eval_hashes).cast("array<long>")
+    hits = F.size(F.array_intersect(F.col("_sh"), lit))
+    return shingled.filter(~is_eval).select(
+        "doc_id",
+        hits.cast("int").alias("n_hits"),
+        (hits > 0).alias("contaminated"),
+    )

@@ -409,6 +409,29 @@ SELECT q_id, n_id, cosine, rk FROM ranked WHERE rk <= {c.ANN_TOP_K}"""
     )
 
 
+def q_decontaminate() -> str:
+    """Decontamination oracle: DuckDB recomputes the eval shingle set
+    itself (no literals), then counts shared distinct shingles per
+    training doc — including zero-shingle docs via the LEFT JOIN from
+    the documents universe."""
+    mod = c.DECONTAM_EVAL_MOD
+    return _with(CTE_TOKENS, CTE_THASH, CTE_SHINGLES) + f""",
+ev AS (
+  SELECT DISTINCT sh FROM shing WHERE CAST(doc_id AS BIGINT) % {mod} = 0
+),
+hits AS (
+  SELECT s.doc_id, count(*) AS n
+  FROM shing s JOIN ev ON s.sh = ev.sh
+  WHERE CAST(s.doc_id AS BIGINT) % {mod} <> 0
+  GROUP BY s.doc_id
+)
+SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+       CAST(coalesce(h.n, 0) AS INT) AS n_hits,
+       coalesce(h.n, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON CAST(d.doc_id AS VARCHAR) = h.doc_id
+WHERE CAST(d.doc_id AS BIGINT) % {mod} <> 0"""
+
+
 def q_ann_topk_kmeans() -> str:
     """Trained-IVF (k-means) ANN oracle. The coarse quantizer fit is
     driver-side and deterministic (operators/kmeans.fit_centroids), so

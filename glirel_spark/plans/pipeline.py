@@ -240,6 +240,12 @@ def docs_shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cd.with_shingle_array(docs_tokens(spark, sf_dir)).cache()
 
 
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import corpus_dedup as cd
+
+    return cd.decontaminate(docs_shingled(spark, sf_dir))
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import corpus_dedup as cd
 

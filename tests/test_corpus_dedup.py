@@ -101,3 +101,25 @@ def test_neardup_clusters_transitive_families(spark):
         "1": ("1", True),
         "9": ("9", True),
     }
+
+
+def test_decontaminate_flags_shingle_overlap(spark):
+    from glirel_spark.operators.corpus_dedup import decontaminate, with_shingle_array
+
+    docs = spark.createDataFrame(
+        [
+            ("0", "the quick brown fox jumps".split(" ")),   # eval (0 % 3 == 0)
+            ("1", "xx quick brown fox yy".split(" ")),       # shares 3-gram
+            ("2", "a b c d e".split(" ")),                   # disjoint
+            ("3", "also eval split here now".split(" ")),    # eval
+            ("4", "zz".split(" ")),                          # too short: no shingles
+        ],
+        "doc_id string, tokens array<string>",
+    )
+    out = {
+        r.doc_id: (r.n_hits, r.contaminated)
+        for r in decontaminate(with_shingle_array(docs), eval_mod=3).collect()
+    }
+    # eval docs excluded from the output; "quick brown fox" is the one
+    # shared 3-gram; the shingle-less doc is present and clean
+    assert out == {"1": (1, True), "2": (0, False), "4": (0, False)}
