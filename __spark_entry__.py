@@ -86,6 +86,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": pipeline.exact_dedup,
         # text analysis
         "doc_quality": pipeline.doc_quality,
+        # within-doc repetition signal (duplicate-shingle fraction)
+        "doc_repetition": pipeline.doc_repetition,
         "token_counts": pipeline.token_counts,
         "lang_id": pipeline.lang_id,
         # deterministic hash-based stratified downsampling per language
@@ -138,6 +140,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": oc.q_fingerprint(),
         "exact_dedup": oc.q_exact_dedup(),
         "doc_quality": oc.q_doc_quality(),
+        "doc_repetition": oc.q_doc_repetition(),
         "token_counts": oc.q_token_counts(),
         "lang_id": oc.q_lang_id(),
         "corpus_sample": oc.q_corpus_sample(),

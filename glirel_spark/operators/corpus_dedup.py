@@ -442,3 +442,29 @@ def decontaminate(
         hits.cast("int").alias("n_hits"),
         (hits > 0).alias("contaminated"),
     )
+
+
+def doc_repetition(shingled: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition signal: the fraction of
+    k-token shingles that are duplicates of an earlier shingle in the
+    same document (Rae et al. 2021 "duplicate n-gram fraction" family).
+
+    Derived entirely from the cached shingle pass (with_shingle_array
+    keeps only DISTINCT shingles, so duplicates = total windows -
+    distinct): one more map-only projection over an already-materialized
+    column — zero marginal scan cost when run alongside the dedup
+    family.
+    """
+    k = config.SHINGLE_K
+    total = F.greatest(F.size("tokens") - (k - 1), F.lit(0)).cast("long")
+    nd = F.size("_sh").cast("long")
+    frac = F.when(
+        total > 0,
+        F.lit(1.0) - nd.cast("double") / total.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return shingled.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        total.alias("n_shingles"),
+        nd.alias("n_distinct_shingles"),
+        frac.alias("dup_shingle_frac"),
+    )

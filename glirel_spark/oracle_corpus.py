@@ -432,6 +432,30 @@ FROM documents d LEFT JOIN hits h ON CAST(d.doc_id AS VARCHAR) = h.doc_id
 WHERE CAST(d.doc_id AS BIGINT) % {mod} <> 0"""
 
 
+def q_doc_repetition() -> str:
+    """Duplicate-shingle fraction; total windows derived from the raw
+    token count, distinct from the shingle CTE, LEFT JOIN keeps docs
+    with no windows (n_shingles 0, frac 0.0)."""
+    k = c.SHINGLE_K
+    return _with(CTE_TOKENS, CTE_THASH, CTE_SHINGLES) + f""",
+nd AS (
+  SELECT doc_id, count(*) AS n_distinct FROM shing GROUP BY doc_id
+),
+tot AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         greatest(len(string_split(text, ' ')) - {k - 1}, 0) AS n_shingles
+  FROM documents
+)
+SELECT t.doc_id,
+       CAST(t.n_shingles AS BIGINT) AS n_shingles,
+       CAST(coalesce(nd.n_distinct, 0) AS BIGINT) AS n_distinct_shingles,
+       CASE WHEN t.n_shingles > 0
+            THEN 1.0 - CAST(coalesce(nd.n_distinct, 0) AS DOUBLE)
+                       / CAST(t.n_shingles AS DOUBLE)
+            ELSE 0.0 END AS dup_shingle_frac
+FROM tot t LEFT JOIN nd ON t.doc_id = nd.doc_id"""
+
+
 def q_ann_topk_kmeans() -> str:
     """Trained-IVF (k-means) ANN oracle. The coarse quantizer fit is
     driver-side and deterministic (operators/kmeans.fit_centroids), so

@@ -246,6 +246,12 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cd.decontaminate(docs_shingled(spark, sf_dir))
 
 
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import corpus_dedup as cd
+
+    return cd.doc_repetition(docs_shingled(spark, sf_dir))
+
+
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import corpus_dedup as cd
 

@@ -123,3 +123,23 @@ def test_decontaminate_flags_shingle_overlap(spark):
     # eval docs excluded from the output; "quick brown fox" is the one
     # shared 3-gram; the shingle-less doc is present and clean
     assert out == {"1": (1, True), "2": (0, False), "4": (0, False)}
+
+
+def test_doc_repetition_fraction(spark):
+    from glirel_spark.operators.corpus_dedup import doc_repetition, with_shingle_array
+
+    docs = spark.createDataFrame(
+        [
+            ("0", "a b c a b c a b c".split(" ")),  # 7 windows, 3 distinct
+            ("1", "u v w x y".split(" ")),          # 3 windows, all distinct
+            ("2", ["solo"]),                        # no windows
+        ],
+        "doc_id string, tokens array<string>",
+    )
+    out = {
+        r.doc_id: (r.n_shingles, r.n_distinct_shingles, r.dup_shingle_frac)
+        for r in doc_repetition(with_shingle_array(docs)).collect()
+    }
+    assert out["0"] == (7, 3, 1.0 - 3.0 / 7.0)
+    assert out["1"] == (3, 3, 0.0)
+    assert out["2"] == (0, 0, 0.0)
