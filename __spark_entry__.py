@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": pipeline.lang_id,
         # deterministic hash-based stratified downsampling per language
         "corpus_sample": pipeline.corpus_sample,
+        # one-pass ROLLUP corpus accounting (per lang x source + totals)
+        "corpus_stats": pipeline.corpus_stats,
         # similarity search
         "ann_topk": pipeline.ann_topk,
         "ann_topk_ivf": pipeline.ann_topk_ivf,
@@ -144,6 +146,7 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": oc.q_token_counts(),
         "lang_id": oc.q_lang_id(),
         "corpus_sample": oc.q_corpus_sample(),
+        "corpus_stats": oc.q_corpus_stats(),
         "ann_topk": oc.q_ann_topk(),
         "ann_topk_ivf": oc.q_ann_topk_ivf(),
         "ann_topk_kmeans": oc.q_ann_topk_kmeans(),

@@ -177,3 +177,22 @@ def lang_id(docs: DataFrame) -> DataFrame:
         pred.alias("lang_pred"),
         score.alias("lang_score"),
     )
+
+
+def corpus_stats(docs: DataFrame) -> DataFrame:
+    """Corpus accounting rollup: per-(lang, source) doc/char/token
+    totals plus per-lang subtotals and the grand total in ONE pass
+    (``ROLLUP`` = a single Expand + one partially-aggregated exchange;
+    three separate GROUP BYs would scan the corpus three times).
+
+    ``gid`` is the standard grouping bitmask (lang = MSB) so consumers
+    can tell a genuine NULL group from a subtotal row. All aggregates
+    are integer sums — bit-exact against the oracle.
+    """
+    toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    return docs.rollup("lang", "source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum(toks).alias("total_tokens"),
+        F.grouping_id().cast("int").alias("gid"),
+    )

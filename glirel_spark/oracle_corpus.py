@@ -409,6 +409,17 @@ SELECT q_id, n_id, cosine, rk FROM ranked WHERE rk <= {c.ANN_TOP_K}"""
     )
 
 
+def q_corpus_stats() -> str:
+    """ROLLUP twin; GROUPING() bitmask matches Spark's grouping_id()
+    (first column = most significant bit in both engines)."""
+    return """SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       CAST(GROUPING(lang, source) AS INT) AS gid
+FROM documents GROUP BY ROLLUP(lang, source)"""
+
+
 def q_decontaminate() -> str:
     """Decontamination oracle: DuckDB recomputes the eval shingle set
     itself (no literals), then counts shared distinct shingles per

@@ -318,6 +318,12 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.lang_id(_flat_docs(spark, sf_dir))
 
 
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import textstats
+
+    return textstats.corpus_stats(_flat_docs(spark, sf_dir))
+
+
 def corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import textstats
 

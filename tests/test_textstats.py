@@ -50,3 +50,24 @@ def test_stratified_sample_matches_python_hash_and_is_deterministic(spark):
     en = sum(1 for i, _, lg in rows if lg == "en" and str(i) in got)
     zh = sum(1 for i, _, lg in rows if lg == "zh" and str(i) in got)
     assert en > zh
+
+
+def test_corpus_stats_rollup(spark):
+    from glirel_spark.operators.textstats import corpus_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b", "en", "s1", 3),
+            (2, "c", "en", "s2", 1),
+            (3, "d e f", "de", "s1", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {
+        (r.lang, r.source): (r.n_docs, r.total_chars, r.total_tokens, r.gid)
+        for r in corpus_stats(docs).collect()
+    }
+    assert rows[("en", "s1")] == (1, 3, 2, 0)
+    assert rows[("en", None)] == (2, 4, 3, 1)   # per-lang subtotal
+    assert rows[(None, None)] == (3, 9, 6, 3)   # grand total
+    assert len(rows) == 6
