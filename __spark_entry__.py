@@ -72,6 +72,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # blocked MinHash-LSH fuzzy alias candidates (north_star linking)
         "link_candidates": pipeline.link_candidates,
         "graph": pipeline.graph,
+        # KG degree centrality (hub entities) over the materialized graph
+        "entity_degrees": pipeline.entity_degrees,
         # corpus dedup (training-data pipeline)
         "minhash_signatures": pipeline.minhash_signatures,
         "minhash_neardups": pipeline.minhash_neardups,
@@ -132,6 +134,7 @@ def oracle_sql() -> dict[str, str]:
         "linked_triples": oracle.q_linked_triples(),
         "link_candidates": oc.q_link_candidates(),
         "graph": oracle.q_graph(),
+        "entity_degrees": oracle.q_entity_degrees(),
         "minhash_signatures": oc.q_minhash_signatures(),
         "minhash_neardups": oc.q_minhash_neardups(),
         # recursive-CTE transitive closure (min reachable doc_id)

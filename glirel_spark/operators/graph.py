@@ -73,3 +73,32 @@ def write_graph(graph: DataFrame, path: str) -> None:
     by pred keeps per-relation scans pruned; bucketing by subj would
     co-locate future subject joins."""
     graph.write.mode("overwrite").partitionBy("pred").parquet(path)
+
+
+def entity_degrees(graph: DataFrame) -> DataFrame:
+    """Degree centrality over the materialized KG: per-entity out/in
+    triple-type degrees, distinct predicate count, mention-weighted
+    degree — the first query every KG consumer runs ("what are the hub
+    entities?").
+
+    Shape: union-all of the two endpoint projections + ONE aggregation.
+    Every aggregate is algebraic (sum / count-distinct-over-small-pred-
+    set), so map-side combine does the heavy lifting; at 10^12 triples
+    hub entities are exactly the skewed keys the upstream salted
+    materialization already spreads, and the same two-stage pattern
+    applies here if a single entity's edge list outgrows a reducer.
+    """
+    out = graph.select(
+        F.col("subj").alias("entity"), F.lit(1).alias("is_out"),
+        "pred", "n_mentions",
+    )
+    inn = graph.select(
+        F.col("obj").alias("entity"), F.lit(0).alias("is_out"),
+        "pred", "n_mentions",
+    )
+    return out.unionByName(inn).groupBy("entity").agg(
+        F.sum("is_out").cast("long").alias("out_degree"),
+        F.sum(1 - F.col("is_out")).cast("long").alias("in_degree"),
+        F.countDistinct("pred").cast("long").alias("n_preds"),
+        F.sum("n_mentions").cast("long").alias("weighted_degree"),
+    )

@@ -513,6 +513,29 @@ FROM linked GROUP BY subj, pred, obj"""
     )
 
 
+def q_entity_degrees() -> str:
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED)
+        + """
+, g AS (
+  SELECT subj, pred, obj,
+         CAST(count(*) AS BIGINT) AS n_mentions
+  FROM linked GROUP BY subj, pred, obj
+),
+e AS (
+  SELECT subj AS entity, 1 AS is_out, pred, n_mentions FROM g
+  UNION ALL
+  SELECT obj AS entity, 0 AS is_out, pred, n_mentions FROM g
+)
+SELECT entity,
+       CAST(sum(is_out) AS BIGINT) AS out_degree,
+       CAST(sum(1 - is_out) AS BIGINT) AS in_degree,
+       CAST(count(DISTINCT pred) AS BIGINT) AS n_preds,
+       CAST(sum(n_mentions) AS BIGINT) AS weighted_degree
+FROM e GROUP BY entity"""
+    )
+
+
 # --------------------------------------------------------------------------
 # Tensor-plane golden (triples_neural)
 # --------------------------------------------------------------------------

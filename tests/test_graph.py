@@ -58,3 +58,23 @@ def test_graph_n_docs_distinct(spark):
     r = g.collect()[0]
     assert r.n_mentions == 3 and r.n_docs == 2
     assert r.max_prob == 0.9 and r.min_doc_id == "d1"
+
+
+def test_entity_degrees(spark):
+    from glirel_spark.operators.graph import entity_degrees
+
+    g = spark.createDataFrame(
+        [
+            ("A", "p1", "B", 3),
+            ("A", "p2", "C", 1),
+            ("B", "p1", "A", 2),
+        ],
+        "subj string, pred string, obj string, n_mentions long",
+    )
+    rows = {
+        r.entity: (r.out_degree, r.in_degree, r.n_preds, r.weighted_degree)
+        for r in entity_degrees(g).collect()
+    }
+    assert rows["A"] == (2, 1, 2, 6)  # out p1,p2 (3+1); in p1 (2)
+    assert rows["B"] == (1, 1, 1, 5)
+    assert rows["C"] == (0, 1, 1, 1)
