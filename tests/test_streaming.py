@@ -49,3 +49,88 @@ def test_triples_stream_equals_batch(spark, tmp_path):
         for r in pipeline.triples(spark, SF).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_sessionize_equals_batch_closed_sessions(spark):
+    """applyInPandasWithState sessionization == batch sessionize for
+    every CLOSED session (the trailing open session per user stays in
+    the state store when a finite availableNow run ends)."""
+    import pyspark.sql.functions as F
+
+    from glirel_spark.operators.events import sessionize
+    from glirel_spark.streaming.events_stream import read_events_stream, run_to_completion
+    from glirel_spark.streaming.sessions_state import sessionize_stateful
+
+    stream = sessionize_stateful(read_events_stream(spark, SF))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_state_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.sess_id): (r.n_events, r.sess_start, r.sess_end)
+        for r in spark.sql("SELECT * FROM sess_state_out").collect()
+    }
+
+    batch = sessionize(spark.read.parquet(f"{SF}/events.parquet"))
+    last = batch.groupBy("user_id").agg(F.max("sess_id").alias("sess_id"))
+    closed = batch.join(last, ["user_id", "sess_id"], "left_anti")
+    want = {
+        (r.user_id, r.sess_id): (r.n_events, r.sess_start, r.sess_end)
+        for r in closed.collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_stateful_sessionize_across_micro_batches(spark, tmp_path):
+    """Split the events by time into two files and feed them as TWO
+    micro-batches (maxFilesPerTrigger=1): sessions spanning the split
+    must merge through the state carry, closed-session ids must keep
+    counting across batches."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from glirel_spark.operators.events import sessionize
+    from glirel_spark.streaming.events_stream import EVENTS_SCHEMA
+    from glirel_spark.streaming.sessions_state import sessionize_stateful
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    cut = ev.agg(F.percentile_approx("ts", 0.5)).collect()[0][0]
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.parquet(str(src / "b0"))
+    time.sleep(1.1)  # file-source ordering is by modification time
+    ev.filter(F.col("ts") > cut).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream_in = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        sessionize_stateful(stream_in)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_state_2b")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.sess_id): (r.n_events, r.sess_start, r.sess_end)
+        for r in spark.sql("SELECT * FROM sess_state_2b").collect()
+    }
+
+    batch = sessionize(ev)
+    last = batch.groupBy("user_id").agg(F.max("sess_id").alias("sess_id"))
+    closed = batch.join(last, ["user_id", "sess_id"], "left_anti")
+    want = {
+        (r.user_id, r.sess_id): (r.n_events, r.sess_start, r.sess_end)
+        for r in closed.collect()
+    }
+    assert got == want and len(got) > 0
