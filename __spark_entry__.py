@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardups": pipeline.embedding_neardups,
         # multimodal plumbing
         "media_features": pipeline.media_features,
+        # interleave accounting over the input-hint spans schema
+        "media_stats": pipeline.media_stats,
         # events windowing / sessionization
         "events_windowed": pipeline.events_windowed,
         "events_sessionized": pipeline.events_sessionized,
@@ -155,6 +157,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_kmeans": oc.q_ann_topk_kmeans(),
         "embedding_neardups": oc.q_embedding_neardups(),
         "media_features": oc.q_media_features(),
+        "media_stats": oc.q_media_stats(),
         "events_windowed": oc.q_events_windowed(),
         "events_sessionized": oc.q_events_sessionized(),
         **relational.ORACLE,

@@ -99,3 +99,27 @@ def fake_decode_features(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "media_ref", "payload_bytes").mapInPandas(
         extract, _FEATURE_SCHEMA
     )
+
+
+def media_stats(interleaved: DataFrame) -> DataFrame:
+    """Per-document interleave accounting straight off the input-hint
+    schema: span counts by kind and the media fraction — the sanity
+    panel a multimodal ingest job reports per partition.
+
+    Pure higher-order array expressions over the ``spans`` column (one
+    filter + size per kind), no explode: a row-local projection that
+    whole-stage codegen keeps inside the scan at any corpus size.
+    """
+    spans = F.col("spans")
+    n_spans = F.size(spans).cast("long")
+    n_media = F.size(
+        F.filter(spans, lambda s: s["kind"] == "media")
+    ).cast("long")
+    n_text = (n_spans - n_media).cast("long")
+    return interleaved.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        n_spans.alias("n_spans"),
+        n_text.alias("n_text_spans"),
+        n_media.alias("n_media_spans"),
+        (n_media.cast("double") / n_spans.cast("double")).alias("media_frac"),
+    )

@@ -569,6 +569,30 @@ SELECT doc_id, media_ref, n_bytes, byte_sum,
 FROM feat"""
 
 
+def q_media_stats() -> str:
+    """Interleave accounting twin: DuckDB re-derives span counts from
+    the chunking rule (12-token text chunks; a media span follows chunk
+    i iff (doc_id*7 + i) % 5 == 0) rather than reading Spark's spans."""
+    return """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id AS did,
+         CAST(ceil(len(string_split(text, ' ')) / 12.0) AS BIGINT) AS n_chunks
+  FROM documents
+),
+med AS (
+  SELECT doc_id,
+         n_chunks,
+         len(list_filter(range(n_chunks), i -> (did * 7 + i) % 5 = 0)) AS n_media
+  FROM base
+)
+SELECT doc_id,
+       CAST(n_chunks + n_media AS BIGINT) AS n_spans,
+       CAST(n_chunks AS BIGINT) AS n_text_spans,
+       CAST(n_media AS BIGINT) AS n_media_spans,
+       CAST(n_media AS DOUBLE) / CAST(n_chunks + n_media AS DOUBLE) AS media_frac
+FROM med"""
+
+
 # ---------------------------------------------------------------------------
 # Events windowed aggregation (batch twin of the streaming query)
 # ---------------------------------------------------------------------------

@@ -365,6 +365,12 @@ def embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_neardups(emb)
 
 
+def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import multimodal
+
+    return multimodal.media_stats(interleaved(spark, sf_dir))
+
+
 def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import multimodal
 

@@ -69,3 +69,30 @@ def test_span_signature_detects_divergence(spark):
     sig_b = span_sequence_signature(mutated).withColumnRenamed("span_signature", "other")
     diff = sig_a.join(sig_b, "doc_id").filter(F.col("span_signature") != F.col("other"))
     assert diff.count() == sig_a.count()
+
+
+def test_media_stats_match_span_structure(spark):
+    from glirel_spark.operators.multimodal import media_stats
+    from glirel_spark.plans import pipeline
+
+    inter = pipeline.interleaved(spark, "/root/testdata/sf0.001")
+    stats = media_stats(inter)
+    # recompute from the spans arrays independently (explode form)
+    import pyspark.sql.functions as F
+
+    exploded = (
+        inter.select("doc_id", F.explode("spans").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("s.kind") == "media", 1).otherwise(0)).alias("m"),
+        )
+    )
+    joined = stats.join(exploded, "doc_id")
+    bad = joined.filter(
+        (F.col("n_spans") != F.col("n"))
+        | (F.col("n_media_spans") != F.col("m"))
+        | (F.col("n_text_spans") != F.col("n") - F.col("m"))
+    )
+    assert bad.count() == 0
+    assert stats.filter(F.col("n_media_spans") > 0).count() > 0
