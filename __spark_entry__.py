@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linked_triples": pipeline.linked_triples,
         # blocked MinHash-LSH fuzzy alias candidates (north_star linking)
         "link_candidates": pipeline.link_candidates,
+        # exact + fuzzy-fallback canonicalized triples (full linking path)
+        "linked_triples_fuzzy": pipeline.linked_triples_fuzzy,
         "graph": pipeline.graph,
         # KG degree centrality (hub entities) over the materialized graph
         "entity_degrees": pipeline.entity_degrees,
@@ -135,6 +137,7 @@ def oracle_sql() -> dict[str, str]:
         "threshold_search": oracle.q_threshold_search(),
         "linked_triples": oracle.q_linked_triples(),
         "link_candidates": oc.q_link_candidates(),
+        "linked_triples_fuzzy": oc.q_linked_triples_fuzzy(),
         "graph": oracle.q_graph(),
         "entity_degrees": oracle.q_entity_degrees(),
         "minhash_signatures": oc.q_minhash_signatures(),

@@ -139,3 +139,49 @@ def fuzzy_alias_candidates(
     return out.join(
         alias_norm.withColumnRenamed("s", "alias"), "alias"
     ).select("surface", "alias", "canonical_id", "inter", "un", "jaccard")
+
+
+def best_fuzzy_alias(cands: DataFrame) -> DataFrame:
+    """Resolve the LSH candidate set to ONE canonical id per surface:
+    highest Jaccard wins, ties break on (alias asc, canonical_id asc) —
+    a deterministic total order shared with the DuckDB twin. The
+    relation is distinct-surface-sized (Heaps-bounded), so downstream
+    joins broadcast it."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("surface").orderBy(
+        F.desc("jaccard"), F.asc("alias"), F.asc("canonical_id")
+    )
+    return (
+        cands.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("surface", F.col("canonical_id").alias("fuzzy_id"))
+    )
+
+
+def apply_fuzzy(linked: DataFrame, best: DataFrame) -> DataFrame:
+    """Second-chance canonicalization: rows whose endpoint fell through
+    exact alias matching (the ``Q:surface:<text>`` fallback ids) pick
+    up their best fuzzy candidate; everything else passes unchanged.
+    Two broadcast left joins on the fallback-id key — the triple
+    relation is never shuffled."""
+    pre = "Q:surface:"
+    b_s = best.select(
+        F.concat(F.lit(pre), F.col("surface")).alias("subj"),
+        F.col("fuzzy_id").alias("_fs"),
+    )
+    b_o = best.select(
+        F.concat(F.lit(pre), F.col("surface")).alias("obj"),
+        F.col("fuzzy_id").alias("_fo"),
+    )
+    return (
+        linked.join(F.broadcast(b_s), "subj", "left")
+        .join(F.broadcast(b_o), "obj", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_fs", "subj").alias("subj"),
+            "pred",
+            F.coalesce("_fo", "obj").alias("obj"),
+            "prob",
+        )
+    )

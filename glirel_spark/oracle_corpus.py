@@ -409,6 +409,33 @@ SELECT q_id, n_id, cosine, rk FROM ranked WHERE rk <= {c.ANN_TOP_K}"""
     )
 
 
+def q_linked_triples_fuzzy() -> str:
+    """Composition twin: exact-linked triples, with Q:surface: fallback
+    endpoints replaced by the surface's best LSH candidate (jaccard
+    desc, alias asc, canonical_id asc — the same total order as
+    linking.best_fuzzy_alias)."""
+    from glirel_spark import oracle
+
+    return f"""
+WITH lt AS (SELECT * FROM ({oracle.q_linked_triples()})),
+lc AS (SELECT * FROM ({q_link_candidates()})),
+best AS (
+  SELECT surface, canonical_id AS fuzzy_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY surface
+        ORDER BY jaccard DESC, alias ASC, canonical_id ASC) AS rn
+    FROM lc
+  ) WHERE rn = 1
+)
+SELECT lt.doc_id,
+       coalesce(bs.fuzzy_id, lt.subj) AS subj,
+       lt.pred,
+       coalesce(bo.fuzzy_id, lt.obj) AS obj,
+       lt.prob
+FROM lt
+LEFT JOIN best bs ON lt.subj = 'Q:surface:' || bs.surface
+LEFT JOIN best bo ON lt.obj = 'Q:surface:' || bo.surface"""
+
+
 def q_corpus_stats() -> str:
     """ROLLUP twin; GROUPING() bitmask matches Spark's grouping_id()
     (first column = most significant bit in both engines)."""

@@ -194,6 +194,15 @@ def linked_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "subj", "pred", "obj", "prob")
 
 
+def linked_triples_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import linking
+
+    return linking.apply_fuzzy(
+        linked_triples(spark, sf_dir),
+        linking.best_fuzzy_alias(link_candidates(spark, sf_dir)),
+    )
+
+
 def link_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import linking
 

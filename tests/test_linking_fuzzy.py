@@ -77,3 +77,29 @@ def test_fuzzy_candidates_match_python_replication(spark):
     # the two inflected surfaces must actually be found
     assert ("apache sparks", "apache spark") in got
     assert ("merge joins", "merge join") in got
+
+
+def test_apply_fuzzy_second_chance(spark):
+    from glirel_spark.operators.linking import apply_fuzzy, best_fuzzy_alias
+
+    linked = spark.createDataFrame(
+        [
+            ("d1", "Q1", "uses", "Q:surface:tble scan", 0.9),
+            ("d2", "Q:surface:unknown thing", "uses", "Q2", 0.8),
+        ],
+        "doc_id string, subj string, pred string, obj string, prob double",
+    )
+    cands = spark.createDataFrame(
+        [
+            ("tble scan", "table scan", "Q7", 3, 9, 3 / 9),
+            ("tble scan", "table", "Q8", 2, 8, 2 / 8),
+        ],
+        "surface string, alias string, canonical_id string, "
+        "inter long, un long, jaccard double",
+    )
+    out = {
+        (r.doc_id): (r.subj, r.obj)
+        for r in apply_fuzzy(linked, best_fuzzy_alias(cands)).collect()
+    }
+    assert out["d1"] == ("Q1", "Q7")  # best-jaccard candidate substituted
+    assert out["d2"] == ("Q:surface:unknown thing", "Q2")  # no candidate -> unchanged
