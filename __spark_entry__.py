@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph": pipeline.graph,
         # KG degree centrality (hub entities) over the materialized graph
         "entity_degrees": pipeline.entity_degrees,
+        # 2-hop traversal join (the multi-hop query template)
+        "two_hop_paths": pipeline.two_hop_paths,
         # corpus dedup (training-data pipeline)
         "minhash_signatures": pipeline.minhash_signatures,
         "minhash_neardups": pipeline.minhash_neardups,
@@ -140,6 +142,7 @@ def oracle_sql() -> dict[str, str]:
         "linked_triples_fuzzy": oc.q_linked_triples_fuzzy(),
         "graph": oracle.q_graph(),
         "entity_degrees": oracle.q_entity_degrees(),
+        "two_hop_paths": oracle.q_two_hop_paths(),
         "minhash_signatures": oc.q_minhash_signatures(),
         "minhash_neardups": oc.q_minhash_neardups(),
         # recursive-CTE transitive closure (min reachable doc_id)

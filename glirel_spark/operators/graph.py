@@ -102,3 +102,30 @@ def entity_degrees(graph: DataFrame) -> DataFrame:
         F.countDistinct("pred").cast("long").alias("n_preds"),
         F.sum("n_mentions").cast("long").alias("weighted_degree"),
     )
+
+
+def two_hop_paths(graph: DataFrame, min_mentions: int = 1) -> DataFrame:
+    """Graph traversal shape: (a)-[p1]->(b)-[p2]->(c) paths through the
+    materialized KG — the join template multi-hop queries (and iterative
+    algorithms like PageRank) are built from.
+
+    Self equi-join on the bridge entity: both sides shuffle-partition on
+    the SAME key (b), so Catalyst plans one exchange per side and no
+    broadcast of the (potentially huge) edge set; hub-entity skew on b
+    is the AQE skew-join case, or pre-salt b as in materialization.
+    Self-loops through the bridge (a == b or b == c) are excluded;
+    a == c (length-2 cycles) are kept — they are real paths.
+    """
+    e1 = graph.filter(F.col("n_mentions") >= min_mentions).select(
+        F.col("subj").alias("a"), F.col("pred").alias("p1"),
+        F.col("obj").alias("b"),
+    )
+    e2 = graph.filter(F.col("n_mentions") >= min_mentions).select(
+        F.col("subj").alias("b"), F.col("pred").alias("p2"),
+        F.col("obj").alias("c"),
+    )
+    return (
+        e1.join(e2, "b")
+        .filter((F.col("a") != F.col("b")) & (F.col("b") != F.col("c")))
+        .select("a", "p1", "b", "p2", "c")
+    )

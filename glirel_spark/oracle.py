@@ -536,6 +536,19 @@ FROM e GROUP BY entity"""
     )
 
 
+def q_two_hop_paths() -> str:
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED)
+        + """
+, g AS (
+  SELECT DISTINCT subj, pred, obj FROM linked
+)
+SELECT e1.subj AS a, e1.pred AS p1, e1.obj AS b, e2.pred AS p2, e2.obj AS c
+FROM g e1 JOIN g e2 ON e1.obj = e2.subj
+WHERE e1.subj <> e1.obj AND e2.subj <> e2.obj"""
+    )
+
+
 # --------------------------------------------------------------------------
 # Tensor-plane golden (triples_neural)
 # --------------------------------------------------------------------------

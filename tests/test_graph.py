@@ -78,3 +78,23 @@ def test_entity_degrees(spark):
     assert rows["A"] == (2, 1, 2, 6)  # out p1,p2 (3+1); in p1 (2)
     assert rows["B"] == (1, 1, 1, 5)
     assert rows["C"] == (0, 1, 1, 1)
+
+
+def test_two_hop_paths(spark):
+    from glirel_spark.operators.graph import two_hop_paths
+
+    g = spark.createDataFrame(
+        [
+            ("A", "p1", "B", 3),
+            ("B", "p2", "C", 1),
+            ("B", "p3", "B", 2),  # self-loop: never a bridge endpoint
+            ("C", "p4", "A", 2),
+        ],
+        "subj string, pred string, obj string, n_mentions long",
+    )
+    paths = {tuple(r) for r in two_hop_paths(g).collect()}
+    assert paths == {
+        ("A", "p1", "B", "p2", "C"),
+        ("B", "p2", "C", "p4", "A"),
+        ("C", "p4", "A", "p1", "B"),
+    }
