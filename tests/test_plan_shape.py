@@ -42,3 +42,35 @@ def test_fused_coref_plan_is_shuffle_free_after_cache(spark):
     plan = _plan(pipeline.mention_clusters(spark, SF))
     assert "Exchange hashpartitioning" not in plan
     assert "Window" not in plan
+
+
+def test_decontaminate_plan_is_join_free_scan(spark):
+    """The corpus side of decontamination must stay a map-only scan:
+    the eval set is an inlined literal, not a join."""
+    from glirel_spark.plans import pipeline
+
+    pipeline.docs_shingled(spark, SF).count()  # warm the shared cache
+    plan = _plan(pipeline.decontaminate(spark, SF))
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_corpus_stats_plan_is_one_expand_one_agg(spark):
+    from glirel_spark.plans import pipeline
+
+    plan = _plan(pipeline.corpus_stats(spark, SF))
+    assert plan.count("Expand") == 1  # ROLLUP = one Expand, not 3 scans
+    assert "Window" not in plan
+
+
+def test_fuzzy_linking_plan_broadcasts_candidates(spark):
+    """The triple relation must not shuffle for the fuzzy substitution:
+    both candidate joins are broadcast left joins."""
+    from glirel_spark.plans import pipeline
+
+    plan = _plan(pipeline.linked_triples_fuzzy(spark, SF))
+    # the substitution joins keyed on subj/obj must be broadcast left
+    # joins (the candidate-generation subtree may shuffle its own
+    # shingle relations — that side is distinct-surface-sized)
+    assert "BroadcastHashJoin [subj" in plan
+    assert "BroadcastHashJoin [obj" in plan
