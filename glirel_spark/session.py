@@ -13,6 +13,25 @@ import os
 from pyspark.sql import SparkSession
 
 
+# numpy's BLAS must be single-threaded inside Spark python workers:
+# Spark already owns the core-level parallelism (one worker per task
+# slot), and OpenBLAS's default pool spawns ncpu SPIN-WAITING threads
+# PER WORKER — measured 5-7x slowdown on the tensor-plane stage with
+# 16 workers x 32 spinning threads (tools/bench_neural_scaling.py
+# found it: the 4-executor level ran 1.5x SLOWER than 1 executor until
+# pinned). Set on the driver (local-mode workers inherit its env) and
+# exported to executors in get_spark.
+_BLAS_PINS = {
+    "OPENBLAS_NUM_THREADS": "1",
+    "OMP_NUM_THREADS": "1",
+    "MKL_NUM_THREADS": "1",
+    "VECLIB_MAXIMUM_THREADS": "1",
+    "NUMEXPR_NUM_THREADS": "1",
+}
+for _k, _v in _BLAS_PINS.items():
+    os.environ.setdefault(_k, _v)
+
+
 def get_spark(
     app: str = "glirel_spark",
     cores: int | None = None,
@@ -46,6 +65,8 @@ def get_spark(
         # serial term, and halving the bytes is worth the CPU — the
         # same trade a real cluster makes for network-bound exchanges.
     )
+    for k, v in _BLAS_PINS.items():
+        b = b.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -1,0 +1,139 @@
+"""N vs 4N executor scaling for the NEURAL extraction stage.
+
+bench_scaling.py measures the lexical flagship (extraction + linking);
+this harness measures the tensor plane — the mapInPandas scorer UDF
+plus its decode — because at production scale the neural scorer IS the
+triple-extraction stage the north rule's efficiency target covers.
+Expectation and why: the scorer is map-only per document (model
+singleton per python worker, Arrow batches, zero cross-doc state), so
+it should scale near the hardware ceiling; the only exchange is the
+mentions collect_list groupBy + the decode argmax.
+
+Same protocol as bench_scaling.py: local-cluster[N,4,mem] (real
+executor JVMs), one untimed warmup per level, min of REPS timed runs,
+result appended to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "4"))
+N_EXEC_LO = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
+REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+CORES_PER_EXEC = 4
+EXEC_MEM_MB = 12288
+
+_JOB = r"""
+import sys, time, json
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession, functions as F
+from glirel_spark.model import udf as model_udf
+from glirel_spark.operators import fused
+from glirel_spark.sources import tables
+
+n_exec = {n_exec}
+total_cores = n_exec * {cores_per_exec}
+spark = (
+    SparkSession.builder
+    .master(f"local-cluster[{{n_exec}},{cores_per_exec},{exec_mem}]")
+    .appName(f"neural-scaling-{{n_exec}}x{cores_per_exec}")
+    .config("spark.executor.memory", "{exec_mem}m")
+    # executor python workers must import glirel_spark (mapInPandas UDF);
+    # local stand-in for spark-submit --py-files glirel_spark.zip
+    .config("spark.executorEnv.PYTHONPATH", {repo!r})
+    # single-threaded BLAS in python workers (session._BLAS_PINS):
+    # un-pinned OpenBLAS spawns ncpu spin-waiting threads per worker —
+    # 16 workers x 32 spinners made 4 executors 1.5x SLOWER than 1
+    .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+    .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+    .config("spark.executorEnv.MKL_NUM_THREADS", "1")
+    .config("spark.sql.shuffle.partitions", str(total_cores * 2))
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.io.compression.codec", "zstd")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+)
+spark.sparkContext.setLogLevel("WARN")
+
+flat = spark.read.parquet({sf_dir!r} + "/documents.parquet")
+reps = [
+    flat.withColumn("doc_id", F.col("doc_id") + F.lit(k * 1000000))
+    for k in range({replicate})
+]
+big = reps[0]
+for r in reps[1:]:
+    big = big.unionByName(r)
+big = big.repartition(total_cores * 2)
+inter = tables.interleaved_documents(big)
+dt = tables.text_of(inter).select(
+    "doc_id", F.split("text", " ").alias("tokens"))
+dm = fused.with_mentions(dt).cache()
+ments = fused.mentions_from(dm)
+
+def job():
+    model_udf.neural_triples(dt, ments).write.format("noop").mode("overwrite").save()
+
+job()  # warmup: JIT + python worker spin-up + token-embedding cache
+times = []
+for _ in range({reps}):
+    t0 = time.perf_counter()
+    job()
+    times.append(time.perf_counter() - t0)
+elapsed = min(times)
+n_docs = big.count()
+spark.stop()
+print(json.dumps({{"n_exec": n_exec, "sec": elapsed, "n_docs": n_docs,
+                   "all_runs": [round(t, 3) for t in times]}}))
+"""
+
+
+def run_level(n_exec: int) -> dict:
+    code = _JOB.format(
+        repo=str(REPO), n_exec=n_exec, cores_per_exec=CORES_PER_EXEC,
+        exec_mem=EXEC_MEM_MB, sf_dir=SF_DIR, replicate=REPLICATE,
+        reps=REPS,
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, check=True
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main() -> None:
+    lo = run_level(N_EXEC_LO)
+    hi = run_level(N_EXEC_LO * 4)
+    eff = (lo["sec"] / hi["sec"]) / 4.0
+    result = {
+        "metric": f"neural_scaling_efficiency_{N_EXEC_LO}_to_{N_EXEC_LO * 4}_executors",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "t_lo_sec": round(lo["sec"], 3),
+        "t_hi_sec": round(hi["sec"], 3),
+        "docs_per_sec_lo": round(lo["n_docs"] / lo["sec"], 1),
+        "docs_per_sec_hi": round(hi["n_docs"] / hi["sec"], 1),
+        "n_docs": lo["n_docs"],
+        "sf_dir": SF_DIR,
+        "replicate": REPLICATE,
+    }
+    print(json.dumps(result))
+    bench_md = REPO / "BENCH" / "BASELINE.md"
+    with bench_md.open("a") as f:
+        f.write(
+            f"| neural {N_EXEC_LO} vs {N_EXEC_LO * 4} | {result['n_docs']} | "
+            f"{result['t_lo_sec']} | {result['t_hi_sec']} | "
+            f"{result['docs_per_sec_lo']} | {result['docs_per_sec_hi']} | "
+            f"{result['value']} |\n"
+        )
+
+
+if __name__ == "__main__":
+    main()
