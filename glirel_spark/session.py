@@ -44,9 +44,16 @@ def get_spark(
         # ~= cores in local mode; on a real cluster: 2-3x total cores,
         # with AQE coalescing down at runtime.
         shuffle_partitions = max(cores, 8)
+    b = SparkSession.builder
+    # under spark-submit the JVM gateway already exists and --master /
+    # --driver-memory were decided at launch; hard-setting .master()
+    # here would silently override the submitted cluster (it did:
+    # a local-cluster submit ran local[4] until this check existed).
+    submitted = "PYSPARK_GATEWAY_PORT" in os.environ
+    if not submitted:
+        b = b.master(f"local[{cores}]")
     b = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app)
+        b.appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

@@ -28,7 +28,7 @@ from glirel_spark.sources import tables
 
 
 def extract_bucket(docs_subset):
-    """Per-bucket stage: documents -> linked triples."""
+    """Per-bucket stage: documents -> linked triples (lexical scorer)."""
     spark = docs_subset.sparkSession
     dt = tables.text_of(docs_subset).select(
         "doc_id", F.split("text", " ").alias("tokens")
@@ -39,12 +39,32 @@ def extract_bucket(docs_subset):
     return linking.link_triples(triples, linking.alias_df(spark))
 
 
+def extract_bucket_neural(docs_subset):
+    """Per-bucket stage with the tensor-plane scorer (mapInPandas) —
+    the path that requires `--py-files glirel_spark.zip` to reach the
+    EXECUTOR python workers, not just the driver."""
+    spark = docs_subset.sparkSession
+    from glirel_spark.model import udf as model_udf
+
+    dt = tables.text_of(docs_subset).select(
+        "doc_id", F.split("text", " ").alias("tokens")
+    )
+    ments = fused.mentions_from(fused.with_mentions(dt))
+    triples = model_udf.neural_triples(dt, ments)
+    return linking.link_triples(triples, linking.alias_df(spark))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
     ap.add_argument("--output", required=True)
     ap.add_argument("--buckets", type=int, default=8)
     ap.add_argument("--cores", type=int, default=None)
+    ap.add_argument(
+        "--scorer", choices=["lexical", "neural"], default="lexical",
+        help="neural = tensor-plane mapInPandas scorer (executor python "
+        "workers import glirel_spark from --py-files)",
+    )
     ap.add_argument(
         "--eval-report", action="store_true",
         help="also run the threshold-grid evaluation replay and write "
@@ -61,7 +81,7 @@ def main() -> None:
     linked = run_resumable(
         spark,
         inter,
-        extract_bucket,
+        extract_bucket_neural if args.scorer == "neural" else extract_bucket,
         out_path=f"{args.output}/linked",
         lineage_path=f"{args.output}/lineage",
         n_buckets=args.buckets,
