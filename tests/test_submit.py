@@ -1,0 +1,48 @@
+"""spark-submit launch-path regressions: the submitted --master must
+win (get_spark silently overrode it until the PYSPARK_GATEWAY_PORT
+check), and the --py-files artifact must build deterministically."""
+
+from __future__ import annotations
+
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+
+
+@pytest.mark.skipif(shutil.which("spark-submit") is None, reason="no spark-submit")
+def test_submitted_master_is_respected(tmp_path):
+    script = tmp_path / "master_check.py"
+    script.write_text(
+        "import sys\n"
+        f"sys.path.insert(0, {str(REPO)!r})\n"
+        "from glirel_spark.session import get_spark\n"
+        "s = get_spark('master-check', cores=2)\n"
+        "print('MASTER:', s.sparkContext.master)\n"
+        "s.stop()\n"
+    )
+    out = subprocess.run(
+        ["spark-submit", "--master", "local-cluster[2,2,2048]", str(script)],
+        capture_output=True, text=True, timeout=240,
+    )
+    assert "MASTER: local-cluster[2,2,2048]" in out.stdout, out.stderr[-2000:]
+
+
+def test_dist_zip_is_deterministic_and_importable(tmp_path):
+    sys.path.insert(0, str(REPO / "tools"))
+    import make_dist
+
+    a = make_dist.build(tmp_path / "a.zip")
+    b = make_dist.build(tmp_path / "b.zip")
+    assert a.read_bytes() == b.read_bytes()
+    probe = subprocess.run(
+        [sys.executable, "-c",
+         f"import sys; sys.path.insert(0, {str(a)!r}); "
+         "import glirel_spark.config as c; print(len(c.TABLES))"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert probe.stdout.strip() == "10", probe.stderr
