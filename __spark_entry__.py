@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from glirel_spark import config  # noqa: E402
 from glirel_spark import oracle  # noqa: E402
 from glirel_spark import oracle_corpus as oc  # noqa: E402
 from glirel_spark.plans import pipeline, relational  # noqa: E402
@@ -106,6 +107,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trained coarse quantizer (sample-fit k-means) + multi-probe —
         # the genuine 10^12-row IVF shape (operators/kmeans.py)
         "ann_topk_kmeans": pipeline.ann_topk_kmeans,
+        # corpus-side multi-assignment variant (top-A cells per vector:
+        # A x index size for boundary-vector recall)
+        "ann_topk_kmeans_multi": pipeline.ann_topk_kmeans_multi,
         "embedding_neardups": pipeline.embedding_neardups,
         # multimodal plumbing
         "media_features": pipeline.media_features,
@@ -161,6 +165,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": oc.q_ann_topk(),
         "ann_topk_ivf": oc.q_ann_topk_ivf(),
         "ann_topk_kmeans": oc.q_ann_topk_kmeans(),
+        "ann_topk_kmeans_multi": oc.q_ann_topk_kmeans(
+            corpus_probe=config.IVF_KM_CORPUS_PROBE
+        ),
         "embedding_neardups": oc.q_embedding_neardups(),
         "media_features": oc.q_media_features(),
         "media_stats": oc.q_media_stats(),

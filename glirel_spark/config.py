@@ -164,6 +164,7 @@ IVF_KM_CELLS = 8  # coarse centroids (FAISS-style trained quantizer)
 IVF_KM_SAMPLE = 512  # driver-side fit sample cap
 IVF_KM_ITERS = 8  # Lloyd iterations
 IVF_KM_NPROBE = 2  # query-side multi-probe width
+IVF_KM_CORPUS_PROBE = 2  # corpus-side multi-assignment (index replication)
 
 # --------------------------------------------------------------------------
 # Multimodal (synthetic deterministic media bytes; decode itself is stubbed)

@@ -196,22 +196,38 @@ def kmeans_ivf_topk(
     n_queries: int = config.ANN_N_QUERIES,
     k: int = config.ANN_TOP_K,
     n_probe: int = config.IVF_KM_NPROBE,
+    corpus_probe: int = 1,
 ) -> DataFrame:
     """ANN top-k with a trained coarse quantizer and multi-probe.
 
-    Corpus side: ONE narrow projection adds the assigned cell (argmax
-    over k fold-dots — whole-stage codegen, no explode, no Python), so
-    at 10^12 rows the scan stays a single pass; in production the cell
-    would be a persisted partition column so probes prune at the file
-    level. Query side: tiny, exploded to its top-``n_probe`` cells and
-    broadcast — the candidate join is an equi hash join on cell,
-    costing |Q| x n_probe x (N / n_cells) instead of |Q| x N.
+    Corpus side: with ``corpus_probe=1`` ONE narrow projection adds the
+    assigned cell (argmax over k fold-dots — whole-stage codegen, no
+    explode, no Python), so at 10^12 rows the scan stays a single pass;
+    in production the cell would be a persisted partition column so
+    probes prune at the file level. ``corpus_probe=A>1`` indexes each
+    vector under its top-A cells (the standard IVF replication trade:
+    A x index size for recall that single-assignment can't reach —
+    boundary vectors become visible from both neighboring cells); a
+    neighbour can then match through several cells, so candidates are
+    deduped on (q_id, n_id) before ranking. Query side: tiny, exploded
+    to its top-``n_probe`` cells and broadcast — the candidate join is
+    an equi hash join on cell, costing |Q| x n_probe x (A x N /
+    n_cells) instead of |Q| x N.
     """
     from glirel_spark.operators import similarity
 
-    base = similarity.with_norm(emb).withColumn(
-        "cell", assign_cell_expr(F.col("embedding"), centroids)
-    )
+    normed = similarity.with_norm(emb)
+    if corpus_probe == 1:
+        base = normed.withColumn(
+            "cell", assign_cell_expr(F.col("embedding"), centroids)
+        )
+    else:
+        base = normed.withColumn(
+            "cell",
+            F.explode(
+                probe_cells_expr(F.col("embedding"), centroids, corpus_probe)
+            ),
+        )
     q = base.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"),
         F.col("embedding").alias("q_emb"),
@@ -229,6 +245,9 @@ def kmeans_ivf_topk(
     scored = pairs.select(
         "q_id", F.col("vec_id").alias("n_id"), cos.alias("cosine")
     )
+    if corpus_probe > 1:
+        # identical rows when a neighbour matches via several cells
+        scored = scored.dropDuplicates(["q_id", "n_id"])
     from pyspark.sql import Window as W
 
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))

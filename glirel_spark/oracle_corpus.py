@@ -494,7 +494,7 @@ SELECT t.doc_id,
 FROM tot t LEFT JOIN nd ON t.doc_id = nd.doc_id"""
 
 
-def q_ann_topk_kmeans() -> str:
+def q_ann_topk_kmeans(corpus_probe: int = 1) -> str:
     """Trained-IVF (k-means) ANN oracle. The coarse quantizer fit is
     driver-side and deterministic (operators/kmeans.fit_centroids), so
     both engines share the SAME centroid doubles (repr round-trip);
@@ -502,6 +502,8 @@ def q_ann_topk_kmeans() -> str:
     selection, the candidate join, and the cosine rank. The centroids
     depend on which sf's embeddings are registered, so the query
     dispatches on the documents-corpus signature like q_triples_neural.
+    ``corpus_probe>1`` mirrors the multi-assignment index (each vector
+    under its top-A cells; candidates deduped before ranking).
     """
     from glirel_spark.operators import kmeans
     from glirel_spark.oracle import _GOLDEN_SIGS
@@ -525,17 +527,21 @@ probes_{i} AS (
                             ORDER BY {dot_c} DESC, c.cell ASC) AS pr
   FROM embn e CROSS JOIN cents_{i} c
 ),
-assign_{i} AS (SELECT vec_id, embedding, nrm, cell FROM probes_{i} WHERE pr = 1),
+assign_{i} AS (SELECT vec_id, embedding, nrm, cell FROM probes_{i} WHERE pr <= {corpus_probe}),
 q_{i} AS (
   SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, cell
   FROM probes_{i} WHERE vec_id < {c.ANN_N_QUERIES} AND pr <= {c.IVF_KM_NPROBE}
 ),
-ranked_{i} AS (
-  SELECT q.q_id, e.vec_id AS n_id,
-         {dot_q} / (q.q_nrm * e.nrm) AS cosine,
-         CAST(row_number() OVER (PARTITION BY q.q_id
-              ORDER BY {dot_q} / (q.q_nrm * e.nrm) DESC, e.vec_id ASC) AS INT) AS rk
+cand_{i} AS (
+  SELECT DISTINCT q.q_id, e.vec_id AS n_id,
+         {dot_q} / (q.q_nrm * e.nrm) AS cosine
   FROM assign_{i} e JOIN q_{i} q ON e.cell = q.cell AND e.vec_id <> q.q_id
+),
+ranked_{i} AS (
+  SELECT q_id, n_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cosine DESC, n_id ASC) AS INT) AS rk
+  FROM cand_{i}
 )"""
         )
         arms.append(

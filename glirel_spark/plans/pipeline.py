@@ -373,6 +373,16 @@ def ann_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans.kmeans_ivf_topk(emb, cents)
 
 
+def ann_topk_kmeans_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import kmeans
+
+    emb = tables.TableIO(spark, sf_dir).table("embeddings")
+    cents = kmeans.fit_centroids(sf_dir)
+    return kmeans.kmeans_ivf_topk(
+        emb, cents, corpus_probe=config.IVF_KM_CORPUS_PROBE
+    )
+
+
 def embedding_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import similarity
 

@@ -74,6 +74,14 @@ def test_recall_beats_signbit_and_multiprobe_monotone(spark):
     assert rec[2] > len(bf & sign) / len(bf)
     assert rec[2] >= 0.4  # measured 0.52 at sf0.001, 0.58 at sf0.1
     assert rec[1] <= rec[2] <= rec[4]  # multi-probe only adds candidates
+    # corpus-side multi-assignment (2x index) strictly adds candidates
+    km2 = {
+        (r.q_id, r.n_id)
+        for r in kmeans.kmeans_ivf_topk(emb, cents, corpus_probe=2).collect()
+    }
+    rec2 = len(bf & km2) / len(bf)
+    assert rec2 >= rec[2]  # measured 0.78 vs 0.52 at sf0.001
+    assert rec2 >= 0.6
 
 
 def test_index_search_equals_direct_and_prunes(spark, tmp_path):
