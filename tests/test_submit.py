@@ -46,3 +46,16 @@ def test_dist_zip_is_deterministic_and_importable(tmp_path):
         capture_output=True, text=True, timeout=60,
     )
     assert probe.stdout.strip() == "10", probe.stderr
+
+
+def test_export_weights_fails_cleanly_without_torch(tmp_path):
+    sys.path.insert(0, str(REPO / "tools"))
+    import export_weights
+
+    try:
+        import torch  # noqa: F401
+        pytest.skip("torch present; export path is live")
+    except ImportError:
+        pass
+    with pytest.raises(SystemExit, match="torch is not available"):
+        export_weights.export("nonexistent.bin", str(tmp_path / "w.npz"))
