@@ -79,6 +79,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_degrees": pipeline.entity_degrees,
         # 2-hop traversal join (the multi-hop query template)
         "two_hop_paths": pipeline.two_hop_paths,
+        # directed 3-cycles (canonical rotation, pred-agnostic)
+        "kg_triangles": pipeline.kg_triangles,
         # corpus dedup (training-data pipeline)
         "minhash_signatures": pipeline.minhash_signatures,
         "minhash_neardups": pipeline.minhash_neardups,
@@ -147,6 +149,7 @@ def oracle_sql() -> dict[str, str]:
         "graph": oracle.q_graph(),
         "entity_degrees": oracle.q_entity_degrees(),
         "two_hop_paths": oracle.q_two_hop_paths(),
+        "kg_triangles": oracle.q_kg_triangles(),
         "minhash_signatures": oc.q_minhash_signatures(),
         "minhash_neardups": oc.q_minhash_neardups(),
         # recursive-CTE transitive closure (min reachable doc_id)

@@ -129,3 +129,32 @@ def two_hop_paths(graph: DataFrame, min_mentions: int = 1) -> DataFrame:
         .filter((F.col("a") != F.col("b")) & (F.col("b") != F.col("c")))
         .select("a", "p1", "b", "p2", "c")
     )
+
+
+def triangles(graph: DataFrame) -> DataFrame:
+    """Directed 3-cycles (a)->(b)->(c)->(a) in the KG, pred-agnostic.
+
+    Each directed 3-cycle has exactly one rotation whose first entity
+    is the smallest, so ``a < b AND a < c`` canonicalizes without a
+    post-hoc dedup. Two self-joins on the DISTINCT edge set — the same
+    co-partitioned bridge-join shape as two_hop_paths, with the closing
+    join keyed on (c, a); at 10^12 edges this is the classic
+    triangle-enumeration join plan (order vertices by degree before
+    joining to bound the skew, the standard trick — noted, not needed
+    at sandbox scale).
+    """
+    e = (
+        graph.select("subj", "obj")
+        .filter(F.col("subj") != F.col("obj"))
+        .distinct()
+    )
+    e1 = e.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+    e2 = e.select(F.col("subj").alias("b"), F.col("obj").alias("c"))
+    e3 = e.select(F.col("subj").alias("c"), F.col("obj").alias("a"))
+    return (
+        e1.join(e2, "b")
+        .filter(F.col("c") != F.col("a"))
+        .join(e3, ["c", "a"])
+        .filter((F.col("a") < F.col("b")) & (F.col("a") < F.col("c")))
+        .select("a", "b", "c")
+    )

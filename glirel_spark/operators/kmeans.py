@@ -131,18 +131,32 @@ def assign_cell_expr(emb_col: Column, centroids) -> Column:
     return F.element_at(probe_cells_expr(emb_col, centroids, 1), 1)
 
 
-def build_index(emb: DataFrame, centroids, path: str) -> None:
+def build_index(
+    emb: DataFrame, centroids, path: str, corpus_probe: int = 1
+) -> None:
     """Materialize the IVF index: corpus + norm + assigned cell, written
     partitioned BY CELL. This is the build-once pass (one map-only scan,
     no shuffle — partitionBy splits files locally); afterwards every
     search touches only its probed cells' files via partition pruning,
     which is how a 10^12-row corpus avoids re-scanning itself per query
-    batch. On a cluster this table is the Iceberg index table."""
+    batch. ``corpus_probe=A>1`` writes each vector under its top-A cells
+    (A x index size for the recall lift measured in test_kmeans_ivf) —
+    search_index dedupes matches. On a cluster this table is the
+    Iceberg index table."""
     from glirel_spark.operators import similarity
 
-    base = similarity.with_norm(emb).withColumn(
-        "cell", assign_cell_expr(F.col("embedding"), centroids)
-    )
+    normed = similarity.with_norm(emb)
+    if corpus_probe == 1:
+        base = normed.withColumn(
+            "cell", assign_cell_expr(F.col("embedding"), centroids)
+        )
+    else:
+        base = normed.withColumn(
+            "cell",
+            F.explode(
+                probe_cells_expr(F.col("embedding"), centroids, corpus_probe)
+            ),
+        )
     base.write.partitionBy("cell").mode("overwrite").parquet(path)
 
 
@@ -181,7 +195,7 @@ def search_index(
     )
     scored = pairs.select(
         "q_id", F.col("vec_id").alias("n_id"), cos.alias("cosine")
-    )
+    ).dropDuplicates(["q_id", "n_id"])  # multi-assigned indexes match twice
     w = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))

@@ -536,6 +536,21 @@ FROM e GROUP BY entity"""
     )
 
 
+def q_kg_triangles() -> str:
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED)
+        + """
+, e AS (
+  SELECT DISTINCT subj, obj FROM linked WHERE subj <> obj
+)
+SELECT e1.subj AS a, e1.obj AS b, e2.obj AS c
+FROM e e1
+JOIN e e2 ON e2.subj = e1.obj AND e2.obj <> e1.subj
+JOIN e e3 ON e3.subj = e2.obj AND e3.obj = e1.subj
+WHERE e1.subj < e1.obj AND e1.subj < e2.obj"""
+    )
+
+
 def q_two_hop_paths() -> str:
     return (
         with_chain(cte_scored(), cte_triples(), CTE_LINKED)

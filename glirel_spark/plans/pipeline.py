@@ -231,6 +231,12 @@ def two_hop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.two_hop_paths(graph(spark, sf_dir))
 
 
+def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+
+    return graph_ops.triangles(graph(spark, sf_dir))
+
+
 # --- tensor-plane (neural) path ----------------------------------------------
 
 def triples_neural(spark: SparkSession, sf_dir: str) -> DataFrame:

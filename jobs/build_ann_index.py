@@ -37,6 +37,8 @@ def main() -> None:
                     help="search the first N vec_ids after building (0 = build only)")
     ap.add_argument("--topk", type=int, default=config.ANN_TOP_K)
     ap.add_argument("--nprobe", type=int, default=config.IVF_KM_NPROBE)
+    ap.add_argument("--corpus-probe", type=int, default=1,
+                    help="index each vector under its top-A cells (A x size, higher recall)")
     ap.add_argument("--search-out", default=None)
     ap.add_argument("--cores", type=int, default=None)
     args = ap.parse_args()
@@ -50,7 +52,7 @@ def main() -> None:
     (out / "centroids.json").write_text(json.dumps([list(c) for c in cents]))
 
     emb = tables.TableIO(spark, args.input).table("embeddings")
-    kmeans.build_index(emb, cents, str(out / "cells"))
+    kmeans.build_index(emb, cents, str(out / "cells"), corpus_probe=args.corpus_probe)
     t_build = time.perf_counter() - t0
 
     result = {"index": str(out / "cells"), "n_cells": len(cents),

@@ -98,3 +98,17 @@ def test_two_hop_paths(spark):
         ("B", "p2", "C", "p4", "A"),
         ("C", "p4", "A", "p1", "B"),
     }
+
+
+def test_triangles(spark):
+    from glirel_spark.operators.graph import triangles
+
+    g = spark.createDataFrame(
+        [
+            ("A", "p", "B", 1), ("B", "p", "C", 1), ("C", "p", "A", 1),  # cycle
+            ("C", "p", "D", 1), ("D", "p", "C", 1),  # 2-cycle: not a triangle
+            ("A", "q", "B", 1),  # parallel edge: must not double-count
+        ],
+        "subj string, pred string, obj string, n_mentions long",
+    )
+    assert {tuple(r) for r in triangles(g).collect()} == {("A", "B", "C")}

@@ -98,6 +98,14 @@ def test_index_search_equals_direct_and_prunes(spark, tmp_path):
     assert {tuple(r) for r in out.collect()} == {
         tuple(r) for r in direct.collect()
     }
+    # multi-assigned index == direct multi-assignment path
+    path2 = str(tmp_path / "ivf_index2")
+    kmeans.build_index(emb, cents, path2, corpus_probe=2)
+    out2 = kmeans.search_index(spark.read.parquet(path2), qs, cents)
+    direct2 = kmeans.kmeans_ivf_topk(emb, cents, corpus_probe=2)
+    assert {tuple(r) for r in out2.collect()} == {
+        tuple(r) for r in direct2.collect()
+    }
     # the index scan must be partition-pruned to the probed cells via a
     # dynamic-pruning subquery on the broadcast join key — at 10^12 rows
     # this is what turns per-query cost from O(corpus) into O(probed cells)
