@@ -1,0 +1,74 @@
+"""Reference-format JSONL ingestion (S1): the EXACT file format the
+reference trains/evaluates on (reference README.md:150-185,
+data/sample.jsonl; loader seeds eval.py:236-248, train.py:581-592) —
+
+    {"tokenized_text": [...],
+     "ner": [[start, end, type, text], ...],            # end-INCLUSIVE
+     "relations": [{"head": {"position": [s, e], ...},
+                    "tail": {...}, "relation_text": ...}, ...]}
+
+so a reference user can point their existing JSONL at this engine and
+run extraction/evaluation unchanged. Documents are content-addressed
+(doc_id = sha1 of the raw line): deterministic, distributed, no
+row-numbering shuffle; byte-identical duplicate lines collapse to one
+document, which matches the reference's dedup hygiene
+(utils.py:6-36).
+
+The ``ner`` element is a heterogeneous JSON array ([int, int, str,
+str]); it is read as array<string> (Spark coerces the numbers) and
+cast back — the only schema wrinkle in the format.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+_POS = "struct<mention:string, position:array<int>, type:string>"
+SCHEMA = (
+    "tokenized_text array<string>, "
+    "ner array<array<string>>, "
+    f"relations array<struct<head:{_POS}, tail:{_POS}, "
+    "relation_id:string, relation_text:string>>"
+)
+
+
+def read_reference_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    raw = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
+    parsed = raw.select(
+        F.sha1(F.col("value")).alias("doc_id"),
+        F.from_json("value", SCHEMA).alias("j"),
+    ).dropDuplicates(["doc_id"])
+    return parsed.select("doc_id", "j.tokenized_text", "j.ner", "j.relations")
+
+
+def docs_tokens_from_jsonl(df: DataFrame) -> DataFrame:
+    """(doc_id, tokens) — the engine's docs_tokens shape."""
+    return df.select("doc_id", F.col("tokenized_text").alias("tokens"))
+
+
+def mentions_from_jsonl(df: DataFrame) -> DataFrame:
+    """(doc_id, start, end, type, text) — end-INCLUSIVE, the engine's
+    mentions shape; external NER replaces the gazetteer stage, exactly
+    the external-annotations path generate_pairs serves."""
+    m = df.select("doc_id", F.explode("ner").alias("n"))
+    return m.select(
+        "doc_id",
+        F.element_at("n", 1).cast("int").alias("start"),
+        F.element_at("n", 2).cast("int").alias("end"),
+        F.element_at("n", 3).alias("type"),
+        F.element_at("n", 4).alias("text"),
+    ).dropDuplicates(["doc_id", "start", "end"])
+
+
+def gold_relations_from_jsonl(df: DataFrame) -> DataFrame:
+    """(doc_id, h_start, h_end, t_start, t_end, label) gold feed —
+    inclusive indices, ready for the J2/J4 gold machinery."""
+    r = df.select("doc_id", F.explode("relations").alias("r"))
+    return r.select(
+        "doc_id",
+        F.col("r.head.position")[0].alias("h_start"),
+        F.col("r.head.position")[1].alias("h_end"),
+        F.col("r.tail.position")[0].alias("t_start"),
+        F.col("r.tail.position")[1].alias("t_end"),
+        F.col("r.relation_text").alias("label"),
+    ).dropDuplicates()
