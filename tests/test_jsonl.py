@@ -84,3 +84,22 @@ def test_jsonl_to_neural_triples_end_to_end(spark, tmp_path):
     for r in out:
         assert (r.doc_id, r.head_start, r.head_end - 1) in spans
         assert (r.doc_id, r.tail_start, r.tail_end - 1) in spans
+
+
+def test_reference_eval_protocol_on_jsonl(spark, tmp_path):
+    """Full zero-shot eval replay: labels from the file, tensor-plane
+    scoring, J5 filter, J4 counts, A1/A2 metrics — deterministic."""
+    from glirel_spark.plans.refeval import evaluate_jsonl
+
+    path = _write(tmp_path)
+    counts, metrics = evaluate_jsonl(spark, path, threshold=0.0)
+    rows = counts.collect()
+    file_labels = {"located in or next to body of water", "part of"}
+    assert {r.label for r in rows} <= file_labels and rows
+    m = metrics.collect()[0]
+    for f in ("micro_precision", "micro_recall", "micro_f1",
+              "macro_precision", "macro_recall", "macro_f1"):
+        assert 0.0 <= getattr(m, f) <= 1.0
+    # deterministic across invocations (seeded scorer, no RNG at eval)
+    _, metrics2 = evaluate_jsonl(spark, path, threshold=0.0)
+    assert metrics2.collect()[0] == m
