@@ -7,9 +7,10 @@ Design (SURVEY.md §4, north_star):
 - the model is a process-level singleton (DeterministicGLiREL.get()):
   loaded once per executor python worker, never per batch. With real
   weights this is the `--archives`-shipped checkpoint + ONNX session.
-- label reps are computed once per label set and cached inside the
-  model (the reference's fixed_relation_types single prompt,
-  base.py:319-325, lifted to per-partition granularity).
+- label reps are DOCUMENT-contextual (the prompt attends to the doc it
+  scores, model.py:188-214), so they come out of the same per-doc
+  transformer forward as the word reps — no cross-doc caching is
+  possible, and none is attempted.
 - output is the scored-pair relation (doc_id, positions, label, prob):
   the SAME shape the lexical scorer produces, so the entire decode /
   linking / graph pipeline downstream is scorer-agnostic.
@@ -61,23 +62,15 @@ def score_pairs_neural(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = DeterministicGLiREL.get()
         for pdf in batches:
-            # batch-level embedding: factorize every token in the Arrow
-            # batch once, embed only the UNIQUE tokens (process-cached),
-            # then each doc's rep matrix is a pure numpy gather + mix —
-            # no per-token Python in the per-doc loop.
-            tok_lists = [np.asarray(t, dtype=object) for t in pdf["tokens"]]
-            if tok_lists:
-                flat = np.concatenate([t for t in tok_lists if len(t)] or
-                                      [np.array([], dtype=object)])
-                codes, uniques = pd.factorize(flat)
-                emb_u = model.embed_matrix(uniques)
-                offsets = np.cumsum([0] + [len(t) for t in tok_lists])
-                # T8 BiLSTM over the WHOLE Arrow batch at once: the
-                # python recurrence loop is O(max_len), not O(docs).
-                reps_list = model.encode_batch(
-                    [emb_u[codes[offsets[i]:offsets[i + 1]]]
-                     for i in range(len(tok_lists))]
-                )
+            # T2-T6 transformer encode per document (the prompt and the
+            # document attend JOINTLY, so token reps are contextual and
+            # cannot be factorized across docs), then the T8 BiLSTM runs
+            # batched over the WHOLE Arrow batch at once — its python
+            # recurrence loop is O(max_len), not O(docs).
+            tok_lists = [list(t) for t in pdf["tokens"]]
+            enc = [model.encode_doc(toks, label_tuple) for toks in tok_lists]
+            reps_list = model.encode_batch([word for word, _ in enc])
+            lab_list = [model.label_ffn(rel) for _, rel in enc]
             chunks: list[pd.DataFrame] = []
             for row_i, (doc_id, tokens, spans) in enumerate(
                 zip(pdf["doc_id"], tok_lists, pdf["spans"])
@@ -88,9 +81,9 @@ def score_pairs_neural(
                 # P4: filter HERE so the pair indices score_doc returns
                 # refer to the same span array we gather positions from.
                 sp = model.valid_spans(sp, len(tokens))
-                reps = reps_list[row_i]
                 pidx, probs = model.score_doc(
-                    list(tokens), sp, label_tuple, max_distance, tok_reps=reps
+                    tokens, sp, label_tuple, max_distance,
+                    tok_reps=reps_list[row_i], lab_reps=lab_list[row_i]
                 )
                 n_pairs = len(pidx)
                 if n_pairs == 0:

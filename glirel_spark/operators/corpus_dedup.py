@@ -391,6 +391,15 @@ def neardup_clusters(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # ADVICE r2: never return a partially-merged family silently —
+        # the DuckDB oracle computes the full transitive closure, so a
+        # >max_iter-diameter chain would otherwise surface only as a
+        # hash mismatch on exotic data.
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iter} rounds; "
+            "raise max_iter (each round extends reachable chain length)"
+        )
     docs = docs_tokens.select(F.col("doc_id").cast("string").alias("doc_id"))
     canonical = F.coalesce(F.col("root"), F.col("doc_id"))
     return docs.join(labels, "doc_id", "left").select(
@@ -425,22 +434,46 @@ def decontaminate(
     13-gram overlap filters described in the GPT-3/PaLM appendices).
 
     Scale shape: benchmarks are SMALL AND BOUNDED by construction, so
-    the eval shingle set is collected once and inlined as a single
-    array literal (on a cluster: a broadcast variable); the corpus side
-    is then a pure map-only scan — ``array_intersect`` per row against
-    the in-memory set, NO join, NO shuffle, no matter how many training
-    documents flow past. ``n_hits`` counts distinct shared shingles
-    (both sides are distinct by construction).
+    the eval shingle set is aggregated to ONE sorted array row and
+    broadcast (BroadcastNestedLoopJoin with a single-row build side —
+    Catalyst's native broadcast-variable); the corpus side is then a
+    pure map-only scan — ``array_intersect`` per row against the
+    broadcast set, NO corpus-side shuffle, no matter how many training
+    documents flow past. No driver ``collect()`` and no giant plan
+    literal (the round-2 form inlined the set as one array literal,
+    which bloats analysis/codegen for multi-benchmark sweeps).
+    ``n_hits`` counts distinct shared shingles (both sides are distinct
+    by construction).
     """
-    is_eval = (F.col("doc_id").cast("long") % eval_mod) == 0
-    ev = shingled.filter(is_eval).select(F.explode("_sh").alias("sh")).distinct()
-    eval_hashes = sorted(r.sh for r in ev.collect())
-    lit = F.lit(eval_hashes).cast("array<long>")
-    hits = F.size(F.array_intersect(F.col("_sh"), lit))
-    return shingled.filter(~is_eval).select(
-        "doc_id",
-        hits.cast("int").alias("n_hits"),
-        (hits > 0).alias("contaminated"),
+    did = F.col("doc_id").cast("long")
+    # content-addressed (sha1) doc_ids cast to NULL and would silently
+    # empty the result — fail loudly instead (ADVICE r2): the pseudo
+    # eval split is defined on integer-id corpora only; real pipelines
+    # pass an explicit benchmark table as the eval side.
+    did = F.when(
+        F.assert_true(
+            did.isNotNull(),
+            "decontaminate: doc_id must cast to long (integer-id corpora); "
+            "for content-addressed ids supply an explicit eval split",
+        ).isNull(),
+        did,
+    )
+    is_eval = (did % eval_mod) == 0
+    ev_arr = (
+        shingled.filter(is_eval)
+        .select(F.explode("_sh").alias("sh"))
+        .distinct()
+        .agg(F.sort_array(F.collect_list("sh")).alias("_eval_sh"))
+    )
+    hits = F.size(F.array_intersect(F.col("_sh"), F.col("_eval_sh")))
+    return (
+        shingled.filter(~is_eval)
+        .join(F.broadcast(ev_arr))
+        .select(
+            "doc_id",
+            hits.cast("int").alias("n_hits"),
+            (hits > 0).alias("contaminated"),
+        )
     )
 
 

@@ -51,13 +51,22 @@ def mentions_from_jsonl(df: DataFrame) -> DataFrame:
     mentions shape; external NER replaces the gazetteer stage, exactly
     the external-annotations path generate_pairs serves."""
     m = df.select("doc_id", F.explode("ner").alias("n"))
-    return m.select(
+    spans = m.select(
         "doc_id",
         F.element_at("n", 1).cast("int").alias("start"),
         F.element_at("n", 2).cast("int").alias("end"),
         F.element_at("n", 3).alias("type"),
         F.element_at("n", 4).alias("text"),
-    ).dropDuplicates(["doc_id", "start", "end"])
+    )
+    # same span annotated twice with different (type, text): resolve
+    # DETERMINISTICALLY (min over the struct order), not by whichever
+    # row dropDuplicates happens to keep under the current partitioning
+    # (ADVICE r2 — the engine's determinism contract).
+    return (
+        spans.groupBy("doc_id", "start", "end")
+        .agg(F.min(F.struct("type", "text")).alias("_tt"))
+        .select("doc_id", "start", "end", "_tt.type", "_tt.text")
+    )
 
 
 def gold_relations_from_jsonl(df: DataFrame) -> DataFrame:

@@ -44,14 +44,19 @@ def test_fused_coref_plan_is_shuffle_free_after_cache(spark):
     assert "Window" not in plan
 
 
-def test_decontaminate_plan_is_join_free_scan(spark):
-    """The corpus side of decontamination must stay a map-only scan:
-    the eval set is an inlined literal, not a join."""
+def test_decontaminate_plan_is_broadcast_scan(spark):
+    """The corpus side of decontamination must stay map-only: the eval
+    shingle set arrives as a BROADCAST single-row build side (Catalyst's
+    broadcast-variable form — no driver collect, no giant plan literal,
+    no corpus-side shuffle join)."""
     from glirel_spark.plans import pipeline
 
     pipeline.docs_shingled(spark, SF).count()  # warm the shared cache
     plan = _plan(pipeline.decontaminate(spark, SF))
-    assert "Join" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastExchange" in plan
+    # no shuffle join against the corpus
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
     assert "Window" not in plan
 
 
