@@ -68,6 +68,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "eval_counts": pipeline.eval_counts,
         "eval_metrics": pipeline.eval_metrics,
         "threshold_search": pipeline.threshold_search,
+        # reference zero-shot eval protocol on the committed
+        # WikiZSL-shaped JSONL fixture (labels from the file itself,
+        # eval.py:236-263) — the refeval path hash-gated, not only
+        # pytest-gated
+        "refeval_counts": pipeline.refeval_counts,
+        "refeval_metrics": pipeline.refeval_metrics,
         # linking + graph materialization
         "linked_triples": pipeline.linked_triples,
         # blocked MinHash-LSH fuzzy alias candidates (north_star linking)
@@ -143,6 +149,10 @@ def oracle_sql() -> dict[str, str]:
         "eval_counts": oracle.q_eval_counts(),
         "eval_metrics": oracle.q_eval_metrics(),
         "threshold_search": oracle.q_threshold_search(),
+        # counts = committed outside-Spark protocol replay; metrics =
+        # SQL recomputation of A1-A3 from those counts (oracle.py)
+        "refeval_counts": oracle.q_refeval_counts(),
+        "refeval_metrics": oracle.q_refeval_metrics(),
         "linked_triples": oracle.q_linked_triples(),
         "link_candidates": oc.q_link_candidates(),
         "linked_triples_fuzzy": oc.q_linked_triples_fuzzy(),

@@ -587,3 +587,34 @@ def q_triples_neural() -> str:
         for sf, s in _GOLDEN_SIGS.items()
     )
     return f"WITH sig AS (SELECT sum(length(text)) AS s FROM documents)\n{arms}"
+
+
+# --------------------------------------------------------------------------
+# Reference eval-protocol replay on the committed WikiZSL-shaped fixture
+# --------------------------------------------------------------------------
+
+# Per-label counts are the committed outside-Spark protocol replay
+# (tools/gen_golden.py expected_refeval_counts — pure json + numpy, no
+# Spark); the metrics row is then RECOMPUTED in SQL from those counts
+# with the same A1-A3 arithmetic as q_eval_metrics, so the division /
+# macro-fold plane is genuinely cross-engine-checked, not golden-read.
+
+def q_refeval_counts() -> str:
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "goldens"
+    return (
+        "SELECT label, tp, pred_n, true_n "
+        f"FROM read_parquet('{root}/refeval_counts.parquet')"
+    )
+
+
+def q_refeval_metrics() -> str:
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "goldens"
+    return (
+        "WITH counts AS (SELECT label, tp, pred_n, true_n "
+        f"FROM read_parquet('{root}/refeval_counts.parquet')),\n"
+        + _METRIC_SQL
+    )

@@ -249,6 +249,34 @@ def triples_neural(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- reference eval-protocol replay (WikiZSL/FewRel-shaped fixture) ----------
+
+# The zero-shot evaluation protocol runs on a reference-format JSONL
+# file, not on the sf tables: labels come from the file itself
+# (eval.py:236-263). The committed fixture is WikiZSL-shaped
+# (tools/gen_refeval_fixture.py); the oracle is the outside-Spark
+# protocol replay committed by tools/gen_golden.py. sf_dir is accepted
+# for driver-signature uniformity and intentionally unused.
+REFEVAL_FIXTURE = str(
+    __import__("pathlib").Path(__file__).resolve().parents[2]
+    / "fixtures/wikizsl_dev.jsonl"
+)
+
+
+def refeval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.plans import refeval
+
+    counts, _ = refeval.evaluate_jsonl(spark, REFEVAL_FIXTURE)
+    return counts
+
+
+def refeval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.plans import refeval
+
+    _, metrics = refeval.evaluate_jsonl(spark, REFEVAL_FIXTURE)
+    return metrics
+
+
 # --- corpus / training-data operators ----------------------------------------
 
 def _flat_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -37,3 +37,40 @@ def test_committed_golden_matches_regeneration():
         # exact equality — prob must match BIT-for-bit (einsum kernel is
         # thread-count independent; `@`/BLAS is not, see scorer._mm)
         assert (f[col].values == c[col].values).all(), col
+
+
+def test_committed_refeval_golden_matches_regeneration():
+    """The refeval per-label counts golden (the oracle for
+    refeval_counts/refeval_metrics) regenerates identically from the
+    committed fixture — drift in the scorer, the JSONL ingestion
+    contract, or the decode/J5 semantics breaks HERE, not silently in
+    the driver gate."""
+    from gen_golden import expected_refeval_counts
+
+    fresh = expected_refeval_counts().sort_values("label").reset_index(drop=True)
+    committed = (
+        pd.read_parquet(ROOT / "goldens/refeval_counts.parquet")
+        .sort_values("label")
+        .reset_index(drop=True)
+    )
+    assert fresh.equals(committed)
+
+
+def test_committed_refeval_fixture_is_regenerable():
+    """The WikiZSL-shaped fixture itself is deterministic: regenerating
+    it produces byte-identical JSONL (guards against hand-edits that
+    would desync fixture and golden)."""
+    import json
+    import random
+    import sys
+
+    sys.path.insert(0, str(ROOT / "tools"))
+    import gen_refeval_fixture as g
+
+    rng = random.Random(g.SEED)
+    lines = [
+        json.dumps(g.make_doc(rng, i), ensure_ascii=False)
+        for i in range(g.N_DOCS)
+    ]
+    committed = (ROOT / "fixtures/wikizsl_dev.jsonl").read_text().splitlines()
+    assert lines == committed

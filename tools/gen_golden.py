@@ -120,8 +120,88 @@ def expected_triples_neural(sf_dir: str) -> pd.DataFrame:
     return out
 
 
+def expected_refeval_counts() -> pd.DataFrame:
+    """Outside-Spark replay of the reference evaluation protocol on the
+    committed WikiZSL-shaped fixture (glirel_spark/plans/refeval.py):
+    zero-shot labels from the file itself -> score -> threshold + top-1
+    -> J5 annotated-pairs filter -> per-label tp/pred_n/true_n.
+
+    Pure json + hashlib + numpy — independently re-implements the
+    JSONL ingestion contract (content-addressed sha1 doc ids, duplicate
+    line collapse, deterministic duplicate-span resolution) so the
+    Spark side's source semantics are value-checked too."""
+    import hashlib
+    import json
+
+    path = Path(__file__).resolve().parent.parent / "fixtures/wikizsl_dev.jsonl"
+    docs: dict[str, dict] = {}
+    for line in path.read_text().splitlines():
+        if not line.strip():
+            continue
+        doc_id = hashlib.sha1(line.encode()).hexdigest()
+        docs.setdefault(doc_id, json.loads(line))  # duplicate lines collapse
+
+    model = DeterministicGLiREL.get()
+    gold: set[tuple] = set()
+    mentions: dict[str, dict[tuple[int, int], tuple[str, str]]] = {}
+    for doc_id, j in docs.items():
+        m: dict[tuple[int, int], tuple[str, str]] = {}
+        for n in j["ner"]:
+            key = (int(n[0]), int(n[1]))
+            tt = (str(n[2]), str(n[3]))
+            if key not in m or tt < m[key]:
+                m[key] = tt  # min(struct(type, text)) — jsonl.py dedup
+        mentions[doc_id] = m
+        for r in j["relations"]:
+            gold.add((
+                doc_id, r["head"]["position"][0], r["head"]["position"][1],
+                r["tail"]["position"][0], r["tail"]["position"][1],
+                r["relation_text"],
+            ))
+    labels = tuple(sorted({g[5] for g in gold}))
+    gold_pos = {g[:5] for g in gold}
+
+    preds: set[tuple] = set()
+    for doc_id, j in docs.items():
+        toks = list(j["tokenized_text"])
+        sp = np.asarray(sorted(mentions[doc_id]), dtype=np.int64).reshape(-1, 2)
+        sp = model.valid_spans(sp, len(toks))
+        pidx, probs = model.score_doc(toks, sp, labels, config.MAX_PAIR_DISTANCE)
+        for pi in range(len(pidx)):
+            best = None
+            for ci, lab in enumerate(labels):
+                p = probs[pi, ci]
+                if p > config.THRESHOLD and (
+                    best is None or (-p, lab) < (-best[1], best[0])
+                ):
+                    best = (lab, p)
+            if best is None:
+                continue
+            hs, he = sp[pidx[pi, 0]]
+            ts, te = sp[pidx[pi, 1]]
+            key = (doc_id, int(hs), int(he), int(ts), int(te))
+            if key in gold_pos:  # J5 annotated-pairs-only
+                preds.add(key + (best[0],))
+
+    vocab = sorted({p[5] for p in preds} | {g[5] for g in gold})
+    rows = []
+    for lab in vocab:
+        tp = sum(1 for p in preds if p[5] == lab and p in gold)
+        pred_n = sum(1 for p in preds if p[5] == lab)
+        true_n = sum(1 for g in gold if g[5] == lab)
+        rows.append((lab, tp, pred_n, true_n))
+    out = pd.DataFrame(rows, columns=["label", "tp", "pred_n", "true_n"])
+    for c in ("tp", "pred_n", "true_n"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def main() -> int:
     root = Path(__file__).resolve().parent.parent / "goldens"
+    ref = expected_refeval_counts()
+    ref.to_parquet(root / "refeval_counts.parquet", index=False)
+    print(f"refeval: {len(ref)} label rows -> {root / 'refeval_counts.parquet'}")
+    print(ref.to_string(index=False))
     for name, sf_dir in SF_DIRS.items():
         out = expected_triples_neural(sf_dir)
         # byte-stable emission order (DuckDB parallel fetch order varies
