@@ -159,12 +159,20 @@ DECONTAM_EVAL_MOD = 97
 ANN_TOP_K = 5
 ANN_N_QUERIES = 10  # brute-force query set = first N vec_ids
 IVF_N_CELLS = 16  # coarse cells for the IVF-style scale path
-# trained IVF (sample-fit spherical k-means, operators/kmeans.py)
-IVF_KM_CELLS = 8  # coarse centroids (FAISS-style trained quantizer)
+# trained IVF (sample-fit spherical k-means, operators/kmeans.py).
+# Operating point chosen by tools/ivf_recall_sweep.py at sf0.1 (table in
+# BENCH/BASELINE.md): cells=16, n_probe=6, corpus_probe=3 is the
+# cheapest sweep point with recall@5 >= 0.9 on BOTH the driver's
+# 10-query set (0.900) and the wide 100-query set (0.948). The
+# synthetic embeddings are near-uniform on the sphere, so the candidate
+# fraction at that recall is high (~0.78) — an honest property of the
+# data, not the index; clustered production embeddings reach the same
+# recall at far lower probe budgets with the identical machinery.
+IVF_KM_CELLS = 16  # coarse centroids (FAISS-style trained quantizer)
 IVF_KM_SAMPLE = 512  # driver-side fit sample cap
 IVF_KM_ITERS = 8  # Lloyd iterations
-IVF_KM_NPROBE = 2  # query-side multi-probe width
-IVF_KM_CORPUS_PROBE = 2  # corpus-side multi-assignment (index replication)
+IVF_KM_NPROBE = 6  # query-side multi-probe width
+IVF_KM_CORPUS_PROBE = 3  # corpus-side multi-assignment (index replication)
 
 # --------------------------------------------------------------------------
 # Multimodal (synthetic deterministic media bytes; decode itself is stubbed)

@@ -101,13 +101,21 @@ def cell_scores(emb_col: Column, centroids) -> Column:
     """Array of fold-dot scores, one per centroid (centroids are
     unit-norm, so argmax dot == argmax cosine for a fixed vector).
 
-    The whole k x d centroid matrix is ONE nested-array Literal and the
-    dot appears once inside a higher-order ``transform`` — a flat list
-    of per-centroid dot expressions (k copies of a 64-element literal
-    each) made Catalyst analysis + codegen the dominant cost (~10s of
-    driver time for k=8, d=64)."""
-    cents = F.lit([[float(v) for v in c] for c in centroids])
-    return F.transform(cents, lambda cv: _dot(emb_col, cv))
+    The k x d centroid matrix is ONE FLAT Literal (k*d doubles) sliced
+    per centroid by index arithmetic inside the higher-order
+    ``transform``; the dot itself appears once. The earlier forms — a
+    flat list of k per-centroid dot expressions, then a nested
+    array-of-arrays literal — both put Catalyst analysis/codegen of the
+    literal matrix at ~10s of driver time for k=8, d=64; the flat
+    encoding keeps one scalar-typed literal node. Fold order inside the
+    dot is unchanged, so scores stay bit-identical."""
+    k = len(centroids)
+    d = len(centroids[0])
+    flat = F.lit([float(v) for c in centroids for v in c])
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda j: _dot(emb_col, F.slice(flat, j * d + 1, d)),
+    )
 
 
 def probe_cells_expr(emb_col: Column, centroids, n_probe: int) -> Column:

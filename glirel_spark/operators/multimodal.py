@@ -5,12 +5,14 @@ gives them a real Spark-side life: a binary payload column, typed
 metadata, and a decode/feature-extract stage with production plumbing
 (schema, partitioning, Arrow batch shape via mapInPandas).
 
-The actual codec decode is STUBBED — the container has no image/audio
-libraries. ``decode_media`` raises NotImplementedError by design;
-``fake_decode_features`` is the deterministic stand-in the tests and
-bench use (byte histogram + moments computed with numpy over Arrow
-batches). The UDF signature, batching, and schema are exactly what a
-real decoder would use — swap the inner function, keep the plan.
+The codec itself is CAPABILITY-GATED: ``decode_media`` runs a real
+PIL decode when PIL is importable, and a schema-identical
+deterministic fallback (``decode_ok=false, err='codec-unavailable'``)
+in this codec-less container — same mapInPandas plan either way, so
+enabling the real path on a cluster is an install, not a rewrite.
+``fake_decode_features`` is the deterministic feature stand-in the
+oracle gate checks (byte histogram + moments computed with numpy over
+Arrow batches).
 
 Payload synthesis is deterministic integer arithmetic
 (byte[i] = (doc_id * 31 + i * 17) mod 256), so the Spark-side plumbing
@@ -52,15 +54,90 @@ def media_table(interleaved: DataFrame) -> DataFrame:
     )
 
 
-def decode_media(media: DataFrame) -> DataFrame:
-    """Real codec decode — NOT AVAILABLE in this container.
+def media_codec_available() -> bool:
+    """True iff a real image codec (PIL) is importable — the capability
+    flag decode_media dispatches on."""
+    try:
+        import PIL.Image  # noqa: F401
 
-    On a cluster: mapInPandas with PIL/torchaudio/pyav in the inner
-    loop, same schema as fake_decode_features.
+        return True
+    except ImportError:
+        return False
+
+
+_DECODE_SCHEMA = (
+    "doc_id string, media_ref string, width int, height int, mode string, "
+    "mean_luma double, decode_ok boolean, err string"
+)
+
+
+def decode_media(media: DataFrame, require_codec: bool = False) -> DataFrame:
+    """Image decode behind a capability flag.
+
+    When PIL is importable the REAL path runs: mapInPandas, one Arrow
+    batch at a time, ``PIL.Image.open`` per payload (image decode is
+    inherently per-image; the batching, schema, and partitioning are
+    the production shape), emitting (width, height, mode, mean_luma).
+    Undecodable payloads become ``decode_ok=false`` rows with the
+    exception class name — a 10^12-doc crawl always contains corrupt
+    bytes, and a decode stage that throws on them cannot ship.
+
+    Without PIL (this sandbox): ``require_codec=True`` raises loudly;
+    otherwise every row comes back ``decode_ok=false,
+    err='codec-unavailable'`` with the SAME schema and batch shape, so
+    the plan stays testable end-to-end and flipping to the real path is
+    an import, not a rewrite. ``fake_decode_features`` remains the
+    oracle-checked feature stand-in either way.
     """
-    raise NotImplementedError(
-        "media codecs are not installed in this environment; "
-        "use fake_decode_features (identical plan shape)"
+    codec = media_codec_available()
+    if not codec and require_codec:
+        raise NotImplementedError(
+            "media codecs are not installed in this environment; "
+            "install PIL or use fake_decode_features (identical plan shape)"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if codec:
+            import io
+
+            from PIL import Image
+        for pdf in batches:
+            n = len(pdf)
+            width = np.full(n, -1, np.int64)
+            height = np.full(n, -1, np.int64)
+            mode = ["" for _ in range(n)]
+            luma = np.full(n, np.nan)
+            ok = np.zeros(n, bool)
+            err = ["codec-unavailable" for _ in range(n)]
+            if codec:
+                for i, payload in enumerate(pdf["payload_bytes"]):
+                    raw = np.asarray(payload, dtype=np.uint8).tobytes()
+                    try:
+                        with Image.open(io.BytesIO(raw)) as im:
+                            width[i], height[i] = im.size
+                            mode[i] = im.mode
+                            luma[i] = float(
+                                np.asarray(im.convert("L"), dtype=np.float64).mean()
+                            )
+                            ok[i] = True
+                            err[i] = ""
+                    except Exception as e:  # corrupt bytes: flag, don't throw
+                        err[i] = type(e).__name__
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_ref": pdf["media_ref"],
+                    "width": np.where(ok, width, 0).astype(np.int32),
+                    "height": np.where(ok, height, 0).astype(np.int32),
+                    "mode": mode,
+                    "mean_luma": luma,
+                    "decode_ok": ok,
+                    "err": err,
+                }
+            )
+
+    return media.select("doc_id", "media_ref", "payload_bytes").mapInPandas(
+        run, _DECODE_SCHEMA
     )
 
 

@@ -96,3 +96,67 @@ def test_media_stats_match_span_structure(spark):
     )
     assert bad.count() == 0
     assert stats.filter(F.col("n_media_spans") > 0).count() > 0
+
+
+def test_decode_media_fallback_schema_and_flagging(spark):
+    """decode_media without a codec: every row flagged
+    decode_ok=false / codec-unavailable, schema identical to the real
+    path — the capability-gated plan is end-to-end testable in the
+    codec-less sandbox."""
+    import pytest
+
+    from glirel_spark.operators import multimodal as mm
+    from glirel_spark.plans import pipeline
+    from glirel_spark.sources import tables
+
+    inter = pipeline.interleaved(spark, "/root/testdata/sf0.001")
+    media = mm.media_table(inter).limit(8)
+    out = mm.decode_media(media)
+    assert out.schema.simpleString() == (
+        "struct<doc_id:string,media_ref:string,width:int,height:int,"
+        "mode:string,mean_luma:double,decode_ok:boolean,err:string>"
+    )
+    rows = out.collect()
+    assert len(rows) == 8
+    if mm.media_codec_available():
+        # synthetic payloads are not valid images: the REAL path must
+        # flag them (by exception class), never throw
+        assert all(not r.decode_ok and r.err not in ("", "codec-unavailable")
+                   for r in rows)
+    else:
+        assert all(not r.decode_ok and r.err == "codec-unavailable"
+                   for r in rows)
+        with pytest.raises(NotImplementedError):
+            mm.decode_media(media, require_codec=True)
+    del tables
+
+
+def test_decode_media_real_path_decodes_png(spark):
+    """The REAL codec path: a hand-built valid PNG (pure zlib+struct,
+    no imaging lib needed to WRITE it) decodes to its true dimensions.
+    Runs wherever PIL is installed; skipped in the codec-less sandbox."""
+    import pytest
+
+    from glirel_spark.operators import multimodal as mm
+
+    if not mm.media_codec_available():
+        pytest.skip("PIL not installed in this container")
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body)))
+
+    w = h = 2
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    raw = b"".join(b"\x00" + bytes([10 * (y + 1)] * w) for y in range(h))
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+    df = spark.createDataFrame(
+        [("d0", "m0", list(png))],
+        "doc_id string, media_ref string, payload_bytes array<int>",
+    )
+    r = mm.decode_media(df).collect()[0]
+    assert r.decode_ok and (r.width, r.height) == (2, 2) and r.mode == "L"
+    assert r.mean_luma == 15.0  # rows of 10s and 20s
