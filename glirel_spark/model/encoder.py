@@ -78,7 +78,7 @@ def _piece_id(piece: str, vocab: int) -> int:
 
 
 def word_pieces(word: str) -> list[str]:
-    """Subword pieces for one word-level token.
+    """Subword pieces for one word-level token (stand-in subword model).
 
     Whitespace-only words (e.g. '\\n ') produce ZERO pieces — the DeBERTa
     tokenizer merges/removes newline characters, which is exactly the
@@ -96,6 +96,92 @@ def word_pieces(word: str) -> list[str]:
     return pieces
 
 
+class UnigramVocab:
+    """A REAL SentencePiece-unigram tokenizer over an exported
+    vocabulary file — the pluggable path that makes real-checkpoint
+    parity a (weights file + vocab file) problem, with no tokenizer
+    code left to write.
+
+    File format (tools/export_tokenizer.py writes it from a HF
+    tokenizer on a machine with `transformers`): JSON
+    ``{"pieces": {piece: [id, score]}, "unk_id": int}`` where scores
+    are the sentencepiece unigram log-probs. Segmentation is the
+    standard unigram Viterbi (max sum of piece scores over all
+    segmentations of ``▁word``); characters not reachable through the
+    vocabulary emit ``unk_id``. Deterministic ties: the LONGER piece
+    wins (equal-score shorter pieces never displace it — `>` not `>=`
+    on candidate relaxation, matching sentencepiece's preference for
+    fewer pieces at equal score).
+    """
+
+    def __init__(self, pieces: dict[str, tuple[int, float]], unk_id: int) -> None:
+        self.pieces = {p: (int(i), float(s)) for p, (i, s) in pieces.items()}
+        self.unk_id = int(unk_id)
+        self.max_len = max((len(p) for p in self.pieces), default=1)
+
+    @classmethod
+    def load(cls, path: str) -> "UnigramVocab":
+        import json
+
+        with open(path) as f:
+            d = json.load(f)
+        return cls({p: tuple(v) for p, v in d["pieces"].items()}, d["unk_id"])
+
+    def segment(self, word: str) -> list[int]:
+        """ids for one word-level token (word-start ▁ prepended)."""
+        s = "▁" + word
+        n = len(s)
+        NEG = float("-inf")
+        best = [NEG] * (n + 1)
+        back: list[tuple[int, int] | None] = [None] * (n + 1)
+        best[0] = 0.0
+        for i in range(n):
+            if best[i] == NEG:
+                continue
+            matched = False
+            for j in range(i + 1, min(n, i + self.max_len) + 1):
+                hit = self.pieces.get(s[i:j])
+                if hit is None:
+                    continue
+                matched = True
+                cand = best[i] + hit[1]
+                if cand > best[j]:
+                    best[j] = cand
+                    back[j] = (i, hit[0])
+            if not matched:
+                # unk fallback: consume one char (sentencepiece byte/char
+                # fallback collapses to <unk> without byte pieces)
+                cand = best[i] - 100.0
+                if cand > best[i + 1]:
+                    best[i + 1] = cand
+                    back[i + 1] = (i, self.unk_id)
+        ids: list[int] = []
+        j = n
+        while j > 0:
+            i, pid = back[j]  # type: ignore[misc]
+            ids.append(pid)
+            j = i
+        ids.reverse()
+        return ids
+
+
+_UNIGRAM_CACHE: dict[str, UnigramVocab] = {}
+
+
+def _active_unigram() -> UnigramVocab | None:
+    """The real unigram vocabulary, if ``GLIREL_TOKENIZER_VOCAB`` names
+    an exported file; parsed once per process per path."""
+    import os
+
+    path = os.environ.get("GLIREL_TOKENIZER_VOCAB")
+    if not path:
+        return None
+    v = _UNIGRAM_CACHE.get(path)
+    if v is None:
+        v = _UNIGRAM_CACHE[path] = UnigramVocab.load(path)
+    return v
+
+
 def encode_words(words: list[str], vocab: int = ENC_VOCAB):
     """words -> (ids[int64 T], word_ids[int64 T]) with -100 for specials.
 
@@ -104,6 +190,7 @@ def encode_words(words: list[str], vocab: int = ENC_VOCAB):
     word_ids None (-100) at the specials, the word index at every piece.
     Added tokens ([REL], [E], ...) are single dedicated ids (T5).
     """
+    uni = _active_unigram()
     ids = [CLS_ID]
     word_ids = [-100]
     for wi, w in enumerate(words):
@@ -111,6 +198,14 @@ def encode_words(words: list[str], vocab: int = ENC_VOCAB):
         if special is not None:
             ids.append(special)
             word_ids.append(wi)
+            continue
+        if uni is not None:
+            # real unigram-Viterbi segmentation (exported vocabulary;
+            # ids must lie under enc_dims' vocab — the exporter checks)
+            for sw in w.split():
+                for pid in uni.segment(sw):
+                    ids.append(pid)
+                    word_ids.append(wi)
             continue
         for p in word_pieces(w):
             ids.append(_piece_id(p, vocab))

@@ -55,6 +55,23 @@ def score_pairs_neural(
         .join(docs_tokens, "doc_id")
         .select("doc_id", "tokens", "spans")
     )
+    # The scorer stage is PYTHON-CPU-bound (~10ms/doc through the
+    # transformer) while its input is tiny in BYTES (tokens + span
+    # offsets), so AQE's byte-based partition coalescing collapses it
+    # to ONE task (measured: 10k docs = 126s single-task vs ~30s on 4
+    # cores) — the advisory-size heuristic is simply the wrong metric
+    # for compute-heavy UDF stages. Pin the partition count to the
+    # cluster's core count with an explicit ROUND-ROBIN repartition:
+    # repartition(N) is REPARTITION_BY_NUM, which AQE never coalesces,
+    # whereas repartition(N, doc_id) collapses into the upstream
+    # doc_id exchange (redundant-exchange elimination) and gets
+    # coalesced with it (measured: stage back to 1 task). The trade:
+    # the decode aggregation downstream re-shuffles on the pair key
+    # instead of reusing doc_id clustering — its map-side combine
+    # already collapses to one slim row per pair, so that exchange is
+    # cheap, while a serialized scorer is catastrophic at any scale.
+    sc = docs_tokens.sparkSession.sparkContext
+    packed = packed.repartition(sc.defaultParallelism * 2)
 
     labels_arr = np.asarray(label_tuple, dtype=object)
     n_lab = len(label_tuple)

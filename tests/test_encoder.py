@@ -257,3 +257,66 @@ def test_export_cli_accepts_both_map_forms(monkeypatch):
         "W_span": "span_rep_layer.project.weight",
     }
     assert captured["heads"] == 16 and captured["src"] == "in.bin"
+
+
+def test_unigram_viterbi_segmentation(tmp_path, monkeypatch):
+    """The pluggable real-tokenizer path: unigram Viterbi picks the
+    max-score segmentation from an exported vocabulary; unknown
+    characters fall back to unk_id; the hashed stand-in is untouched
+    when the env var is absent."""
+    import json
+
+    vocab = {
+        "pieces": {
+            "▁hel": [10, -2.0], "lo": [11, -2.0],
+            "▁hello": [12, -3.5],        # worse than ▁hel+lo (-4.0)? no: -3.5 > -4.0 -> wins
+            "▁h": [13, -1.0], "e": [14, -1.0], "l": [15, -1.0], "o": [16, -1.0],
+            "▁wor": [17, -1.5], "ld": [18, -1.5],
+        },
+        "unk_id": 3,
+    }
+    path = tmp_path / "vocab.json"
+    path.write_text(json.dumps(vocab))
+    monkeypatch.setenv("GLIREL_TOKENIZER_VOCAB", str(path))
+    ids, wids = E.encode_words(["hello", "world", "q#"])
+    body = ids[1:-1].tolist()
+    # hello: single piece -3.5 beats ▁hel+lo (-4.0) and char path (-5.0)
+    assert body[:1] == [12]
+    # world: ▁wor + ld
+    assert body[1:3] == [17, 18]
+    # q#: '▁q' unreachable -> unk per char ('▁','q' consumed as unks), '#' unk
+    assert all(i == 3 for i in body[3:])
+    assert wids[1] == 0 and wids[2] == 1 and wids[3] == 1
+    monkeypatch.delenv("GLIREL_TOKENIZER_VOCAB")
+    # stand-in path restored
+    ids2, _ = E.encode_words(["hello"])
+    assert ids2[1] >= E._N_RESERVED
+
+
+def test_unigram_end_to_end_through_scorer(tmp_path, monkeypatch):
+    """A vocab file + the seeded weights run the whole scoring plane —
+    real-checkpoint parity is (weights.npz + vocab.json), nothing else."""
+    import json
+
+    pieces = {}
+    pid = 20
+    for ch in "abcdefghijklmnopqrstuvwxyz▁[]REL SEP":
+        pieces[ch] = [pid, -2.0]
+        pid += 1
+    path = tmp_path / "vocab.json"
+    path.write_text(json.dumps({"pieces": pieces, "unk_id": 3}))
+    monkeypatch.setenv("GLIREL_TOKENIZER_VOCAB", str(path))
+    m = DeterministicGLiREL()
+    pidx, probs = m.score_doc(
+        ["spark", "feeds", "table"], np.array([[0, 0], [2, 2]]),
+        ("feeds", "used by"), None,
+    )
+    assert probs.shape == (2, 2) and np.isfinite(probs).all()
+    # different tokenization -> different bits than the stand-in
+    monkeypatch.delenv("GLIREL_TOKENIZER_VOCAB")
+    m2 = DeterministicGLiREL()
+    _, probs2 = m2.score_doc(
+        ["spark", "feeds", "table"], np.array([[0, 0], [2, 2]]),
+        ("feeds", "used by"), None,
+    )
+    assert not np.array_equal(probs, probs2)

@@ -10,8 +10,19 @@ it should scale near the hardware ceiling; the only exchange is the
 mentions collect_list groupBy + the decode argmax.
 
 Same protocol as bench_scaling.py: local-cluster[N,4,mem] (real
-executor JVMs), one untimed warmup per level, min of REPS timed runs,
-result appended to BENCH/BASELINE.md.
+executor JVMs), one untimed warmup per level, REPS timed runs with
+min- AND median-based efficiency (plus all raw times), result appended
+to BENCH/BASELINE.md.
+
+Round-3 noise-floor fixes (VERDICT r2 #3):
+- each level runs under an explicit taskset CPU set (4*n_exec executor
+  cores + a fixed 4-core driver/GC allowance), so the N level cannot
+  opportunistically borrow idle cores through GC/driver threads and
+  external load steals proportionally, not asymmetrically;
+- the stage is now MINUTES long at N (the real transformer encoder is
+  ~12ms/doc, REPLICATE default 16 -> 80k docs), so per-run jitter is
+  small against the measured quantity;
+- REPS default 3 with the median reported alongside min.
 """
 
 from __future__ import annotations
@@ -24,11 +35,12 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "4"))
+REPLICATE = int(os.environ.get("SPARK_GRAFT_SCALE_REPLICATE", "16"))
 N_EXEC_LO = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
-REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "2"))
+REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
 CORES_PER_EXEC = 4
 EXEC_MEM_MB = 12288
+DRIVER_CORES = 4  # fixed allowance at both levels
 
 _JOB = r"""
 import sys, time, json
@@ -59,6 +71,12 @@ spark = (
     .config("spark.io.compression.codec", "zstd")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
+    # the taskset cpuset is SATURATED by design (python workers at 100%
+    # for minutes + executor/driver/master/worker JVMs all pinned):
+    # default 120s network timeout sees heartbeat starvation as a dead
+    # executor — lengthen, don't unpin
+    .config("spark.network.timeout", "600s")
+    .config("spark.executor.heartbeatInterval", "60s")
     .getOrCreate()
 )
 spark.sparkContext.setLogLevel("WARN")
@@ -101,9 +119,11 @@ def run_level(n_exec: int) -> dict:
         exec_mem=EXEC_MEM_MB, sf_dir=SF_DIR, replicate=REPLICATE,
         reps=REPS,
     )
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, check=True
-    )
+    n_cores = n_exec * CORES_PER_EXEC + DRIVER_CORES
+    cmd = [sys.executable, "-c", code]
+    if os.environ.get("SPARK_GRAFT_NO_TASKSET") != "1":
+        cmd = ["taskset", "-c", f"0-{n_cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
@@ -112,9 +132,15 @@ def main() -> None:
     lo = run_level(N_EXEC_LO)
     hi = run_level(N_EXEC_LO * 4)
     eff = (lo["sec"] / hi["sec"]) / 4.0
+    med_lo = sorted(lo["all_runs"])[len(lo["all_runs"]) // 2]
+    med_hi = sorted(hi["all_runs"])[len(hi["all_runs"]) // 2]
+    eff_median = (med_lo / med_hi) / 4.0
     result = {
         "metric": f"neural_scaling_efficiency_{N_EXEC_LO}_to_{N_EXEC_LO * 4}_executors",
         "value": round(eff, 3),
+        "value_median": round(eff_median, 3),
+        "all_runs_lo": lo["all_runs"],
+        "all_runs_hi": hi["all_runs"],
         "unit": "ratio",
         "t_lo_sec": round(lo["sec"], 3),
         "t_hi_sec": round(hi["sec"], 3),
@@ -123,6 +149,8 @@ def main() -> None:
         "n_docs": lo["n_docs"],
         "sf_dir": SF_DIR,
         "replicate": REPLICATE,
+        "cpuset_lo": f"0-{N_EXEC_LO * CORES_PER_EXEC + DRIVER_CORES - 1}",
+        "cpuset_hi": f"0-{N_EXEC_LO * 4 * CORES_PER_EXEC + DRIVER_CORES - 1}",
     }
     print(json.dumps(result))
     bench_md = REPO / "BENCH" / "BASELINE.md"
@@ -131,7 +159,9 @@ def main() -> None:
             f"| neural {N_EXEC_LO} vs {N_EXEC_LO * 4} | {result['n_docs']} | "
             f"{result['t_lo_sec']} | {result['t_hi_sec']} | "
             f"{result['docs_per_sec_lo']} | {result['docs_per_sec_hi']} | "
-            f"{result['value']} |\n"
+            f"{result['value']} (median {result['value_median']}, "
+            f"taskset, runs lo={result['all_runs_lo']} "
+            f"hi={result['all_runs_hi']}) |\n"
         )
 
 
