@@ -118,6 +118,7 @@ class UnigramVocab:
         self.pieces = {p: (int(i), float(s)) for p, (i, s) in pieces.items()}
         self.unk_id = int(unk_id)
         self.max_len = max((len(p) for p in self.pieces), default=1)
+        self._memo: dict[str, list[int]] = {}
 
     @classmethod
     def load(cls, path: str) -> "UnigramVocab":
@@ -128,7 +129,11 @@ class UnigramVocab:
         return cls({p: tuple(v) for p, v in d["pieces"].items()}, d["unk_id"])
 
     def segment(self, word: str) -> list[int]:
-        """ids for one word-level token (word-start ▁ prepended)."""
+        """ids for one word-level token (word-start ▁ prepended).
+        Memoized per word (corpora repeat words heavily)."""
+        cached = self._memo.get(word)
+        if cached is not None:
+            return cached
         s = "▁" + word
         n = len(s)
         NEG = float("-inf")
@@ -162,10 +167,12 @@ class UnigramVocab:
             ids.append(pid)
             j = i
         ids.reverse()
+        self._memo[word] = ids
         return ids
 
 
 _UNIGRAM_CACHE: dict[str, UnigramVocab] = {}
+_STANDIN_MEMO: dict[tuple[int, str], list[int]] = {}  # (vocab, word) -> piece ids
 
 
 def _active_unigram() -> UnigramVocab | None:
@@ -207,8 +214,13 @@ def encode_words(words: list[str], vocab: int = ENC_VOCAB):
                     ids.append(pid)
                     word_ids.append(wi)
             continue
-        for p in word_pieces(w):
-            ids.append(_piece_id(p, vocab))
+        key = (vocab, w)
+        cached = _STANDIN_MEMO.get(key)
+        if cached is None:
+            cached = [_piece_id(p, vocab) for p in word_pieces(w)]
+            _STANDIN_MEMO[key] = cached
+        for pid in cached:
+            ids.append(pid)
             word_ids.append(wi)
     ids.append(SEP_ID)
     word_ids.append(-100)
@@ -376,9 +388,40 @@ class NumpyTransformer:
                 p[f"enc_l{li}_{nm}_g"] = np.ones(db)
                 p[f"enc_l{li}_{nm}_b"] = np.zeros(db)
         self.params = p
+        self._layer_cache: dict[int, tuple] = {}
 
     def param_names(self) -> list[str]:
         return sorted(self.params)
+
+    def invalidate_cache(self) -> None:
+        """Call after mutating ``params`` (checkpoint load): drops the
+        derived per-layer tensors below."""
+        self._layer_cache.clear()
+
+    def _layer(self, li: int) -> tuple:
+        """Derived per-layer tensors, built once per process:
+        - fused [DB, 3DB] QKV weight/bias — ONE input einsum instead of
+          three (bit-identical: each output column's d-accumulation
+          order is unchanged by concatenating columns)
+        - the relative-position key/query projections pk/pq, which are
+          INPUT-INDEPENDENT (P is a parameter) and were previously
+          recomputed per document
+        """
+        c = self._layer_cache.get(li)
+        if c is None:
+            p = self.params
+            pre = f"enc_l{li}_"
+            w_qkv = np.concatenate(
+                [p[pre + "Wq"], p[pre + "Wk"], p[pre + "Wv"]], axis=1
+            )
+            b_qkv = np.concatenate(
+                [p[pre + "wqb"], p[pre + "wkb"], p[pre + "wvb"]]
+            )
+            pk = self._heads(_ein(p["enc_P"], p[pre + "Wk"]) + p[pre + "wkb"])
+            pq = self._heads(_ein(p["enc_P"], p[pre + "Wq"]) + p[pre + "wqb"])
+            c = (w_qkv, b_qkv, pk, pq)
+            self._layer_cache[li] = c
+        return c
 
     def _heads(self, x: np.ndarray) -> np.ndarray:
         t = x.shape[0]
@@ -395,14 +438,15 @@ class NumpyTransformer:
         scale = 1.0 / np.sqrt(3.0 * self.dh)  # DeBERTa: 3 score terms
         for li in range(self.layers):
             pre = f"enc_l{li}_"
-            q = _ein(x, p[pre + "Wq"]) + p[pre + "wqb"]
-            k = _ein(x, p[pre + "Wk"]) + p[pre + "wkb"]
-            v = _ein(x, p[pre + "Wv"]) + p[pre + "wvb"]
-            qh, kh, vh = self._heads(q), self._heads(k), self._heads(v)
             # shared relative-position embeddings through the SAME
-            # key/query projections (DeBERTa-v2 position sharing)
-            pk = self._heads(_ein(p["enc_P"], p[pre + "Wk"]) + p[pre + "wkb"])
-            pq = self._heads(_ein(p["enc_P"], p[pre + "Wq"]) + p[pre + "wqb"])
+            # key/query projections (DeBERTa-v2 position sharing);
+            # fused QKV + cached pk/pq from _layer()
+            w_qkv, b_qkv, pk, pq = self._layer(li)
+            qkv = _ein(x, w_qkv) + b_qkv
+            db = self.db
+            qh = self._heads(qkv[:, :db])
+            kh = self._heads(qkv[:, db:2 * db])
+            vh = self._heads(qkv[:, 2 * db:])
             c2c = np.einsum("htd,hsd->hts", qh, kh, optimize=False)
             # gather the bucketed scores: c2p[h,t,s] = <q_t, P_k[rel(t,s)]>,
             # p2c[h,t,s] = <k_s, P_q[rel(s,t)]> (note the reversed relative

@@ -146,6 +146,7 @@ class DeterministicGLiREL:
                     )
                 setattr(self, name, arr)
             z.close()
+            self.encoder.invalidate_cache()  # derived tensors rebuild
 
     # --- T1-T7: prompt build + transformer encode + split -------------------
 

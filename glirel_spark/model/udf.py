@@ -38,22 +38,34 @@ def score_pairs_neural(
     mentions: DataFrame,
     labels: list[str] | None = None,
     max_distance: int | None = config.MAX_PAIR_DISTANCE,
+    labels_col: str | None = None,
 ) -> DataFrame:
     """(doc_id, tokens) x (doc_id, mentions) -> scored pairs.
 
     Mentions are re-packed per doc (collect_list) so the UDF receives
-    one Arrow row per document; the join shuffles on doc_id — the same
-    partitioning the decode window reuses afterwards.
+    one Arrow row per document.
+
+    ``labels_col`` names an ``array<string>`` column on ``docs_tokens``
+    carrying PER-DOCUMENT label sets — the reference's
+    ``fixed_relation_types: false`` mode (base.py:327-339), where each
+    example brings its own relation vocabulary and the prompt differs
+    per document. Since the encoder builds one prompt per document
+    anyway (label reps are document-contextual), per-example labels
+    cost nothing extra here — the survey flagged this as hard only for
+    an encode-labels-once design.
     """
     if labels is None:
         labels = sorted(config.RELATION_LABELS.keys())
     label_tuple = tuple(labels)
 
+    cols = ["doc_id", "tokens"] + ([labels_col] if labels_col else [])
     packed = (
         mentions.groupBy("doc_id")
         .agg(F.array_sort(F.collect_list(F.struct("start", "end"))).alias("spans"))
-        .join(docs_tokens, "doc_id")
-        .select("doc_id", "tokens", "spans")
+        .join(docs_tokens.select(*cols), "doc_id")
+        .select("doc_id", "tokens", "spans", *(
+            [F.col(labels_col).alias("_labels")] if labels_col else []
+        ))
     )
     # The scorer stage is PYTHON-CPU-bound (~10ms/doc through the
     # transformer) while its input is tiny in BYTES (tokens + span
@@ -74,7 +86,6 @@ def score_pairs_neural(
     packed = packed.repartition(sc.defaultParallelism * 2)
 
     labels_arr = np.asarray(label_tuple, dtype=object)
-    n_lab = len(label_tuple)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         model = DeterministicGLiREL.get()
@@ -85,7 +96,14 @@ def score_pairs_neural(
             # batched over the WHOLE Arrow batch at once — its python
             # recurrence loop is O(max_len), not O(docs).
             tok_lists = [list(t) for t in pdf["tokens"]]
-            enc = [model.encode_doc(toks, label_tuple) for toks in tok_lists]
+            if "_labels" in pdf.columns:  # per-example label sets
+                lab_tuples = [tuple(ls) for ls in pdf["_labels"]]
+            else:
+                lab_tuples = [label_tuple] * len(tok_lists)
+            enc = [
+                model.encode_doc(toks, labs)
+                for toks, labs in zip(tok_lists, lab_tuples)
+            ]
             reps_list = model.encode_batch([word for word, _ in enc])
             lab_list = [model.label_ffn(rel) for _, rel in enc]
             chunks: list[pd.DataFrame] = []
@@ -98,27 +116,33 @@ def score_pairs_neural(
                 # P4: filter HERE so the pair indices score_doc returns
                 # refer to the same span array we gather positions from.
                 sp = model.valid_spans(sp, len(tokens))
+                row_labels = lab_tuples[row_i]
                 pidx, probs = model.score_doc(
-                    tokens, sp, label_tuple, max_distance,
+                    tokens, sp, row_labels, max_distance,
                     tok_reps=reps_list[row_i], lab_reps=lab_list[row_i]
                 )
                 n_pairs = len(pidx)
                 if n_pairs == 0:
                     continue
+                row_n_lab = len(row_labels)
+                row_labels_arr = (
+                    labels_arr if row_labels is label_tuple
+                    else np.asarray(row_labels, dtype=object)
+                )
                 # vectorized (pair x label) expansion — no python loops
-                hs = np.repeat(sp[pidx[:, 0], 0], n_lab)
-                he = np.repeat(sp[pidx[:, 0], 1], n_lab)
-                ts = np.repeat(sp[pidx[:, 1], 0], n_lab)
-                te = np.repeat(sp[pidx[:, 1], 1], n_lab)
+                hs = np.repeat(sp[pidx[:, 0], 0], row_n_lab)
+                he = np.repeat(sp[pidx[:, 0], 1], row_n_lab)
+                ts = np.repeat(sp[pidx[:, 1], 0], row_n_lab)
+                te = np.repeat(sp[pidx[:, 1], 1], row_n_lab)
                 chunks.append(
                     pd.DataFrame(
                         {
-                            "doc_id": np.repeat(doc_id, n_pairs * n_lab),
+                            "doc_id": np.repeat(doc_id, n_pairs * row_n_lab),
                             "h_start": hs.astype(np.int32),
                             "h_end": he.astype(np.int32),
                             "t_start": ts.astype(np.int32),
                             "t_end": te.astype(np.int32),
-                            "label": np.tile(labels_arr, n_pairs),
+                            "label": np.tile(row_labels_arr, n_pairs),
                             "prob": probs.reshape(-1).astype(np.float64),
                         }
                     )

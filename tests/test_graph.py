@@ -112,3 +112,43 @@ def test_triangles(spark):
         "subj string, pred string, obj string, n_mentions long",
     )
     assert {tuple(r) for r in triangles(g).collect()} == {("A", "B", "C")}
+
+
+def test_salted_equals_direct_under_zipfian_skew(spark):
+    """SURVEY §7 'hot-entity skew': a Zipf-distributed synthetic edge
+    set (hottest entity on ~25% of all rows, like a web-scale KG's top
+    entity) must aggregate identically through the salted two-stage
+    plan, and the salted partial must spread the hot key across salt
+    buckets (the property that bounds any one reducer's share)."""
+    from pyspark.sql import functions as F
+
+    n = 20000
+    # deterministic Zipf-ish: entity rank r with weight 1/r over 64
+    # entities; id from a hash so rows interleave arbitrarily
+    base = spark.range(n).select(
+        F.col("id").cast("long").alias("i"),
+        (F.floor(F.lit(64.0) / (F.pmod(F.hash("id"), 1000) / 1000.0 * 63.0 + 1.0))
+         ).cast("int").alias("rank"),
+    )
+    linked = base.select(
+        F.concat(F.lit("E"), F.col("rank")).alias("subj"),
+        F.lit("related to").alias("pred"),
+        F.concat(F.lit("E"), (F.col("rank") + 1)).alias("obj"),
+        (F.col("i") % 500).cast("string").alias("doc_id"),
+        (F.pmod(F.col("i"), 100) / 100.0).alias("prob"),
+    )
+    hot_share = (
+        linked.groupBy("subj").count().orderBy(F.desc("count")).first()["count"] / n
+    )
+    assert hot_share > 0.2  # the distribution really is skewed
+    a = {tuple(r) for r in materialize_graph(linked).collect()}
+    b = {tuple(r) for r in materialize_graph_direct(linked).collect()}
+    assert a == b
+    # the salted partial splits the hot key into many buckets
+    salted = linked.withColumn("_salt", F.pmod(F.hash("doc_id"), F.lit(16)))
+    buckets = (
+        salted.groupBy("subj", "pred", "obj", "_salt").count()
+        .groupBy("subj", "pred", "obj").count()
+        .orderBy(F.desc("count")).first()["count"]
+    )
+    assert buckets == 16

@@ -151,3 +151,43 @@ def test_udf_scores_match_direct_score_doc(spark):
     assert len(rows) == len(expect)
     for r in rows:
         assert r.prob == expect[(r.h_start, r.h_end, r.t_start, r.t_end, r.label)]
+
+
+def test_per_example_label_sets(spark):
+    """fixed_relation_types: false (base.py:327-339): each document
+    brings its OWN relation vocabulary; scores must equal the per-doc
+    score_doc replay with exactly that label set."""
+    from glirel_spark import config
+
+    d0_labs = ["feeds", "used by"]
+    d1_labs = ["runs on"]
+    docs = spark.createDataFrame(
+        [("d0", "spark feeds the table".split(" "), d0_labs),
+         ("d1", "table scan runs on spark".split(" "), d1_labs)],
+        "doc_id string, tokens array<string>, labels array<string>",
+    )
+    m = spark.createDataFrame(
+        [("d0", 0, 0, "TOOL", "spark"), ("d0", 3, 3, "OBJECT", "table"),
+         ("d1", 0, 1, "ALGO", "table scan"), ("d1", 4, 4, "TOOL", "spark")],
+        "doc_id string, start int, end int, type string, text string",
+    )
+    rows = score_pairs_neural(docs, m, labels_col="labels").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.label)
+    assert by_doc["d0"] == set(d0_labs)
+    assert by_doc["d1"] == set(d1_labs)
+    model = DeterministicGLiREL()
+    toks1 = "table scan runs on spark".split(" ")
+    sp1 = np.array([[0, 1], [4, 4]])
+    pidx, probs = model.score_doc(
+        toks1, sp1, tuple(d1_labs), config.MAX_PAIR_DISTANCE
+    )
+    expect = {}
+    for pi in range(len(pidx)):
+        hs, he = sp1[pidx[pi, 0]]
+        ts, te = sp1[pidx[pi, 1]]
+        expect[(hs, he, ts, te)] = probs[pi, 0]
+    got = {(r.h_start, r.h_end, r.t_start, r.t_end): r.prob
+           for r in rows if r.doc_id == "d1"}
+    assert got == expect

@@ -57,6 +57,11 @@ spark = (
     .master(f"local-cluster[{{n_exec}},{cores_per_exec},{exec_mem}]")
     .appName(f"neural-scaling-{{n_exec}}x{cores_per_exec}")
     .config("spark.executor.memory", "{exec_mem}m")
+    # AQE upgrades the mention-enrichment joins to broadcast at this
+    # doc count; the default 1g driver heap OOMs building the table —
+    # a deploy sizing fact, not an engine property (measured: N-level
+    # died 'Not enough memory to build and broadcast')
+    .config("spark.driver.memory", "4g")
     # executor python workers must import glirel_spark (mapInPandas UDF);
     # local stand-in for spark-submit --py-files glirel_spark.zip
     .config("spark.executorEnv.PYTHONPATH", {repo!r})
