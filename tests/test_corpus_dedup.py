@@ -143,3 +143,47 @@ def test_doc_repetition_fraction(spark):
     assert out["0"] == (7, 3, 1.0 - 3.0 / 7.0)
     assert out["1"] == (3, 3, 0.0)
     assert out["2"] == (0, 0, 0.0)
+
+
+def test_neardup_clusters_raises_on_nonconvergence(spark):
+    """ADVICE r2: a near-dup chain longer than max_iter rounds must
+    fail loudly, never return partially merged families."""
+    import pytest
+
+    from glirel_spark.operators.corpus_dedup import neardup_clusters
+
+    docs = spark.createDataFrame(
+        [(str(i), ["x"]) for i in range(6)],
+        "doc_id string, tokens array<string>",
+    )
+    # a 6-node chain: diameter 5 > max_iter 1
+    chain = spark.createDataFrame(
+        [(str(i), str(i + 1)) for i in range(5)],
+        "doc1 string, doc2 string",
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        neardup_clusters(docs, neardups=chain, max_iter=1)
+    # and with enough rounds the same chain collapses to one family
+    out = neardup_clusters(docs, neardups=chain, max_iter=10).collect()
+    assert {r.canonical_id for r in out} == {"0"}
+
+
+def test_decontaminate_rejects_noninteger_doc_ids(spark):
+    """ADVICE r2: content-addressed (sha1) doc ids must raise, not
+    silently produce an empty result. Under Spark 4's default ANSI
+    mode the cast itself throws CAST_INVALID_INPUT; the assert_true
+    guard is the backstop for ANSI-off deployments where the cast
+    would return NULL — either way, loud, never empty."""
+    import pytest
+
+    from glirel_spark.operators.corpus_dedup import decontaminate, with_shingle_array
+
+    docs = spark.createDataFrame(
+        [("a1b2c3", "the quick brown fox jumps over the dog".split(" "))],
+        "doc_id string, tokens array<string>",
+    )
+    sh = with_shingle_array(docs)
+    with pytest.raises(
+        Exception, match="doc_id must cast to long|cannot be cast"
+    ):
+        decontaminate(sh).collect()

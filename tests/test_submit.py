@@ -59,3 +59,35 @@ def test_export_weights_fails_cleanly_without_torch(tmp_path):
         pass
     with pytest.raises(SystemExit, match="torch is not available"):
         export_weights.export("nonexistent.bin", str(tmp_path / "w.npz"))
+
+
+def test_run_refeval_job_end_to_end(tmp_path):
+    """The refeval CLI: spark-submit shape, real fixture in, counts
+    parquet + metrics JSON out, one JSON line on stdout."""
+    import json
+
+    repo = Path(__file__).resolve().parents[1]
+    out = tmp_path / "out"
+    r = subprocess.run(
+        [sys.executable, str(repo / "jobs/run_refeval.py"),
+         "--input", str(repo / "fixtures/wikizsl_dev.jsonl"),
+         "--output", str(out), "--cores", "4"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    line = [l for l in r.stdout.strip().splitlines() if l.startswith("{")][-1]
+    row = json.loads(line)
+    assert set(row) == {
+        "micro_precision", "micro_recall", "micro_f1",
+        "macro_precision", "macro_recall", "macro_f1",
+    }
+    assert (out / "refeval_metrics.json").exists()
+    import pandas as pd
+
+    counts = pd.read_parquet(out / "refeval_counts.parquet")
+    golden = pd.read_parquet(repo / "goldens/refeval_counts.parquet")
+    key = ["label", "tp", "pred_n", "true_n"]
+    assert (
+        counts[key].sort_values("label").reset_index(drop=True)
+        .equals(golden[key].sort_values("label").reset_index(drop=True))
+    )
