@@ -87,6 +87,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_hop_paths": pipeline.two_hop_paths,
         # directed 3-cycles (canonical rotation, pred-agnostic)
         "kg_triangles": pipeline.kg_triangles,
+        # weakly connected components (min-label propagation fixpoint)
+        "kg_components": pipeline.kg_components,
+        # k-core backbone (iterative degree peel, k=2)
+        "kg_kcore": pipeline.kg_kcore,
+        # scaled-integer PageRank (bit-exact across engines)
+        "kg_pagerank": pipeline.kg_pagerank,
         # corpus dedup (training-data pipeline)
         "minhash_signatures": pipeline.minhash_signatures,
         "minhash_neardups": pipeline.minhash_neardups,
@@ -160,6 +166,10 @@ def oracle_sql() -> dict[str, str]:
         "entity_degrees": oracle.q_entity_degrees(),
         "two_hop_paths": oracle.q_two_hop_paths(),
         "kg_triangles": oracle.q_kg_triangles(),
+        # recursive-CTE closure / unrolled peel / unrolled integer power iteration
+        "kg_components": oracle.q_kg_components(),
+        "kg_kcore": oracle.q_kg_kcore(),
+        "kg_pagerank": oracle.q_kg_pagerank(),
         "minhash_signatures": oc.q_minhash_signatures(),
         "minhash_neardups": oc.q_minhash_neardups(),
         # recursive-CTE transitive closure (min reachable doc_id)

@@ -131,6 +131,207 @@ def two_hop_paths(graph: DataFrame, min_mentions: int = 1) -> DataFrame:
     )
 
 
+def components(graph: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Weakly connected components over the entity graph: (entity,
+    component_id, component_size) for every entity, component_id = the
+    lexicographically smallest member — the KG-hygiene query behind
+    "is this one knowledge graph or forty disconnected fragments?".
+
+    Min-label propagation to fixpoint over the DISTINCT undirected edge
+    set: each round is one (edge ⋈ label) shuffle on the node key plus a
+    min-aggregation, with localCheckpoint lineage truncation so round
+    R's plan doesn't replay rounds 1..R-1 — the same loop shape as
+    corpus_dedup.neardup_clusters / GraphFrames CC. Rounds needed =
+    O(component diameter); raises on non-convergence rather than
+    returning partially merged components (ADVICE r2 contract).
+    """
+    e = (
+        graph.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("entity"))
+        .distinct()
+        .withColumn("root", F.col("entity"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(F.col("entity").alias("b"), F.col("root").alias("nroot")),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nroot").alias("nbr_root"))
+            .withColumnRenamed("a", "entity")
+        )
+        new_labels = (
+            labels.join(nbr, "entity", "left")
+            .select(
+                "entity",
+                F.least(
+                    F.col("root"), F.coalesce(F.col("nbr_root"), F.col("root"))
+                ).alias("root"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("root", "_old"), "entity")
+            .filter(F.col("root") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"components did not converge in {max_iter} rounds; raise max_iter"
+        )
+    sizes = labels.groupBy("root").agg(
+        F.count("*").cast("long").alias("component_size")
+    )
+    return labels.join(sizes, "root").select(
+        "entity", F.col("root").alias("component_id"), "component_size"
+    )
+
+
+def kcore(graph: DataFrame, k: int = 2, max_iter: int = 30) -> DataFrame:
+    """K-core decomposition (fixed k): iteratively peel entities whose
+    undirected distinct-neighbor degree is < k until the surviving
+    induced subgraph is stable; return (entity, core_degree) for the
+    survivors. The standard KG-cleaning pass — the k-core is the densely
+    interlinked backbone; peeled nodes are the sparse fringe that
+    single-link chains and tail entities produce.
+
+    Scale shape: each round recomputes degrees over the SHRINKING edge
+    set (one groupBy shuffle) and semi-joins survivors back — work
+    decreases monotonically, localCheckpoint truncates lineage, and the
+    round count is bounded by the peeling depth (≤ max node degree, in
+    practice a handful). Raises on non-convergence. The DuckDB oracle
+    unrolls the same peel max_iter times (idempotent after fixpoint),
+    so Spark failing loudly past max_iter keeps the two in lockstep.
+    """
+    e = (
+        graph.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    edges = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        deg = edges.groupBy("a").agg(F.count("*").cast("long").alias("deg"))
+        survivors = deg.filter(F.col("deg") >= k).select("a")
+        nxt = (
+            edges.join(survivors, "a", "left_semi")
+            .join(survivors.withColumnRenamed("a", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            edges.join(nxt, ["a", "b"], "left_anti").limit(1).count()
+        )
+        edges = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"kcore did not converge in {max_iter} rounds; raise max_iter"
+        )
+    return (
+        edges.groupBy("a")
+        .agg(F.count("*").cast("long").alias("core_degree"))
+        .select(F.col("a").alias("entity"), "core_degree")
+    )
+
+
+def pagerank_int(
+    graph: DataFrame,
+    iters: int = 5,
+    scale: int = 10**9,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank over the directed entity graph in EXACT scaled-integer
+    arithmetic: ranks are longs (initial mass `scale` per node), edge
+    contributions are integer divisions (rank DIV out_degree), damping
+    is the exact fraction damping_pct/100 applied with integer
+    multiply-then-DIV. Every reduction is a sum of longs — associative,
+    so the result is bit-identical regardless of partitioning, task
+    order, or engine. Float PageRank cannot be hash-gated across two
+    engines (double addition is not associative; Spark and DuckDB sum
+    in different orders); this formulation trades ≤1e-9 relative
+    truncation error per term for exact reproducibility — the property
+    a deterministic training-data pipeline actually needs. Fixed
+    iteration count (the production form at 10^12 edges: convergence
+    checks cost a full pass; pipelines run a fixed budget).
+
+    Per iteration: one shuffle keyed on subj (contribution join), one
+    on obj (incoming sum); dangling mass (no-out-edge nodes) is
+    redistributed uniformly, truncated DIV n. localCheckpoint per round
+    truncates the iterative lineage. Output: (entity, rank_scaled).
+    """
+    e = (
+        graph.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e.select(F.col("src").alias("entity"))
+        .union(e.select(F.col("dst").alias("entity")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank_scaled", F.lit(0).cast("long"))
+    outdeg = e.groupBy("src").agg(F.count("*").cast("long").alias("odeg"))
+    teleport = (100 - damping_pct) * scale // 100
+    ranks = nodes.withColumn("rank_scaled", F.lit(scale).cast("long"))
+    for _ in range(iters):
+        with_deg = ranks.join(
+            outdeg.withColumnRenamed("src", "entity"), "entity", "left"
+        )
+        # dangling nodes: no out-edges -> redistribute their mass DIV n
+        dangling = (
+            with_deg.filter(F.col("odeg").isNull())
+            .agg(F.coalesce(F.sum("rank_scaled"), F.lit(0)).alias("s"))
+            .collect()[0]["s"]
+        )
+        dang_share = int(dangling) // n
+        contrib = (
+            e.join(
+                with_deg.filter(F.col("odeg").isNotNull()).select(
+                    F.col("entity").alias("src"),
+                    F.expr("rank_scaled DIV odeg").alias("c"),
+                ),
+                "src",
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").cast("long").alias("incoming"))
+        )
+        ranks = (
+            nodes.join(contrib.withColumnRenamed("dst", "entity"), "entity", "left")
+            .select(
+                "entity",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({damping_pct} * (coalesce(incoming, 0L) + {dang_share}L))"
+                        " DIV 100"
+                    )
+                ).cast("long").alias("rank_scaled"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
 def triangles(graph: DataFrame) -> DataFrame:
     """Directed 3-cycles (a)->(b)->(c)->(a) in the KG, pred-agnostic.
 

@@ -564,6 +564,111 @@ WHERE e1.subj <> e1.obj AND e2.subj <> e2.obj"""
     )
 
 
+_CTE_SYM_EDGES = """
+ed AS (
+  SELECT DISTINCT subj AS a, obj AS b FROM linked WHERE subj <> obj
+),
+sym AS (
+  SELECT a, b FROM ed UNION SELECT b, a FROM ed
+)
+"""
+
+
+def q_kg_components() -> str:
+    """Transitive closure via a recursive reachability CTE; min
+    reachable entity = component id (mirrors graph.components'
+    min-label fixpoint, which converges to exactly that min)."""
+    return (
+        with_chain(
+            cte_scored(), cte_triples(), CTE_LINKED, _CTE_SYM_EDGES,
+            recursive=True,
+        )
+        + """
+, reach(src, node) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.node
+),
+comp AS (SELECT node AS entity, min(src) AS component_id FROM reach GROUP BY node),
+sizes AS (
+  SELECT component_id, CAST(count(*) AS BIGINT) AS component_size
+  FROM comp GROUP BY component_id
+)
+SELECT c.entity, c.component_id, s.component_size
+FROM comp c JOIN sizes s USING (component_id)"""
+    )
+
+
+def q_kg_kcore(k: int = 2, unroll: int = 30) -> str:
+    """K-core peel unrolled `unroll` times — idempotent once the peel
+    reaches fixpoint, and graph.kcore raises if Spark needs more than
+    the same bound, so the two engines stay in lockstep by contract."""
+    # AS MATERIALIZED: each level references the previous one three
+    # times; inlined CTEs would expand 3^unroll scans.
+    steps = []
+    for i in range(1, unroll + 1):
+        prev = "sym" if i == 1 else f"lvl{i-1}"
+        steps.append(
+            f"s{i} AS MATERIALIZED ("
+            f"SELECT a FROM {prev} GROUP BY a HAVING count(*) >= {k}),\n"
+            f"lvl{i} AS MATERIALIZED (SELECT e.a, e.b FROM {prev} e"
+            f" JOIN s{i} x ON x.a = e.a JOIN s{i} y ON y.a = e.b)"
+        )
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED, _CTE_SYM_EDGES)
+        + ",\n"
+        + ",\n".join(steps)
+        + f"""
+SELECT a AS entity, CAST(count(*) AS BIGINT) AS core_degree
+FROM lvl{unroll} GROUP BY a"""
+    )
+
+
+def q_kg_pagerank(
+    iters: int = 5, scale: int = 10**9, damping_pct: int = 85
+) -> str:
+    """Scaled-integer PageRank, iterations unrolled. Every op is BIGINT
+    multiply / add / truncating integer division (`//` here, `DIV` in
+    Spark — identical on non-negative operands), so the result is
+    bit-exact against graph.pagerank_int regardless of evaluation
+    order."""
+    teleport = (100 - damping_pct) * scale // 100
+    steps = []
+    for i in range(1, iters + 1):
+        p = f"r{i-1}"
+        steps.append(f"""
+d{i} AS MATERIALIZED (
+  SELECT CAST(coalesce(sum(r.rank_scaled), 0) AS BIGINT) AS s
+  FROM {p} r LEFT JOIN od ON od.src = r.entity WHERE od.src IS NULL
+),
+c{i} AS MATERIALIZED (
+  SELECT e.dst, CAST(sum(r.rank_scaled // od.odeg) AS BIGINT) AS incoming
+  FROM e JOIN od ON od.src = e.src JOIN {p} r ON r.entity = e.src
+  GROUP BY e.dst
+),
+r{i} AS MATERIALIZED (
+  SELECT n.entity,
+         CAST({teleport} + ({damping_pct} * (coalesce(c.incoming, 0)
+              + (SELECT s FROM d{i}) // (SELECT n FROM nn))) // 100 AS BIGINT)
+           AS rank_scaled
+  FROM nodes n LEFT JOIN c{i} c ON c.dst = n.entity
+)""")
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED)
+        + f"""
+, e AS (
+  SELECT DISTINCT subj AS src, obj AS dst FROM linked WHERE subj <> obj
+),
+nodes AS (SELECT src AS entity FROM e UNION SELECT dst FROM e),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+od AS (SELECT src, CAST(count(*) AS BIGINT) AS odeg FROM e GROUP BY src),
+r0 AS MATERIALIZED (SELECT entity, CAST({scale} AS BIGINT) AS rank_scaled FROM nodes),
+"""
+        + ",".join(steps)
+        + f"\nSELECT entity, rank_scaled FROM r{iters}"
+    )
+
+
 # --------------------------------------------------------------------------
 # Tensor-plane golden (triples_neural)
 # --------------------------------------------------------------------------

@@ -237,6 +237,24 @@ def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.triangles(graph(spark, sf_dir))
 
 
+def kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+
+    return graph_ops.components(graph(spark, sf_dir))
+
+
+def kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+
+    return graph_ops.kcore(graph(spark, sf_dir))
+
+
+def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+
+    return graph_ops.pagerank_int(graph(spark, sf_dir))
+
+
 # --- tensor-plane (neural) path ----------------------------------------------
 
 def triples_neural(spark: SparkSession, sf_dir: str) -> DataFrame:

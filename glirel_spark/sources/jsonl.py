@@ -32,13 +32,36 @@ SCHEMA = (
 )
 
 
-def read_reference_jsonl(spark: SparkSession, path: str) -> DataFrame:
+def _parsed(spark: SparkSession, path: str) -> DataFrame:
     raw = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
-    parsed = raw.select(
+    return raw.select(
+        "value",
         F.sha1(F.col("value")).alias("doc_id"),
         F.from_json("value", SCHEMA).alias("j"),
     ).dropDuplicates(["doc_id"])
+
+
+def read_reference_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Valid documents only. A 100 TB crawl ingest WILL contain mangled
+    lines; ``from_json`` maps them to a null struct, and silently
+    carrying null-token documents downstream poisons every per-doc
+    operator — so unparseable lines (bad JSON, or JSON missing
+    tokenized_text) are dropped here and surfaced by
+    ``corrupt_reference_jsonl`` instead, the distributed analogue of
+    spark.read's badRecordsPath quarantine."""
+    parsed = _parsed(spark, path).filter(F.col("j.tokenized_text").isNotNull())
     return parsed.select("doc_id", "j.tokenized_text", "j.ner", "j.relations")
+
+
+def corrupt_reference_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """(doc_id, value) for every non-empty line read_reference_jsonl
+    rejected — write this to a quarantine sink and alert on its count;
+    a map-only scan, no join against the valid side needed."""
+    return (
+        _parsed(spark, path)
+        .filter(F.col("j.tokenized_text").isNull())
+        .select("doc_id", "value")
+    )
 
 
 def docs_tokens_from_jsonl(df: DataFrame) -> DataFrame:

@@ -152,3 +152,80 @@ def test_salted_equals_direct_under_zipfian_skew(spark):
         .orderBy(F.desc("count")).first()["count"]
     )
     assert buckets == 16
+
+
+def _g(spark, edges):
+    return spark.createDataFrame(
+        [(a, "p", b, 1) for a, b in edges],
+        "subj string, pred string, obj string, n_mentions long",
+    )
+
+
+def test_components_two_families(spark):
+    from glirel_spark.operators.graph import components
+
+    g = _g(spark, [("A", "B"), ("B", "C"), ("D", "E")])
+    out = {r.entity: (r.component_id, r.component_size)
+           for r in components(g).collect()}
+    assert out == {
+        "A": ("A", 3), "B": ("A", 3), "C": ("A", 3),
+        "D": ("D", 2), "E": ("D", 2),
+    }
+
+
+def test_components_raises_on_nonconvergence(spark):
+    import pytest
+
+    from glirel_spark.operators.graph import components
+
+    chain = _g(spark, [(f"N{i}", f"N{i+1}") for i in range(6)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        components(chain, max_iter=1)
+    out = components(chain, max_iter=10).collect()
+    assert {r.component_id for r in out} == {"N0"}
+
+
+def test_kcore_peels_pendant(spark):
+    from glirel_spark.operators.graph import kcore
+
+    # triangle A-B-C with pendant D hanging off C: D peels, core stays
+    g = _g(spark, [("A", "B"), ("B", "C"), ("C", "A"), ("C", "D")])
+    out = {r.entity: r.core_degree for r in kcore(g, k=2).collect()}
+    assert out == {"A": 2, "B": 2, "C": 2}
+
+
+def test_kcore_chain_empties_and_converges(spark):
+    import pytest
+
+    from glirel_spark.operators.graph import kcore
+
+    # path of 5: successive rounds peel the ends inward, core is empty
+    path = _g(spark, [("A", "B"), ("B", "C"), ("C", "D"), ("D", "E")])
+    assert kcore(path, k=2, max_iter=10).count() == 0
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore(path, k=2, max_iter=2)
+
+
+def test_pagerank_int_hand_computed(spark):
+    from glirel_spark.operators.graph import pagerank_int
+
+    # A -> B, B dangling; one iteration, hand-computed exact longs:
+    #   dangling share = 1e9 // 2 = 500_000_000
+    #   A: 150_000_000 + 85*(0 + 5e8)//100          = 575_000_000
+    #   B: 150_000_000 + 85*(1e9 + 5e8)//100        = 1_425_000_000
+    g = _g(spark, [("A", "B")])
+    out = {r.entity: r.rank_scaled for r in pagerank_int(g, iters=1).collect()}
+    assert out == {"A": 575_000_000, "B": 1_425_000_000}
+
+
+def test_pagerank_int_partitioning_invariant(spark):
+    """The selling point of the integer form: bit-identical results no
+    matter how the input is partitioned (long addition is associative;
+    float PageRank does not have this property)."""
+    from glirel_spark.operators.graph import pagerank_int
+
+    edges = [(f"E{i}", f"E{(i * 7 + 3) % 20}") for i in range(60)]
+    g = _g(spark, [(a, b) for a, b in edges if a != b])
+    a = sorted(map(tuple, pagerank_int(g, iters=4).collect()))
+    b = sorted(map(tuple, pagerank_int(g.repartition(13), iters=4).collect()))
+    assert a == b

@@ -103,3 +103,23 @@ def test_reference_eval_protocol_on_jsonl(spark, tmp_path):
     # deterministic across invocations (seeded scorer, no RNG at eval)
     _, metrics2 = evaluate_jsonl(spark, path, threshold=0.0)
     assert metrics2.collect()[0] == m
+
+
+def test_jsonl_corrupt_lines_quarantined(spark, tmp_path):
+    """Mangled lines (truncated JSON, valid JSON missing
+    tokenized_text) must be dropped from the document feed and exposed
+    by the quarantine reader — never propagate as null-token docs."""
+    from glirel_spark.sources.jsonl import corrupt_reference_jsonl
+
+    p = tmp_path / "dirty.jsonl"
+    good = json.dumps(DOCS[0])
+    truncated = good[: len(good) // 2]
+    missing_field = json.dumps({"ner": [], "relations": []})
+    p.write_text("\n".join([good, truncated, missing_field, "", good]) + "\n")
+
+    docs = read_reference_jsonl(spark, str(p))
+    assert docs.count() == 1  # the duplicate good line collapses too
+    assert docs.filter("tokenized_text IS NULL").count() == 0
+
+    bad = corrupt_reference_jsonl(spark, str(p)).collect()
+    assert sorted(r.value for r in bad) == sorted([truncated, missing_field])
