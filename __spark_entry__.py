@@ -132,6 +132,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events windowing / sessionization
         "events_windowed": pipeline.events_windowed,
         "events_sessionized": pipeline.events_sessionized,
+        # as-of join (union + carry-forward window: zero joins, one shuffle)
+        "events_asof": pipeline.events_asof,
+        # range join via time-bucketing (non-equi -> co-partitioned equi-join)
+        "events_range_join": pipeline.events_range_join,
         # general relational/OLAP surface (TPC-H shapes)
         "tpch_pricing_summary": relational.pricing_summary,
         "tpch_top_orders": relational.top_orders,
@@ -196,5 +200,7 @@ def oracle_sql() -> dict[str, str]:
         "media_stats": oc.q_media_stats(),
         "events_windowed": oc.q_events_windowed(),
         "events_sessionized": oc.q_events_sessionized(),
+        "events_asof": oc.q_events_asof(),
+        "events_range_join": oc.q_events_range_join(),
         **relational.ORACLE,
     }

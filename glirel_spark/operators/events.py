@@ -46,3 +46,107 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
             F.max("ts").alias("sess_end"),
         )
     )
+
+
+def asof_last_event(events: DataFrame, right_type: str = "error") -> DataFrame:
+    """AS-OF join: every event annotated with the most recent event of
+    `right_type` for the same user at-or-before its timestamp ("time
+    since last error" — the canonical ops-analytics as-of).
+
+    Spark has no ASOF JOIN operator; the scalable formulation is NO
+    join at all: tag the right-side rows inside the SAME relation,
+    then one carry-forward window — ``last(..., ignorenulls)`` over
+    (user, time) — fills each row with the latest right-side row seen
+    so far. One shuffle on user_id, one sort, zero join; at 10^12
+    events this beats any join-based plan (a per-user sort-merge is
+    exactly what the window executes) and never builds the O(left x
+    right) candidate space a range predicate would. Both windows share
+    one spec, so Catalyst plans a single exchange + sort. Semantics
+    are inclusive (an 'error' row matches itself, lag 0), identical to
+    DuckDB's ``ASOF JOIN ON l.ts >= r.ts`` — the oracle. The lag is
+    integer microseconds (exact in both engines; float seconds would
+    not hash).
+    """
+    is_r = F.col("event_type") == right_type
+    tagged = events.select(
+        "event_id", "ts", "user_id", "event_type",
+        F.when(is_r, F.col("event_id")).alias("_r_id"),
+        F.when(is_r, F.col("ts")).alias("_r_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    # timestampdiff, not unix_micros: ts is TIMESTAMP_NTZ, and an
+    # NTZ->LTZ cast would make the result depend on the session
+    # timezone; NTZ-NTZ difference is timezone-free in both engines.
+    return tagged.select(
+        "event_id", "ts", "user_id", "event_type",
+        F.last("_r_id", ignorenulls=True).over(w)
+        .cast("long").alias(f"last_{right_type}_event_id"),
+        F.last("_r_ts", ignorenulls=True).over(w).alias("_last_ts"),
+    ).select(
+        "event_id", "ts", "user_id", "event_type",
+        f"last_{right_type}_event_id",
+        F.expr("timestampdiff(MICROSECOND, _last_ts, ts)")
+        .cast("long").alias(f"us_since_{right_type}"),
+    )
+
+
+def range_join_counts(
+    events: DataFrame,
+    left_type: str = "purchase",
+    right_type: str = "click",
+    window_seconds: int = 3600,
+) -> DataFrame:
+    """Range join via time-bucketing: per `left_type` event, how many
+    `right_type` events the same user produced in the preceding
+    `window_seconds` (clicks-before-purchase attribution).
+
+    A naive ``ON c.ts BETWEEN p.ts - W AND p.ts`` is a non-equi join —
+    Spark plans it as a per-user nested loop, O(clicks x purchases)
+    per user and a broadcast/cartesian at scale. Bucketing time into
+    window-sized chunks turns it into an EQUI-join: a half-open window
+    of width W overlaps exactly two chunks, so each left row explodes
+    to 2 bucket keys, joins co-partitioned on (user_id, bucket), and
+    the exact range predicate filters the at-most-2x candidates.
+    Shuffle is keyed on (user, time-chunk) — naturally balanced even
+    for hot users, and AQE skew-split applies. Window arithmetic in
+    integer microseconds; counts are longs.
+    """
+    wus = window_seconds * 1_000_000
+    # epoch microseconds of a TIMESTAMP_NTZ, timezone-free (see
+    # asof_last_event): NTZ difference from the naive epoch.
+    ep = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    clicks = events.filter(F.col("event_type") == right_type).select(
+        F.col("user_id").alias("c_user"),
+        F.expr(ep).alias("c_us"),
+    ).withColumn("bucket", F.floor(F.col("c_us") / wus))
+    purchases = events.filter(F.col("event_type") == left_type).select(
+        "event_id", "user_id", "ts", F.expr(ep).alias("p_us"),
+    )
+    exploded = purchases.select(
+        "event_id", "user_id", "p_us",
+        F.explode(
+            F.array(
+                F.floor(F.col("p_us") / wus) - 1, F.floor(F.col("p_us") / wus)
+            )
+        ).alias("bucket"),
+    )
+    matched = (
+        exploded.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user"))
+            & (exploded["bucket"] == clicks["bucket"]),
+        )
+        .filter(
+            (F.col("c_us") >= F.col("p_us") - wus) & (F.col("c_us") < F.col("p_us"))
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    return purchases.join(matched, "event_id", "left").select(
+        "event_id", "user_id", "ts",
+        F.coalesce("_n", F.lit(0)).cast("long").alias(f"n_{right_type}s_window"),
+    )

@@ -664,6 +664,40 @@ SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
 FROM sess GROUP BY user_id, sess_id"""
 
 
+def q_events_asof() -> str:
+    """DuckDB's native ASOF JOIN is the oracle for the Spark
+    union+carry-forward-window formulation (events.asof_last_event):
+    greatest error ts <= event ts per user, inclusive."""
+    return """
+SELECT e.event_id, e.ts, e.user_id, e.event_type,
+       r.event_id AS last_error_event_id,
+       CAST(epoch_us(e.ts) - epoch_us(r.ts) AS BIGINT) AS us_since_error
+FROM events e
+ASOF LEFT JOIN (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+) r ON e.user_id = r.user_id AND e.ts >= r.ts"""
+
+
+def q_events_range_join(window_seconds: int = 3600) -> str:
+    """Plain non-equi BETWEEN join — correct at oracle scale; the Spark
+    side proves the bucketed equi-join computes the same relation."""
+    wus = window_seconds * 1_000_000
+    return f"""
+WITH p AS (
+  SELECT event_id, user_id, ts, epoch_us(ts) AS p_us
+  FROM events WHERE event_type = 'purchase'
+),
+c AS (
+  SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, p.ts,
+       CAST(count(c.c_us) AS BIGINT) AS n_clicks_window
+FROM p LEFT JOIN c
+  ON c.user_id = p.user_id
+ AND c.c_us >= p.p_us - {wus} AND c.c_us < p.p_us
+GROUP BY p.event_id, p.user_id, p.ts"""
+
+
 def q_link_candidates(threshold: float = 0.3) -> str:
     """Mirror of linking.fuzzy_alias_candidates: char-3-gram MinHash-LSH
     candidates between distinct mention surfaces and the alias

@@ -466,3 +466,15 @@ def events_sessionized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import events
 
     return events.sessionize(tables.TableIO(spark, sf_dir).table("events"))
+
+
+def events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import events
+
+    return events.asof_last_event(tables.TableIO(spark, sf_dir).table("events"))
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import events
+
+    return events.range_join_counts(tables.TableIO(spark, sf_dir).table("events"))

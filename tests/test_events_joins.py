@@ -1,0 +1,83 @@
+"""As-of join (union + carry-forward window) and bucketed range join:
+hand-computed micro-cases incl. the bucket-boundary edges that the
+time-chunking trick must get right."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from glirel_spark.operators.events import asof_last_event, range_join_counts
+
+SCHEMA = "event_id long, ts timestamp_ntz, user_id long, event_type string"
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1) + dt.timedelta(microseconds=us), u, t)
+         for i, us, u, t in rows],
+        SCHEMA,
+    )
+
+
+def test_asof_inclusive_and_per_user(spark):
+    ev = _ev(spark, [
+        (0, 0, 1, "error"),
+        (1, 5, 1, "click"),      # 5us after error 0
+        (2, 9, 2, "click"),      # user 2: no error ever -> NULLs
+        (3, 10, 1, "error"),     # an error matches ITSELF (lag 0)
+        (4, 11, 1, "view"),      # most recent is error 3, not 0
+    ])
+    out = {r.event_id: (r.last_error_event_id, r.us_since_error)
+           for r in asof_last_event(ev).collect()}
+    assert out == {
+        0: (0, 0), 1: (0, 5), 2: (None, None), 3: (3, 0), 4: (3, 1),
+    }
+
+
+def test_range_join_window_boundaries(spark):
+    # purchase at t=3600s exactly; window is [t-3600s, t): a click AT
+    # t-3600s counts (inclusive lower), a click AT t does not (exclusive
+    # upper), and the two clicks land in DIFFERENT hour buckets — the
+    # exploded two-bucket join must find both candidates.
+    s = 1_000_000
+    ev = _ev(spark, [
+        (0, 0,          1, "click"),   # == lower bound -> counts
+        (1, 1800 * s,   1, "click"),   # inside -> counts
+        (2, 3600 * s,   1, "click"),   # == purchase ts -> excluded
+        (3, 3600 * s + 1, 1, "click"), # after -> excluded
+        (4, 3600 * s,   1, "purchase"),
+        (5, 10,         2, "purchase"),  # other user: no clicks
+    ])
+    out = {r.event_id: r.n_clicks_window
+           for r in range_join_counts(ev).collect()}
+    assert out == {4: 2, 5: 0}
+
+
+def test_asof_equals_naive_join(spark):
+    """Property: the window formulation == the obvious per-row max-ts
+    join on a denser synthetic stream."""
+    from pyspark.sql import functions as F
+
+    rows = []
+    for i in range(300):
+        rows.append((i, i * 7919 % 100000, i % 7,
+                     "error" if i % 5 == 0 else "click"))
+    ev = _ev(spark, rows)
+    got = asof_last_event(ev)
+    err = ev.filter("event_type = 'error'").select(
+        F.col("user_id").alias("u"), F.col("ts").alias("ets"),
+        F.col("event_id").alias("eid"),
+    )
+    naive = (
+        ev.join(err, (ev.user_id == err.u) & (err.ets <= ev.ts), "left")
+        .groupBy("event_id")
+        .agg(F.max(F.struct("ets", "eid")).alias("m"))
+        .select("event_id", F.col("m.eid").alias("naive_id"))
+    )
+    joined = got.join(naive, "event_id")
+    assert joined.filter(
+        ~(
+            (F.col("last_error_event_id") == F.col("naive_id"))
+            | (F.col("last_error_event_id").isNull() & F.col("naive_id").isNull())
+        )
+    ).count() == 0
