@@ -134,3 +134,50 @@ def test_stateful_sessionize_across_micro_batches(spark, tmp_path):
         for r in closed.collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_asof_equals_batch_across_micro_batches(spark, tmp_path):
+    """As-of enrichment is emit-immediately (no held-back rows), so the
+    streaming output must equal the batch as-of EXACTLY, including when
+    a user's stream is split across two micro-batches and the match
+    crosses the boundary through the state carry."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from glirel_spark.operators.events import asof_last_event
+    from glirel_spark.streaming.asof_state import asof_stateful
+    from glirel_spark.streaming.events_stream import EVENTS_SCHEMA
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    cut = ev.agg(F.percentile_approx("ts", 0.5)).collect()[0][0]
+    src = tmp_path / "asof_src"
+    src.mkdir()
+    ev.filter(F.col("ts") <= cut).coalesce(1).write.parquet(str(src / "b0"))
+    time.sleep(1.1)
+    ev.filter(F.col("ts") > cut).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream_in = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        asof_stateful(stream_in)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("asof_state_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.event_id: (r.last_error_event_id, r.us_since_error)
+        for r in spark.sql("SELECT * FROM asof_state_out").collect()
+    }
+    want = {
+        r.event_id: (r.last_error_event_id, r.us_since_error)
+        for r in asof_last_event(ev).collect()
+    }
+    assert got == want and len(got) == ev.count()
