@@ -119,10 +119,13 @@ def range_join_counts(
     # epoch microseconds of a TIMESTAMP_NTZ, timezone-free (see
     # asof_last_event): NTZ difference from the naive epoch.
     ep = "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    # integer DIV, not floor(double /): epoch-us values are exact longs
+    # and must stay exact through the bucket arithmetic (a double
+    # division is only safe below 2^53 and rounds at the boundary)
     clicks = events.filter(F.col("event_type") == right_type).select(
         F.col("user_id").alias("c_user"),
         F.expr(ep).alias("c_us"),
-    ).withColumn("bucket", F.floor(F.col("c_us") / wus))
+    ).withColumn("bucket", F.expr(f"c_us DIV {wus}"))
     purchases = events.filter(F.col("event_type") == left_type).select(
         "event_id", "user_id", "ts", F.expr(ep).alias("p_us"),
     )
@@ -130,7 +133,7 @@ def range_join_counts(
         "event_id", "user_id", "p_us",
         F.explode(
             F.array(
-                F.floor(F.col("p_us") / wus) - 1, F.floor(F.col("p_us") / wus)
+                F.expr(f"p_us DIV {wus}") - 1, F.expr(f"p_us DIV {wus}")
             )
         ).alias("bucket"),
     )

@@ -79,3 +79,31 @@ def test_fuzzy_linking_plan_broadcasts_candidates(spark):
     # shingle relations — that side is distinct-surface-sized)
     assert "BroadcastHashJoin [subj" in plan
     assert "BroadcastHashJoin [obj" in plan
+
+
+def test_asof_plan_is_single_exchange_no_join(spark):
+    """The as-of formulation's whole point: one shuffle on user, one
+    sort, ZERO join operators — any join creeping in means someone
+    rebuilt the O(left x right) candidate space."""
+    from glirel_spark.operators.events import asof_last_event
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(asof_last_event(ev))
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+    # filters reach the scan even through the window
+    assert "ReadSchema" in plan
+
+
+def test_range_join_plan_is_equi_join_not_nested_loop(spark):
+    """Time-bucketing must turn the BETWEEN predicate into an
+    equi-join: a BroadcastNestedLoopJoin/CartesianProduct here means
+    the non-equi condition leaked back into the join keys."""
+    from glirel_spark.operators.events import range_join_counts
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _plan(range_join_counts(ev))
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+    # event-type predicate pushed into the parquet scan
+    assert "PushedFilters: [IsNotNull(event_type)" in plan
