@@ -81,6 +81,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # exact + fuzzy-fallback canonicalized triples (full linking path)
         "linked_triples_fuzzy": pipeline.linked_triples_fuzzy,
         "graph": pipeline.graph,
+        # incremental upsert == full rebuild (oracle is the rebuild)
+        "graph_upsert": pipeline.graph_upsert,
         # KG degree centrality (hub entities) over the materialized graph
         "entity_degrees": pipeline.entity_degrees,
         # 2-hop traversal join (the multi-hop query template)
@@ -167,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
         "link_candidates": oc.q_link_candidates(),
         "linked_triples_fuzzy": oc.q_linked_triples_fuzzy(),
         "graph": oracle.q_graph(),
+        "graph_upsert": oracle.q_graph(),
         "entity_degrees": oracle.q_entity_degrees(),
         "two_hop_paths": oracle.q_two_hop_paths(),
         "kg_triangles": oracle.q_kg_triangles(),

@@ -67,6 +67,46 @@ def materialize_graph_direct(linked: DataFrame) -> DataFrame:
     )
 
 
+def upsert_graph(
+    existing: DataFrame, new_linked: DataFrame, n_salt: int = N_SALT
+) -> DataFrame:
+    """Incremental KG maintenance: fold a NEW batch of linked triples
+    into an already-materialized graph without rescanning the corpus —
+    the production shape (the corpus grows daily; re-aggregating 10^12
+    historical triples per batch is not a plan).
+
+    Correct because every support stat is algebraic across disjoint
+    doc sets: n_mentions adds, max_prob is max-of-max, min_doc_id is
+    min-of-min, and n_docs adds PROVIDED batch doc_ids are new —
+    which append-only ingestion guarantees (each doc is processed
+    exactly once; the same idempotency contract plans/lineage.py
+    enforces for resume). The batch side runs the same salted
+    materialization as a full build; the merge is one full-outer join
+    on the triple key, shuffled on exactly the partitioning a
+    key-bucketed graph table already has (on a cluster: the sink table
+    bucketed by (subj, pred, obj) makes this merge shuffle-free on the
+    existing side). upsert(materialize(A), B) == materialize(A ∪ B)
+    row-for-row — tested, and the driver query's oracle is the full
+    rebuild itself.
+    """
+    delta = materialize_graph(new_linked, n_salt=n_salt)
+    o, d = existing.alias("o"), delta.alias("d")
+    both = o.join(d, _KEYS, "full")
+
+    def _sum(col: str):
+        return (
+            F.coalesce(f"o.{col}", F.lit(0)) + F.coalesce(f"d.{col}", F.lit(0))
+        ).cast("long").alias(col)
+
+    return both.select(
+        *_KEYS,
+        _sum("n_mentions"),
+        _sum("n_docs"),
+        F.greatest("o.max_prob", "d.max_prob").alias("max_prob"),
+        F.least("o.min_doc_id", "d.min_doc_id").alias("min_doc_id"),
+    )
+
+
 def write_graph(graph: DataFrame, path: str) -> None:
     """Partitioned sink (Iceberg `writeTo(...).append()` on a cluster;
     parquet + pred partition directories in the sandbox). Partitioning
@@ -297,13 +337,12 @@ def pagerank_int(
         with_deg = ranks.join(
             outdeg.withColumnRenamed("src", "entity"), "entity", "left"
         )
-        # dangling nodes: no out-edges -> redistribute their mass DIV n
-        dangling = (
-            with_deg.filter(F.col("odeg").isNull())
-            .agg(F.coalesce(F.sum("rank_scaled"), F.lit(0)).alias("s"))
-            .collect()[0]["s"]
+        # dangling nodes: no out-edges -> redistribute their mass DIV n.
+        # The one-row aggregate rides in as a BROADCAST crossJoin (no
+        # driver collect, no second pass over the checkpointed ranks).
+        dang = with_deg.filter(F.col("odeg").isNull()).agg(
+            F.coalesce(F.sum("rank_scaled"), F.lit(0)).cast("long").alias("_dang")
         )
-        dang_share = int(dangling) // n
         contrib = (
             e.join(
                 with_deg.filter(F.col("odeg").isNotNull()).select(
@@ -317,13 +356,14 @@ def pagerank_int(
         )
         ranks = (
             nodes.join(contrib.withColumnRenamed("dst", "entity"), "entity", "left")
+            .crossJoin(F.broadcast(dang))
             .select(
                 "entity",
                 (
                     F.lit(teleport)
                     + F.expr(
-                        f"({damping_pct} * (coalesce(incoming, 0L) + {dang_share}L))"
-                        " DIV 100"
+                        f"({damping_pct} * (coalesce(incoming, 0L)"
+                        f" + (_dang DIV {n}L))) DIV 100"
                     )
                 ).cast("long").alias("rank_scaled"),
             )

@@ -237,6 +237,20 @@ def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.triangles(graph(spark, sf_dir))
 
 
+def graph_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-maintenance proof as a driver query: split the
+    corpus's linked triples BY DOCUMENT into two deterministic halves,
+    materialize half A, upsert half B into it — the result must equal
+    (and its oracle IS) the full-graph rebuild."""
+    from glirel_spark.operators import graph as graph_ops
+    from glirel_spark.operators import linking
+
+    linked = linking.link_triples(triples(spark, sf_dir), linking.alias_df(spark))
+    half = F.pmod(F.hash("doc_id"), F.lit(2)) == 0
+    base = graph_ops.materialize_graph(linked.filter(half))
+    return graph_ops.upsert_graph(base, linked.filter(~half))
+
+
 def kg_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import graph as graph_ops
 

@@ -229,3 +229,40 @@ def test_pagerank_int_partitioning_invariant(spark):
     a = sorted(map(tuple, pagerank_int(g, iters=4).collect()))
     b = sorted(map(tuple, pagerank_int(g.repartition(13), iters=4).collect()))
     assert a == b
+
+
+def test_upsert_equals_full_rebuild(spark):
+    from glirel_spark.operators.graph import materialize_graph, upsert_graph
+
+    rows = []
+    for i in range(400):
+        rows.append((f"E{i % 13}", "p" if i % 3 else "q", f"E{(i * 5 + 1) % 13}",
+                     str(i % 37), (i % 100) / 100.0))
+    linked = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, doc_id string, prob double"
+    )
+    half_a = linked.filter(F.pmod(F.hash("doc_id"), F.lit(2)) == 0)
+    half_b = linked.filter(F.pmod(F.hash("doc_id"), F.lit(2)) != 0)
+    got = {tuple(r) for r in
+           upsert_graph(materialize_graph(half_a), half_b).collect()}
+    want = {tuple(r) for r in materialize_graph(linked).collect()}
+    assert got == want and len(want) > 10
+
+
+def test_upsert_new_and_old_keys(spark):
+    from glirel_spark.operators.graph import materialize_graph, upsert_graph
+
+    sch = "subj string, pred string, obj string, doc_id string, prob double"
+    old = materialize_graph(spark.createDataFrame(
+        [("A", "p", "B", "d0", 0.5), ("A", "p", "B", "d1", 0.9)], sch))
+    new = spark.createDataFrame(
+        [("A", "p", "B", "d2", 0.7),   # existing key: stats fold in
+         ("X", "q", "Y", "d2", 0.3)],  # brand-new key: inherited
+        sch)
+    out = {(r.subj, r.pred, r.obj):
+           (r.n_mentions, r.n_docs, r.max_prob, r.min_doc_id)
+           for r in upsert_graph(old, new).collect()}
+    assert out == {
+        ("A", "p", "B"): (3, 3, 0.9, "d0"),
+        ("X", "q", "Y"): (1, 1, 0.3, "d2"),
+    }
