@@ -138,6 +138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof": pipeline.events_asof,
         # range join via time-bucketing (non-equi -> co-partitioned equi-join)
         "events_range_join": pipeline.events_range_join,
+        # JSON props extraction as codegen scan expression (no UDF)
+        "events_props": pipeline.events_props,
         # general relational/OLAP surface (TPC-H shapes)
         "tpch_pricing_summary": relational.pricing_summary,
         "tpch_top_orders": relational.top_orders,
@@ -205,5 +207,6 @@ def oracle_sql() -> dict[str, str]:
         "events_sessionized": oc.q_events_sessionized(),
         "events_asof": oc.q_events_asof(),
         "events_range_join": oc.q_events_range_join(),
+        "events_props": oc.q_events_props(),
         **relational.ORACLE,
     }

@@ -153,3 +153,25 @@ def range_join_counts(
         "event_id", "user_id", "ts",
         F.coalesce("_n", F.lit(0)).cast("long").alias(f"n_{right_type}s_window"),
     )
+
+
+def props_stats(events: DataFrame) -> DataFrame:
+    """Semi-structured JSON extraction at scan time: pull the numeric
+    ``k`` out of the ``props`` JSON string column and aggregate per
+    event type. ``get_json_object`` is a JVM-side codegen expression —
+    the parse happens inside the scan stage, no UDF, no second pass;
+    at 10^12 events the alternative (a parsed staging table) is a
+    storage choice, not a plan necessity. Aggregates are
+    integer-exact (count / long sum / exact count-distinct via the
+    two-stage dedup shuffle Spark plans for countDistinct).
+    """
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.countDistinct("k").cast("long").alias("n_distinct_k"),
+        )
+    )

@@ -698,6 +698,17 @@ FROM p LEFT JOIN c
 GROUP BY p.event_id, p.user_id, p.ts"""
 
 
+def q_events_props() -> str:
+    return """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       CAST(count(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+         AS BIGINT) AS n_distinct_k
+FROM events GROUP BY event_type"""
+
+
 def q_link_candidates(threshold: float = 0.3) -> str:
     """Mirror of linking.fuzzy_alias_candidates: char-3-gram MinHash-LSH
     candidates between distinct mention surfaces and the alias

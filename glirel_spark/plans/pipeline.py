@@ -492,3 +492,9 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import events
 
     return events.range_join_counts(tables.TableIO(spark, sf_dir).table("events"))
+
+
+def events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import events
+
+    return events.props_stats(tables.TableIO(spark, sf_dir).table("events"))
