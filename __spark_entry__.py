@@ -112,6 +112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # within-doc repetition signal (duplicate-shingle fraction)
         "doc_repetition": pipeline.doc_repetition,
         "token_counts": pipeline.token_counts,
+        # TF-IDF keyword extraction (log-free score: bit-exact ranking)
+        "doc_top_terms": pipeline.doc_top_terms,
         "lang_id": pipeline.lang_id,
         # deterministic hash-based stratified downsampling per language
         "corpus_sample": pipeline.corpus_sample,
@@ -191,6 +193,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": oc.q_doc_quality(),
         "doc_repetition": oc.q_doc_repetition(),
         "token_counts": oc.q_token_counts(),
+        "doc_top_terms": oc.q_doc_top_terms(),
         "lang_id": oc.q_lang_id(),
         "corpus_sample": oc.q_corpus_sample(),
         "corpus_stats": oc.q_corpus_stats(),

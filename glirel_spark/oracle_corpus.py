@@ -698,6 +698,31 @@ FROM p LEFT JOIN c
 GROUP BY p.event_id, p.user_id, p.ts"""
 
 
+def q_doc_top_terms(k: int = 5) -> str:
+    from glirel_spark.oracle import CTE_TOKENS
+
+    return (
+        "WITH " + CTE_TOKENS.strip() + f""",
+tf AS (
+  SELECT doc_id, token AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, token
+),
+dft AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+sc AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         CAST(t.tf * (SELECT n FROM nn) AS DOUBLE) / d.df AS score
+  FROM tf t JOIN dft d USING (term)
+),
+rk AS (
+  SELECT *, CAST(row_number() OVER (
+     PARTITION BY doc_id ORDER BY score DESC, term ASC) AS INT) AS rank
+  FROM sc
+)
+SELECT doc_id, rank, term, tf, df, score FROM rk WHERE rank <= {k}"""
+    )
+
+
 def q_events_props() -> str:
     return """
 SELECT event_type,

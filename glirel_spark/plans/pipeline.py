@@ -470,6 +470,12 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import textstats
+
+    return textstats.doc_top_terms(tables.text_of(interleaved(spark, sf_dir)))
+
+
 def events_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import events
 

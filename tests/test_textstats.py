@@ -71,3 +71,22 @@ def test_corpus_stats_rollup(spark):
     assert rows[("en", None)] == (2, 4, 3, 1)   # per-lang subtotal
     assert rows[(None, None)] == (3, 9, 6, 3)   # grand total
     assert len(rows) == 6
+
+
+def test_doc_top_terms_hand_computed(spark):
+    from glirel_spark.operators.textstats import doc_top_terms
+
+    docs = spark.createDataFrame(
+        [("a", "x x y z"), ("b", "x q"), ("c", "q q q")],
+        "doc_id string, text string",
+    )
+    # N=3; df: x=2, y=1, z=1, q=2
+    # doc a scores: x: 2*3/2=3.0, y: 1*3/1=3.0, z: 3.0 -> tie broken by term asc
+    out = doc_top_terms(docs, k=2).collect()
+    got = {(r.doc_id, r.rank): (r.term, r.tf, r.df, r.score) for r in out}
+    assert got[("a", 1)] == ("x", 2, 2, 3.0)
+    assert got[("a", 2)] == ("y", 1, 1, 3.0)
+    assert got[("b", 1)] == ("q", 1, 2, 1.5)  # x ties at 1.5, q wins by term
+    assert got[("b", 2)] == ("x", 1, 2, 1.5)
+    assert got[("c", 1)] == ("q", 3, 2, 4.5)
+    assert len(got) == 5  # doc c has a single distinct term
