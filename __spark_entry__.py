@@ -125,6 +125,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # trained coarse quantizer (sample-fit k-means) + multi-probe —
         # the genuine 10^12-row IVF shape (operators/kmeans.py)
         "ann_topk_kmeans": pipeline.ann_topk_kmeans,
+        # product-quantization ADC scan (compressed-domain top-k)
+        "ann_topk_pq": pipeline.ann_topk_pq,
+        # ADC shortlist -> exact re-rank (the production PQ pattern)
+        "ann_topk_pq_rerank": pipeline.ann_topk_pq_rerank,
         # corpus-side multi-assignment variant (top-A cells per vector:
         # A x index size for boundary-vector recall)
         "ann_topk_kmeans_multi": pipeline.ann_topk_kmeans_multi,
@@ -200,6 +204,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": oc.q_ann_topk(),
         "ann_topk_ivf": oc.q_ann_topk_ivf(),
         "ann_topk_kmeans": oc.q_ann_topk_kmeans(),
+        "ann_topk_pq": oc.q_ann_topk_pq(),
+        "ann_topk_pq_rerank": oc.q_ann_topk_pq_rerank(),
         "ann_topk_kmeans_multi": oc.q_ann_topk_kmeans(
             corpus_probe=config.IVF_KM_CORPUS_PROBE
         ),

@@ -173,6 +173,9 @@ IVF_KM_SAMPLE = 512  # driver-side fit sample cap
 IVF_KM_ITERS = 8  # Lloyd iterations
 IVF_KM_NPROBE = 6  # query-side multi-probe width
 IVF_KM_CORPUS_PROBE = 3  # corpus-side multi-assignment (index replication)
+PQ_M = 8  # product-quantization subspaces (d=64 -> 8 dims each)
+PQ_KS = 16  # codes per subspace (4-bit codes; 64 floats -> 8 bytes)
+PQ_ITERS = 8  # per-subspace Lloyd iterations
 
 # --------------------------------------------------------------------------
 # Multimodal (synthetic deterministic media bytes; decode itself is stubbed)

@@ -554,6 +554,127 @@ ranked_{i} AS (
     )
 
 
+def _pq_cte_arm(i: int, sf: str) -> str:
+    """Shared per-sf CTE chain for the PQ oracles: inlined codebooks ->
+    codes (argmin-L2, ties -> smallest code) -> per-query LUT -> ADC
+    score fold -> pq_score ranking (rank_{i}). Every fold has the same
+    fixed evaluation order as the Spark expressions, so pq_score is
+    bit-identical, not just the ranking."""
+    from glirel_spark.operators import pq
+
+    books = pq.fit_pq(f"/root/testdata/{sf}")
+    m, ks, ds = len(books), len(books[0]), len(books[0][0])
+
+    # Each element CAST('..' AS DOUBLE): bare float literals parse as
+    # DECIMAL, and a DECIMAL list unifies to one common scale —
+    # rescaling can drop the 17th digit (1-ulp drift). String -> DOUBLE
+    # is a single correctly-rounded conversion, so the inlined codebook
+    # is bit-identical to the python floats.
+    def _dlist(vals):
+        return "[" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in vals) + "]"
+
+    rows = ",\n    ".join(
+        f"({j}, {cc}, {_dlist(books[j][cc])})"
+        for j in range(m) for cc in range(ks)
+    )
+    return f"""cb_{i}(j, c, cvec) AS (VALUES
+    {rows}),
+ne_{i} AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS ne
+  FROM embn
+),
+dist_{i} AS (
+  SELECT n.vec_id, b.j, b.c,
+         list_reduce(list_transform(range(1, {ds + 1}), i2 ->
+           (n.ne[b.j * {ds} + i2] - b.cvec[i2])
+           * (n.ne[b.j * {ds} + i2] - b.cvec[i2])), (x, y) -> x + y) AS d2
+  FROM ne_{i} n CROSS JOIN cb_{i} b
+),
+code_{i} AS (
+  SELECT vec_id, j, c FROM (
+    SELECT vec_id, j, c,
+           row_number() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, c ASC) AS rn
+    FROM dist_{i}
+  ) WHERE rn = 1
+),
+qlut_{i} AS (
+  SELECT n.vec_id AS q_id, b.j, b.c,
+         list_reduce(list_transform(range(1, {ds + 1}), i2 ->
+           n.ne[b.j * {ds} + i2] * b.cvec[i2]), (x, y) -> x + y) AS v
+  FROM ne_{i} n CROSS JOIN cb_{i} b
+  WHERE n.vec_id < {c.ANN_N_QUERIES}
+),
+sc_{i} AS (
+  SELECT q.q_id, cd.vec_id AS n_id,
+         list_reduce(list(q.v ORDER BY q.j), (x, y) -> x + y) AS pq_score
+  FROM code_{i} cd JOIN qlut_{i} q ON q.j = cd.j AND q.c = cd.c
+  WHERE cd.vec_id <> q.q_id
+  GROUP BY q.q_id, cd.vec_id
+),
+rank_{i} AS (
+  SELECT q_id, n_id, pq_score,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY pq_score DESC, n_id ASC) AS INT) AS rk
+  FROM sc_{i}
+)"""
+
+
+def q_ann_topk_pq() -> str:
+    """Pure ADC top-k: compressed-domain scores ARE the result."""
+    from glirel_spark.oracle import _GOLDEN_SIGS
+
+    ctes = [CTE_EMBN.strip().rstrip(",")]
+    arms = []
+    for i, (sf, sig) in enumerate(_GOLDEN_SIGS.items()):
+        ctes.append(_pq_cte_arm(i, sf))
+        arms.append(
+            f"SELECT q_id, n_id, pq_score, rk FROM rank_{i}\n"
+            f"WHERE rk <= {c.ANN_TOP_K} AND (SELECT s FROM sig) = {sig}"
+        )
+    sig_cte = "sig AS (SELECT sum(length(text)) AS s FROM documents)"
+    return (
+        "WITH " + ",\n".join([sig_cte] + ctes) + "\n" + "\nUNION ALL\n".join(arms)
+    )
+
+
+def q_ann_topk_pq_rerank(shortlist: int = 50) -> str:
+    """ADC shortlist -> exact-cosine re-rank (pq.pq_topk_rerank)."""
+    from glirel_spark.oracle import _GOLDEN_SIGS
+
+    dot_q = _DOT.format(a="q.q_emb", b="e.embedding")
+    ctes = [CTE_EMBN.strip().rstrip(",")]
+    arms = []
+    for i, (sf, sig) in enumerate(_GOLDEN_SIGS.items()):
+        ctes.append(_pq_cte_arm(i, sf))
+        ctes.append(f"""short_{i} AS (
+  SELECT q_id, n_id FROM rank_{i} WHERE rk <= {shortlist}
+),
+qraw_{i} AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+  FROM embn WHERE vec_id < {c.ANN_N_QUERIES}
+),
+rcos_{i} AS (
+  SELECT s.q_id, s.n_id, {dot_q} / (q.q_nrm * e.nrm) AS cosine
+  FROM short_{i} s
+  JOIN embn e ON e.vec_id = s.n_id
+  JOIN qraw_{i} q ON q.q_id = s.q_id
+),
+rrank_{i} AS (
+  SELECT q_id, n_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cosine DESC, n_id ASC) AS INT) AS rk
+  FROM rcos_{i}
+)""")
+        arms.append(
+            f"SELECT q_id, n_id, cosine, rk FROM rrank_{i}\n"
+            f"WHERE rk <= {c.ANN_TOP_K} AND (SELECT s FROM sig) = {sig}"
+        )
+    sig_cte = "sig AS (SELECT sum(length(text)) AS s FROM documents)"
+    return (
+        "WITH " + ",\n".join([sig_cte] + ctes) + "\n" + "\nUNION ALL\n".join(arms)
+    )
+
+
 def q_embedding_neardups(min_cosine: float = 0.98) -> str:
     dot = _DOT.format(a="a.embedding", b="b.embedding")
     return (

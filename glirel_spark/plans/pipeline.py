@@ -439,6 +439,20 @@ def ann_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans.kmeans_ivf_topk(emb, cents)
 
 
+def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import pq
+
+    emb = tables.TableIO(spark, sf_dir).table("embeddings")
+    return pq.pq_topk(emb, pq.fit_pq(sf_dir))
+
+
+def ann_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import pq
+
+    emb = tables.TableIO(spark, sf_dir).table("embeddings")
+    return pq.pq_topk_rerank(emb, pq.fit_pq(sf_dir))
+
+
 def ann_topk_kmeans_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import kmeans
 

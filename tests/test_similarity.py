@@ -56,3 +56,44 @@ def test_embedding_neardups_blocked(spark):
     df = _emb(spark, vecs)
     out = {(r.v1, r.v2) for r in embedding_neardups(df, min_cosine=0.99).collect()}
     assert out == {(0, 1)}  # -a is in another cell AND anti-similar
+
+
+def test_pq_recall_and_partitioning_invariance(spark):
+    """PQ/ADC top-k: (a) recall vs the exact scan is far above chance
+    on the sf0.001 embeddings; (b) results are identical under a
+    different input partitioning (every fold has fixed order)."""
+    from glirel_spark.operators.pq import fit_pq, pq_topk
+    from glirel_spark.operators.similarity import brute_force_topk
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    books = fit_pq(sf)
+
+    approx = pq_topk(emb, books).collect()
+    exact = brute_force_topk(emb).collect()
+    a = {(r.q_id, r.n_id) for r in approx}
+    e = {(r.q_id, r.n_id) for r in exact}
+    recall = len(a & e) / len(e)
+    # 500 vectors, k=5: chance recall = 1%. Pure ADC measures 0.14 here
+    # — the synthetic embeddings are near-uniform on the sphere (same
+    # caveat as the IVF sweep, BENCH/BASELINE.md), so reconstruction
+    # error swamps the tiny cosine gaps; the production path below
+    # re-ranks a shortlist and recovers the recall.
+    assert recall >= 0.08, recall
+    assert len(a) == len(e)
+
+    again = pq_topk(emb.repartition(7), books).collect()
+    assert sorted(map(tuple, approx)) == sorted(map(tuple, again))
+
+
+def test_pq_rerank_recall(spark):
+    """ADC shortlist (R=50 of 500) + exact re-rank: recall jumps from
+    ~0.14 (pure ADC) to >=0.6 — the standard two-stage PQ retrieval."""
+    from glirel_spark.operators.pq import fit_pq, pq_topk_rerank
+    from glirel_spark.operators.similarity import brute_force_topk
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    a = {(r.q_id, r.n_id) for r in pq_topk_rerank(emb, fit_pq(sf)).collect()}
+    e = {(r.q_id, r.n_id) for r in brute_force_topk(emb).collect()}
+    assert len(a & e) / len(e) >= 0.6  # measured 0.74
