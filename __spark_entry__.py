@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_pq": pipeline.ann_topk_pq,
         # ADC shortlist -> exact re-rank (the production PQ pattern)
         "ann_topk_pq_rerank": pipeline.ann_topk_pq_rerank,
+        # the full FAISS-style index: cell probe + ADC + exact re-rank
+        "ann_topk_ivfpq": pipeline.ann_topk_ivfpq,
         # corpus-side multi-assignment variant (top-A cells per vector:
         # A x index size for boundary-vector recall)
         "ann_topk_kmeans_multi": pipeline.ann_topk_kmeans_multi,
@@ -206,6 +208,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk_kmeans": oc.q_ann_topk_kmeans(),
         "ann_topk_pq": oc.q_ann_topk_pq(),
         "ann_topk_pq_rerank": oc.q_ann_topk_pq_rerank(),
+        "ann_topk_ivfpq": oc.q_ann_topk_ivfpq(),
         "ann_topk_kmeans_multi": oc.q_ann_topk_kmeans(
             corpus_probe=config.IVF_KM_CORPUS_PROBE
         ),

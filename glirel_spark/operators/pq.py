@@ -257,3 +257,79 @@ def pq_topk_rerank(
         .filter(F.col("rk") <= k)
         .select("q_id", "n_id", "cosine", F.col("rk").cast("int").alias("rk"))
     )
+
+
+def ivfpq_topk(
+    emb,
+    cents,
+    books,
+    n_probe: int = config.IVF_KM_NPROBE,
+    n_queries: int = config.ANN_N_QUERIES,
+    k: int = config.ANN_TOP_K,
+    shortlist: int = 50,
+):
+    """IVF-PQ: the full FAISS-style index as one Spark plan. The corpus
+    carries (cell, codes) — coarse trained-k-means cell + PQ codes,
+    both single codegen expressions; a query probes its top-``n_probe``
+    cells (exploded, tiny side, broadcast), candidates come from a cell
+    EQUI-join (never the full corpus), ADC-scores them in the
+    compressed domain, and the top-``shortlist`` get the exact-cosine
+    re-rank. At 10^12 vectors this is the only shape that works: the
+    scan is code-bytes not floats, the join is cell-pruned, and raw
+    vectors are touched for shortlist x queries rows only. Every stage
+    reuses the hash-gated building blocks (kmeans.assign_cell_expr /
+    probe_cells_expr, encode_expr, lut_expr), so the composition is
+    value-checkable end-to-end."""
+    from pyspark.sql import Window as W
+
+    from glirel_spark.operators.kmeans import assign_cell_expr, probe_cells_expr
+
+    m = len(books)
+    ks = len(books[0])
+    corpus = emb.select(
+        "vec_id",
+        assign_cell_expr(F.col("embedding"), cents).alias("cell"),
+        encode_expr(F.col("embedding"), books).alias("codes"),
+    )
+    qside = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.explode(
+            probe_cells_expr(F.col("embedding"), cents, n_probe)
+        ).alias("cell"),
+        lut_expr(F.col("embedding"), books).alias("lut"),
+    )
+    pairs = corpus.join(
+        F.broadcast(qside),
+        (corpus["cell"] == qside["cell"]) & (F.col("vec_id") != F.col("q_id")),
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(F.col("lut"), j * ks + F.element_at(F.col("codes"), j + 1) + 1),
+    )
+    w1 = W.partitionBy("q_id").orderBy(F.desc("pq_score"), F.asc("n_id"))
+    short = (
+        pairs.select("q_id", F.col("vec_id").alias("n_id"), adc.alias("pq_score"))
+        .withColumn("_r", F.row_number().over(w1))
+        .filter(F.col("_r") <= shortlist)
+        .select("q_id", "n_id")
+    )
+    nrm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
+    base = emb.select("vec_id", "embedding", nrm.alias("nrm"))
+    q = base.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    fetched = short.join(
+        base.select(F.col("vec_id").alias("n_id"), "embedding", "nrm"), "n_id"
+    ).join(F.broadcast(q), "q_id")
+    cos = _dot(F.col("q_emb"), F.col("embedding")) / (F.col("q_nrm") * F.col("nrm"))
+    w2 = W.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("n_id"))
+    return (
+        fetched.select("q_id", "n_id", cos.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= k)
+        .select("q_id", "n_id", "cosine", F.col("rk").cast("int").alias("rk"))
+    )

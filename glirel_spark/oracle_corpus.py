@@ -675,6 +675,86 @@ rrank_{i} AS (
     )
 
 
+def q_ann_topk_ivfpq(n_probe: int = c.IVF_KM_NPROBE, shortlist: int = 50) -> str:
+    """IVF-PQ composition: trained-k-means cell probe (q_ann_topk_kmeans
+    semantics) restricting the candidate set, ADC scoring via the PQ
+    core CTEs (code_{i}/qlut_{i} from _pq_cte_arm; its rank CTEs go
+    unreferenced and unevaluated), then exact-cosine re-rank of the
+    shortlist."""
+    from glirel_spark.oracle import _GOLDEN_SIGS
+    from glirel_spark.operators import kmeans
+
+    def _dlist(vals):
+        return "[" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in vals) + "]"
+
+    dot_c = _DOT.format(a="e.embedding", b="c.cvec")
+    dot_q = _DOT.format(a="q.q_emb", b="e.embedding")
+    ctes = [CTE_EMBN.strip().rstrip(",")]
+    arms = []
+    for i, (sf, sig) in enumerate(_GOLDEN_SIGS.items()):
+        cents = kmeans.fit_centroids(f"/root/testdata/{sf}")
+        crows = ",\n    ".join(
+            f"({j}, {_dlist(cc)})" for j, cc in enumerate(cents)
+        )
+        ctes.append(_pq_cte_arm(i, sf))
+        ctes.append(f"""icents_{i}(cell, cvec) AS (VALUES
+    {crows}),
+iprobes_{i} AS (
+  SELECT e.vec_id, c.cell,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {dot_c} DESC, c.cell ASC) AS pr
+  FROM embn e CROSS JOIN icents_{i} c
+),
+iassign_{i} AS (SELECT vec_id, cell FROM iprobes_{i} WHERE pr = 1),
+iq_{i} AS (
+  SELECT vec_id AS q_id, cell FROM iprobes_{i}
+  WHERE vec_id < {c.ANN_N_QUERIES} AND pr <= {n_probe}
+),
+icand_{i} AS (
+  SELECT q.q_id, a.vec_id AS n_id
+  FROM iassign_{i} a JOIN iq_{i} q ON a.cell = q.cell AND a.vec_id <> q.q_id
+),
+iadc_{i} AS (
+  SELECT ca.q_id, ca.n_id,
+         list_reduce(list(q.v ORDER BY q.j), (x, y) -> x + y) AS pq_score
+  FROM icand_{i} ca
+  JOIN code_{i} cd ON cd.vec_id = ca.n_id
+  JOIN qlut_{i} q ON q.q_id = ca.q_id AND q.j = cd.j AND q.c = cd.c
+  GROUP BY ca.q_id, ca.n_id
+),
+ishort_{i} AS (
+  SELECT q_id, n_id FROM (
+    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+           ORDER BY pq_score DESC, n_id ASC) AS rr
+    FROM iadc_{i}
+  ) WHERE rr <= {shortlist}
+),
+iqraw_{i} AS (
+  SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm
+  FROM embn WHERE vec_id < {c.ANN_N_QUERIES}
+),
+icos_{i} AS (
+  SELECT s.q_id, s.n_id, {dot_q} / (q.q_nrm * e.nrm) AS cosine
+  FROM ishort_{i} s
+  JOIN embn e ON e.vec_id = s.n_id
+  JOIN iqraw_{i} q ON q.q_id = s.q_id
+),
+irank_{i} AS (
+  SELECT q_id, n_id, cosine,
+         CAST(row_number() OVER (PARTITION BY q_id
+              ORDER BY cosine DESC, n_id ASC) AS INT) AS rk
+  FROM icos_{i}
+)""")
+        arms.append(
+            f"SELECT q_id, n_id, cosine, rk FROM irank_{i}\n"
+            f"WHERE rk <= {c.ANN_TOP_K} AND (SELECT s FROM sig) = {sig}"
+        )
+    sig_cte = "sig AS (SELECT sum(length(text)) AS s FROM documents)"
+    return (
+        "WITH " + ",\n".join([sig_cte] + ctes) + "\n" + "\nUNION ALL\n".join(arms)
+    )
+
+
 def q_embedding_neardups(min_cosine: float = 0.98) -> str:
     dot = _DOT.format(a="a.embedding", b="b.embedding")
     return (

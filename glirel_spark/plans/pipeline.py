@@ -453,6 +453,13 @@ def ann_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq.pq_topk_rerank(emb, pq.fit_pq(sf_dir))
 
 
+def ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import kmeans, pq
+
+    emb = tables.TableIO(spark, sf_dir).table("embeddings")
+    return pq.ivfpq_topk(emb, kmeans.fit_centroids(sf_dir), pq.fit_pq(sf_dir))
+
+
 def ann_topk_kmeans_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import kmeans
 

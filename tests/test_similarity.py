@@ -97,3 +97,19 @@ def test_pq_rerank_recall(spark):
     a = {(r.q_id, r.n_id) for r in pq_topk_rerank(emb, fit_pq(sf)).collect()}
     e = {(r.q_id, r.n_id) for r in brute_force_topk(emb).collect()}
     assert len(a & e) / len(e) >= 0.6  # measured 0.74
+
+
+def test_ivfpq_recall(spark):
+    """The composed index (cell probe -> ADC -> re-rank) must hold the
+    rerank path's recall — the cell probe only removes candidates the
+    multi-probe sweep deemed unlikely (n_probe=6 of 16 cells)."""
+    from glirel_spark.operators.kmeans import fit_centroids
+    from glirel_spark.operators.pq import fit_pq, ivfpq_topk
+    from glirel_spark.operators.similarity import brute_force_topk
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    a = {(r.q_id, r.n_id) for r in
+         ivfpq_topk(emb, fit_centroids(sf), fit_pq(sf)).collect()}
+    e = {(r.q_id, r.n_id) for r in brute_force_topk(emb).collect()}
+    assert len(a & e) / len(e) >= 0.5
