@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_degrees": pipeline.entity_degrees,
         # 2-hop traversal join (the multi-hop query template)
         "two_hop_paths": pipeline.two_hop_paths,
+        # KG entity resolution: neighborhood-Jaccard duplicate candidates
+        "entity_neighbor_sim": pipeline.entity_neighbor_sim,
         # directed 3-cycles (canonical rotation, pred-agnostic)
         "kg_triangles": pipeline.kg_triangles,
         # weakly connected components (min-label propagation fixpoint)
@@ -112,6 +114,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # within-doc repetition signal (duplicate-shingle fraction)
         "doc_repetition": pipeline.doc_repetition,
         "token_counts": pipeline.token_counts,
+        # Gopher-style quality rule panel (integer cross-multiplied rules)
+        "doc_gopher_rules": pipeline.doc_gopher_rules,
         # TF-IDF keyword extraction (log-free score: bit-exact ranking)
         "doc_top_terms": pipeline.doc_top_terms,
         "lang_id": pipeline.lang_id,
@@ -135,6 +139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # A x index size for boundary-vector recall)
         "ann_topk_kmeans_multi": pipeline.ann_topk_kmeans_multi,
         "embedding_neardups": pipeline.embedding_neardups,
+        # SemDeDup: trained-cell-blocked semantic near-dup pruning
+        "semantic_dedup": pipeline.semantic_dedup,
         # multimodal plumbing
         "media_features": pipeline.media_features,
         # interleave accounting over the input-hint spans schema
@@ -182,6 +188,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_upsert": oracle.q_graph(),
         "entity_degrees": oracle.q_entity_degrees(),
         "two_hop_paths": oracle.q_two_hop_paths(),
+        "entity_neighbor_sim": oracle.q_entity_neighbor_sim(),
         "kg_triangles": oracle.q_kg_triangles(),
         # recursive-CTE closure / unrolled peel / unrolled integer power iteration
         "kg_components": oracle.q_kg_components(),
@@ -199,6 +206,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_quality": oc.q_doc_quality(),
         "doc_repetition": oc.q_doc_repetition(),
         "token_counts": oc.q_token_counts(),
+        "doc_gopher_rules": oc.q_doc_gopher_rules(),
         "doc_top_terms": oc.q_doc_top_terms(),
         "lang_id": oc.q_lang_id(),
         "corpus_sample": oc.q_corpus_sample(),
@@ -213,6 +221,7 @@ def oracle_sql() -> dict[str, str]:
             corpus_probe=config.IVF_KM_CORPUS_PROBE
         ),
         "embedding_neardups": oc.q_embedding_neardups(),
+        "semantic_dedup": oc.q_semantic_dedup(),
         "media_features": oc.q_media_features(),
         "media_stats": oc.q_media_stats(),
         "events_windowed": oc.q_events_windowed(),

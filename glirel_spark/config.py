@@ -176,6 +176,19 @@ IVF_KM_CORPUS_PROBE = 3  # corpus-side multi-assignment (index replication)
 PQ_M = 8  # product-quantization subspaces (d=64 -> 8 dims each)
 PQ_KS = 16  # codes per subspace (4-bit codes; 64 floats -> 8 bytes)
 PQ_ITERS = 8  # per-subspace Lloyd iterations
+# SemDeDup (cluster-blocked semantic dedup). The synthetic embeddings
+# are near-uniform on the sphere (within-cell pairwise cosine tops out
+# ~0.44 at sf0.001), so the demo threshold sits where drops actually
+# occur; production text embeddings use ~0.95+ with the same machinery.
+SEMDEDUP_MIN_COSINE = 0.35
+
+# --------------------------------------------------------------------------
+# Text quality rule panel (Gopher-style) + KG entity resolution
+# --------------------------------------------------------------------------
+GOPHER_STOPWORDS = ["the", "a", "and", "of", "to", "in", "is", "that"]
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+NEIGH_HUB_CAP = 64  # stop-node removal: drop neighbors of degree > cap
 
 # --------------------------------------------------------------------------
 # Multimodal (synthetic deterministic media bytes; decode itself is stubbed)

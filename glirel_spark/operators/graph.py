@@ -16,7 +16,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from glirel_spark import config
+
 N_SALT = 16
+N_HUB_CAP = config.NEIGH_HUB_CAP
 _KEYS = ["subj", "pred", "obj"]
 
 
@@ -168,6 +171,68 @@ def two_hop_paths(graph: DataFrame, min_mentions: int = 1) -> DataFrame:
         e1.join(e2, "b")
         .filter((F.col("a") != F.col("b")) & (F.col("b") != F.col("c")))
         .select("a", "p1", "b", "p2", "c")
+    )
+
+
+def entity_neighbor_sim(
+    graph: DataFrame, hub_cap: int = N_HUB_CAP
+) -> DataFrame:
+    """KG entity resolution by structural similarity: Jaccard over
+    undirected neighbor sets — two entities that connect to mostly the
+    same things are duplicate-entity candidates (the blocking+scoring
+    stage of ER systems like Dedupe/Magellan, applied to the graph
+    itself; complements the surface-form MinHash linking path in
+    operators/linking.py).
+
+    Candidate generation is the common-neighbor equi-join: explode each
+    entity's neighbor set, self-join on the shared neighbor, aggregate
+    shared counts. STOP-NODE REMOVAL bounds it at scale: neighbors with
+    undirected degree > ``hub_cap`` are dropped from the sets BEFORE
+    blocking (their per-key fanout is degree^2 pairs, and a hub shared
+    by everything carries no resolution signal — the ER analogue of
+    dropping stop-words in prefix filtering). Jaccard is then exact
+    over the capped sets: shared / (d1 + d2 - shared), integer counts
+    and ONE exactly-rounded division, so the oracle matches
+    bit-for-bit.
+
+    Output: (e1, e2, shared, d1, d2, jaccard) for every candidate pair
+    (>=1 shared non-hub neighbor), e1 < e2.
+    """
+    e = (
+        graph.select("subj", "obj")
+        .filter(F.col("subj") != F.col("obj"))
+        .distinct()
+    )
+    nbrs = (
+        e.select(F.col("subj").alias("ent"), F.col("obj").alias("nb"))
+        .unionByName(
+            e.select(F.col("obj").alias("ent"), F.col("subj").alias("nb"))
+        )
+        .distinct()
+    )
+    deg = nbrs.groupBy("ent").agg(F.count("*").cast("long").alias("deg"))
+    capped = nbrs.join(
+        deg.filter(F.col("deg") <= hub_cap).select(F.col("ent").alias("nb")),
+        "nb",
+    )
+    cdeg = capped.groupBy("ent").agg(F.count("*").cast("long").alias("d"))
+    a = capped.select(F.col("ent").alias("e1"), "nb")
+    b = capped.select(F.col("ent").alias("e2"), "nb")
+    pairs = (
+        a.join(b, "nb")
+        .filter(F.col("e1") < F.col("e2"))
+        .groupBy("e1", "e2")
+        .agg(F.count("*").cast("long").alias("shared"))
+    )
+    d1 = cdeg.select(F.col("ent").alias("e1"), F.col("d").alias("d1"))
+    d2 = cdeg.select(F.col("ent").alias("e2"), F.col("d").alias("d2"))
+    jac = F.col("shared").cast("double") / (
+        F.col("d1") + F.col("d2") - F.col("shared")
+    ).cast("double")
+    return (
+        pairs.join(d1, "e1")
+        .join(d2, "e2")
+        .select("e1", "e2", "shared", "d1", "d2", jac.alias("jaccard"))
     )
 
 

@@ -109,6 +109,52 @@ def ivf_topk(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    centroids,
+    min_cosine: float = config.SEMDEDUP_MIN_COSINE,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic near-duplicate pruning,
+    blocked by TRAINED k-means cell instead of the sign-pattern cells
+    ``embedding_neardups`` uses.
+
+    A vector is dropped when a lower-id vector in the SAME cell has
+    cosine >= ``min_cosine`` (lowest id is the deterministic cluster
+    representative). Output: one row per vector, ``(vec_id, cell,
+    is_kept)``.
+
+    Scale shape — the published SemDeDup cost model: the quadratic
+    pairwise scan runs per cell only, so cells sized ~1e4-1e5 vectors
+    (k grows with N) keep each block in one task; the cell key is the
+    shuffle key, a skewed cell is AQE-splittable, and the corpus is
+    touched exactly twice (assign scan + blocked self-join). Cell
+    assignment is the same single codegen expression the trained-IVF
+    path uses (kmeans.assign_cell_expr); cosine is the fold-ordered
+    dot, bit-identical to the DuckDB oracle.
+    """
+    from glirel_spark.operators.kmeans import assign_cell_expr
+
+    base = with_norm(emb).withColumn(
+        "cell", assign_cell_expr(F.col("embedding"), centroids).cast("int")
+    )
+    a = base.select(F.col("vec_id").alias("v1"), F.col("embedding").alias("e1"),
+                    F.col("nrm").alias("n1"), "cell")
+    b = base.select(F.col("vec_id").alias("v2"), F.col("embedding").alias("e2"),
+                    F.col("nrm").alias("n2"), "cell")
+    cos = _dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
+    dropped = (
+        a.join(b, "cell")
+        .filter(F.col("v1") < F.col("v2"))
+        .filter(cos >= F.lit(min_cosine))
+        .select(F.col("v2").alias("vec_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return base.select("vec_id", "cell").join(dropped, "vec_id", "left").select(
+        "vec_id", "cell", F.col("_dropped").isNull().alias("is_kept")
+    )
+
+
 def embedding_neardups(emb: DataFrame, min_cosine: float = 0.98,
                        n_cells: int = config.IVF_N_CELLS) -> DataFrame:
     """Near-duplicate detection by embedding cosine, blocked by coarse

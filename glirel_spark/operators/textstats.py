@@ -41,6 +41,73 @@ def doc_quality(docs: DataFrame) -> DataFrame:
     )
 
 
+def doc_gopher_rules(docs: DataFrame) -> DataFrame:
+    """Gopher-style quality rule panel (Rae et al. 2021, table A1 shape):
+    per-document booleans for each rule plus the conjunction, with the
+    underlying counts exposed so downstream sweeps can re-threshold
+    without a rescan.
+
+    Rules (all INTEGER arithmetic — cross-multiplied instead of ratios,
+    so the panel is bit-exact and fully JVM-codegen'd; scan-bound at
+    100 TB like the rest of this module):
+      r_word_count   GOPHER_MIN_WORDS <= n_words <= GOPHER_MAX_WORDS
+      r_mean_len     3 <= mean word length <= 10  (3n <= chars <= 10n)
+      r_alpha        >=80% of words contain an alphabetic character
+      r_stopwords    >=2 distinct GOPHER_STOPWORDS present
+      r_repetition   most frequent word <=20% of all words (the
+                     top-n-gram duplicate-fraction family; unigram form)
+
+    ``sum_word_chars = n_chars - (n_words - 1)`` relies on the corpus
+    being single-space tokenized, the same contract doc_quality uses
+    for mean_token_len.
+    """
+    toks = F.split(F.col("text"), " ")
+    n_words = F.size(toks).cast("long")
+    sum_chars = (F.length("text").cast("long") - (n_words - F.lit(1)))
+    n_alpha = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-zA-Z]"))
+    ).cast("long")
+    n_stop_kinds = F.size(
+        F.array_intersect(
+            F.array_distinct(toks),
+            F.array(*[F.lit(s) for s in config.GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+    # row-local O(distinct * n): fine for document-sized arrays, and it
+    # keeps the rule a pure column expression (no per-doc shuffle).
+    top_word_n = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda w: F.size(F.filter(toks, lambda t: t == w)),
+        )
+    ).cast("long")
+    r_word_count = (n_words >= config.GOPHER_MIN_WORDS) & (
+        n_words <= config.GOPHER_MAX_WORDS
+    )
+    r_mean_len = (F.lit(3) * n_words <= sum_chars) & (
+        sum_chars <= F.lit(10) * n_words
+    )
+    r_alpha = F.lit(5) * n_alpha >= F.lit(4) * n_words
+    r_stopwords = n_stop_kinds >= 2
+    r_repetition = F.lit(5) * top_word_n <= n_words
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        n_words.alias("n_words"),
+        sum_chars.alias("sum_word_chars"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop_kinds.alias("n_stop_kinds"),
+        top_word_n.alias("top_word_n"),
+        r_word_count.alias("r_word_count"),
+        r_mean_len.alias("r_mean_len"),
+        r_alpha.alias("r_alpha"),
+        r_stopwords.alias("r_stopwords"),
+        r_repetition.alias("r_repetition"),
+        (
+            r_word_count & r_mean_len & r_alpha & r_stopwords & r_repetition
+        ).alias("pass_gopher"),
+    )
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace + BPE-ish subword estimate.
 

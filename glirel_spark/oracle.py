@@ -574,6 +574,39 @@ sym AS (
 """
 
 
+def q_entity_neighbor_sim() -> str:
+    """Mirror of graph.entity_neighbor_sim: undirected neighbor sets
+    (sym CTE), stop-node removal at degree > NEIGH_HUB_CAP, candidate
+    pairs via shared non-hub neighbor, exact Jaccard as one division
+    over integer counts."""
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED)
+        + f"""
+, {_CTE_SYM_EDGES.strip()},
+ndeg AS (
+  SELECT a AS ent, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY a
+),
+capped AS (
+  SELECT s.a AS ent, s.b AS nb
+  FROM sym s JOIN ndeg d ON d.ent = s.b AND d.deg <= {c.NEIGH_HUB_CAP}
+),
+cdeg AS (
+  SELECT ent, CAST(count(*) AS BIGINT) AS d FROM capped GROUP BY ent
+),
+p AS (
+  SELECT x.ent AS e1, y.ent AS e2, CAST(count(*) AS BIGINT) AS shared
+  FROM capped x JOIN capped y ON x.nb = y.nb AND x.ent < y.ent
+  GROUP BY x.ent, y.ent
+)
+SELECT p.e1, p.e2, p.shared, dx.d AS d1, dy.d AS d2,
+       CAST(p.shared AS DOUBLE) / CAST(dx.d + dy.d - p.shared AS DOUBLE)
+         AS jaccard
+FROM p
+JOIN cdeg dx ON dx.ent = p.e1
+JOIN cdeg dy ON dy.ent = p.e2"""
+    )
+
+
 def q_kg_components() -> str:
     """Transitive closure via a recursive reachability CTE; min
     reachable entity = component id (mirrors graph.components'

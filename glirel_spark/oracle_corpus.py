@@ -263,6 +263,93 @@ SELECT doc_id, n_chars, n_tokens, n_distinct,
 FROM base"""
 
 
+def q_doc_gopher_rules() -> str:
+    """Mirror of textstats.doc_gopher_rules: same single-space split,
+    cross-multiplied integer rules, list-local top-word count."""
+    stop = ", ".join(f"'{s}'" for s in c.GOPHER_STOPWORDS)
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         string_split(text, ' ') AS s,
+         CAST(length(text) AS BIGINT) AS n_chars
+  FROM documents
+),
+m AS (
+  SELECT doc_id,
+         CAST(len(s) AS BIGINT) AS n_words,
+         n_chars - (CAST(len(s) AS BIGINT) - 1) AS sum_word_chars,
+         CAST(len(list_filter(s, t -> regexp_matches(t, '[a-zA-Z]')))
+              AS BIGINT) AS n_alpha_words,
+         CAST(len(list_intersect(list_distinct(s), [{stop}]))
+              AS BIGINT) AS n_stop_kinds,
+         CAST(list_max(list_transform(list_distinct(s),
+              w -> len(list_filter(s, t -> t = w)))) AS BIGINT) AS top_word_n
+  FROM base
+)
+SELECT doc_id, n_words, sum_word_chars, n_alpha_words, n_stop_kinds,
+       top_word_n,
+       (n_words >= {c.GOPHER_MIN_WORDS} AND n_words <= {c.GOPHER_MAX_WORDS})
+         AS r_word_count,
+       (3 * n_words <= sum_word_chars AND sum_word_chars <= 10 * n_words)
+         AS r_mean_len,
+       (5 * n_alpha_words >= 4 * n_words) AS r_alpha,
+       (n_stop_kinds >= 2) AS r_stopwords,
+       (5 * top_word_n <= n_words) AS r_repetition,
+       ((n_words >= {c.GOPHER_MIN_WORDS} AND n_words <= {c.GOPHER_MAX_WORDS})
+        AND (3 * n_words <= sum_word_chars AND sum_word_chars <= 10 * n_words)
+        AND (5 * n_alpha_words >= 4 * n_words)
+        AND (n_stop_kinds >= 2)
+        AND (5 * top_word_n <= n_words)) AS pass_gopher
+FROM m"""
+
+
+def q_semantic_dedup(min_cosine: float = c.SEMDEDUP_MIN_COSINE) -> str:
+    """Mirror of similarity.semantic_dedup: trained-centroid cell
+    assignment (same repr-round-tripped doubles as the kmeans oracle),
+    within-cell pairwise cosine, drop = exists lower-id same-cell
+    vector at >= min_cosine. Dispatches on corpus signature per sf."""
+    from glirel_spark.operators import kmeans
+    from glirel_spark.oracle import _GOLDEN_SIGS
+
+    dot_c = _DOT.format(a="e.embedding", b="c.cvec")
+    dot_ab = _DOT.format(a="a.embedding", b="b.embedding")
+    ctes = [CTE_EMBN.strip().rstrip(",")]
+    arms = []
+    for i, (sf, sig) in enumerate(_GOLDEN_SIGS.items()):
+        cents = kmeans.fit_centroids(f"/root/testdata/{sf}")
+        rows = ",\n    ".join(
+            f"({j}, [{', '.join(repr(v) for v in cc)}])"
+            for j, cc in enumerate(cents)
+        )
+        ctes.append(f"""sdcents_{i}(cell, cvec) AS (VALUES
+    {rows}),
+sdassign_{i} AS (
+  SELECT vec_id, embedding, nrm, cell FROM (
+    SELECT e.vec_id, e.embedding, e.nrm, c.cell,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {dot_c} DESC, c.cell ASC) AS pr
+    FROM embn e CROSS JOIN sdcents_{i} c
+  ) WHERE pr = 1
+),
+sddrop_{i} AS (
+  SELECT DISTINCT b.vec_id
+  FROM sdassign_{i} a JOIN sdassign_{i} b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE {dot_ab} / (a.nrm * b.nrm) >= CAST({min_cosine!r} AS DOUBLE)
+)""")
+        arms.append(
+            f"SELECT s.vec_id, CAST(s.cell AS INT) AS cell,\n"
+            f"       d.vec_id IS NULL AS is_kept\n"
+            f"FROM sdassign_{i} s LEFT JOIN sddrop_{i} d "
+            f"ON d.vec_id = s.vec_id\n"
+            f"WHERE (SELECT sg.s FROM sig sg) = {sig}"
+        )
+    sig_cte = "sig AS (SELECT sum(length(text)) AS s FROM documents)"
+    return (
+        "WITH " + ",\n".join([sig_cte] + ctes) + "\n" + "\nUNION ALL\n".join(arms)
+    )
+
+
 def q_lang_id() -> str:
     """Mirror of textstats.lang_id: integer weighted bigram counts, one
     final division; ties -> alphabetically-first language."""

@@ -225,6 +225,12 @@ def entity_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.entity_degrees(graph(spark, sf_dir))
 
 
+def entity_neighbor_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+
+    return graph_ops.entity_neighbor_sim(graph(spark, sf_dir))
+
+
 def two_hop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import graph as graph_ops
 
@@ -393,6 +399,12 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.doc_quality(_flat_docs(spark, sf_dir))
 
 
+def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import textstats
+
+    return textstats.doc_gopher_rules(_flat_docs(spark, sf_dir))
+
+
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import textstats
 
@@ -437,6 +449,13 @@ def ann_topk_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = tables.TableIO(spark, sf_dir).table("embeddings")
     cents = kmeans.fit_centroids(sf_dir)
     return kmeans.kmeans_ivf_topk(emb, cents)
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import kmeans, similarity
+
+    emb = tables.TableIO(spark, sf_dir).table("embeddings")
+    return similarity.semantic_dedup(emb, kmeans.fit_centroids(sf_dir))
 
 
 def ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -266,3 +266,41 @@ def test_upsert_new_and_old_keys(spark):
         ("A", "p", "B"): (3, 3, 0.9, "d0"),
         ("X", "q", "Y"): (1, 1, 0.3, "d2"),
     }
+
+
+def test_entity_neighbor_sim_jaccard_and_hub_removal(spark):
+    from glirel_spark.operators.graph import entity_neighbor_sim
+
+    sch = "subj string, pred string, obj string"
+    # A and B share neighbors {n1, n2}; A also has n3, B also has n4.
+    # HUB is connected to everything -> with hub_cap=3 it is removed
+    # from all neighbor sets and contributes no candidate pairs.
+    edges = [
+        ("A", "p", "n1"), ("A", "p", "n2"), ("A", "p", "n3"),
+        ("B", "p", "n1"), ("B", "p", "n2"), ("B", "p", "n4"),
+    ]
+    hub = [(e, "p", "HUB") for e in
+           ["A", "B", "n1", "n2", "n3", "n4", "C", "D"]]
+    g = spark.createDataFrame(edges + hub, sch)
+    out = {(r.e1, r.e2): r for r in entity_neighbor_sim(g, hub_cap=3).collect()}
+
+    # without the hub: A-B share {n1,n2}; capped degrees d(A)=d(B)=3
+    ab = out[("A", "B")]
+    assert (ab.shared, ab.d1, ab.d2) == (2, 3, 3)
+    assert ab.jaccard == 2 / 4
+    # HUB never acts as the shared-neighbor blocking key: a pair whose
+    # only common neighbor is HUB (e.g. C-D) must not be generated.
+    # HUB may still appear AS an entity scored over its own (non-hub)
+    # neighbor set — stop-node removal caps fanout, it doesn't ban
+    # hubs from being resolved.
+    assert ("C", "D") not in out
+    # HUB's capped set drops A and B too (their degree is 4 > cap):
+    # {n1..n4, C, D} -> d=6, shared with A = {n1,n2,n3}
+    a_hub = out[("A", "HUB")]
+    assert (a_hub.shared, a_hub.d1, a_hub.d2) == (3, 3, 6)
+    assert a_hub.jaccard == 3 / (3 + 6 - 3)
+
+    # with a high cap the hub returns: every entity pair now shares HUB
+    loose = {(r.e1, r.e2) for r in
+             entity_neighbor_sim(g, hub_cap=100).collect()}
+    assert ("C", "D") in loose

@@ -113,3 +113,25 @@ def test_ivfpq_recall(spark):
          ivfpq_topk(emb, fit_centroids(sf), fit_pq(sf)).collect()}
     e = {(r.q_id, r.n_id) for r in brute_force_topk(emb).collect()}
     assert len(a & e) / len(e) >= 0.5
+
+
+def test_semantic_dedup_drops_lowest_id_keeps_rep(spark):
+    from glirel_spark.operators.similarity import semantic_dedup
+
+    # two orthogonal cells; vectors 0,1,2 near +x (pairwise cos ~1),
+    # vectors 3,4 near +y but mutually dissimilar enough at the 0.9
+    # threshold; vector 5 alone near -x cell boundary
+    vecs = [
+        [1.0, 0.0], [0.999, 0.045], [0.998, 0.063],   # cluster: keep 0 only
+        [0.0, 1.0], [0.60, 0.80],                      # cos=0.8 < 0.9: both kept
+        [-1.0, 0.05],
+    ]
+    df = _emb(spark, vecs)
+    cents = ((1.0, 0.0), (0.0, 1.0), (-1.0, 0.0))
+    got = {r.vec_id: (r.cell, r.is_kept)
+           for r in semantic_dedup(df, cents, min_cosine=0.9).collect()}
+    assert got[0] == (0, True)
+    assert got[1][1] is False and got[2][1] is False
+    assert got[3] == (1, True) and got[4][1] is True
+    assert got[5] == (2, True)
+    assert len(got) == 6  # one row per input vector

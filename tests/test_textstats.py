@@ -90,3 +90,38 @@ def test_doc_top_terms_hand_computed(spark):
     assert got[("b", 2)] == ("x", 1, 2, 1.5)
     assert got[("c", 1)] == ("q", 3, 2, 4.5)
     assert len(got) == 5  # doc c has a single distinct term
+
+
+def test_gopher_rules_hand_computed(spark):
+    from glirel_spark.operators.textstats import doc_gopher_rules
+
+    good = " ".join(["the", "cat", "and", "dog"] + [f"word{i}" for i in range(60)])
+    repeated = " ".join(["the", "a"] + ["spam"] * 60)
+    short = "the a tiny doc"
+    numeric = " ".join(["the", "of"] + ["123"] * 58)
+    docs = spark.createDataFrame(
+        [("g", good), ("r", repeated), ("s", short), ("n", numeric)],
+        "doc_id string, text string",
+    )
+    got = {r.doc_id: r for r in doc_gopher_rules(docs).collect()}
+
+    g = got["g"]
+    assert g.n_words == 64
+    assert g.sum_word_chars == len(good) - 63
+    assert g.n_alpha_words == 64 and g.r_alpha
+    assert g.n_stop_kinds == 2 and g.r_stopwords  # the, and
+    assert g.top_word_n == 1 and g.r_repetition
+    assert g.pass_gopher
+
+    r = got["r"]
+    assert r.top_word_n == 60 and not r.r_repetition  # 60/62 > 20%
+    assert not r.pass_gopher
+
+    s = got["s"]
+    assert s.n_words == 4 and not s.r_word_count
+    assert not s.pass_gopher
+
+    n = got["n"]
+    # 2 alpha words of 60 -> fails the 80%-alpha rule
+    assert n.n_alpha_words == 2 and not n.r_alpha
+    assert not n.pass_gopher
