@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "two_hop_paths": pipeline.two_hop_paths,
         # KG entity resolution: neighborhood-Jaccard duplicate candidates
         "entity_neighbor_sim": pipeline.entity_neighbor_sim,
+        # KG schema induction: AMIE-style same-pair predicate rules
+        "pred_cooccurrence": pipeline.pred_cooccurrence,
         # directed 3-cycles (canonical rotation, pred-agnostic)
         "kg_triangles": pipeline.kg_triangles,
         # weakly connected components (min-label propagation fixpoint)
@@ -116,6 +118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": pipeline.token_counts,
         # Gopher-style quality rule panel (integer cross-multiplied rules)
         "doc_gopher_rules": pipeline.doc_gopher_rules,
+        # CCNet-style unigram surprisal quality proxy (integer bitlen)
+        "doc_surprisal": pipeline.doc_surprisal,
         # TF-IDF keyword extraction (log-free score: bit-exact ranking)
         "doc_top_terms": pipeline.doc_top_terms,
         "lang_id": pipeline.lang_id,
@@ -189,6 +193,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_degrees": oracle.q_entity_degrees(),
         "two_hop_paths": oracle.q_two_hop_paths(),
         "entity_neighbor_sim": oracle.q_entity_neighbor_sim(),
+        "pred_cooccurrence": oracle.q_pred_cooccurrence(),
         "kg_triangles": oracle.q_kg_triangles(),
         # recursive-CTE closure / unrolled peel / unrolled integer power iteration
         "kg_components": oracle.q_kg_components(),
@@ -207,6 +212,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_repetition": oc.q_doc_repetition(),
         "token_counts": oc.q_token_counts(),
         "doc_gopher_rules": oc.q_doc_gopher_rules(),
+        "doc_surprisal": oc.q_doc_surprisal(),
         "doc_top_terms": oc.q_doc_top_terms(),
         "lang_id": oc.q_lang_id(),
         "corpus_sample": oc.q_corpus_sample(),

@@ -236,6 +236,53 @@ def entity_neighbor_sim(
     )
 
 
+def pred_cooccurrence(graph: DataFrame) -> DataFrame:
+    """KG schema induction: same-entity-pair predicate co-occurrence
+    with AMIE-style rule confidence (Galárraga et al. 2013 — the
+    support/confidence core of p1(x,y) => p2(x,y) mining, the simplest
+    rule shape; multi-hop bodies compose from two_hop_paths the same
+    way).
+
+    For every unordered predicate pair (p1 < p2): ``n_both`` = number of
+    distinct (subj, obj) entity pairs carrying BOTH predicates,
+    ``n_p1``/``n_p2`` = each predicate's entity-pair support, and the
+    two directional confidences n_both/n_p1 and n_both/n_p2 (each ONE
+    exactly-rounded division over integer counts — oracle
+    bit-identical). High confidence both ways flags redundant /
+    synonymous relation types; one-way flags implication.
+
+    Scale shape: the self-join key is the (subj, obj) pair, whose
+    per-key fanout is bounded by the predicate vocabulary (small by
+    construction), not by entity degree — no hub blowup, unlike
+    neighbor joins; the support table is |preds| rows -> broadcast.
+    Assumes graph rows are unique per (subj, pred, obj), which
+    materialize_graph guarantees by construction.
+    """
+    g = graph.select("subj", "pred", "obj")
+    supp = g.groupBy("pred").agg(F.count("*").cast("long").alias("n"))
+    a = g.select("subj", "obj", F.col("pred").alias("p1"))
+    b = g.select("subj", "obj", F.col("pred").alias("p2"))
+    both = (
+        a.join(b, ["subj", "obj"])
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    s1 = supp.select(F.col("pred").alias("p1"), F.col("n").alias("n_p1"))
+    s2 = supp.select(F.col("pred").alias("p2"), F.col("n").alias("n_p2"))
+    return (
+        both.join(F.broadcast(s1), "p1")
+        .join(F.broadcast(s2), "p2")
+        .select(
+            "p1", "p2", "n_both", "n_p1", "n_p2",
+            (F.col("n_both").cast("double") / F.col("n_p1").cast("double")
+             ).alias("conf_1_to_2"),
+            (F.col("n_both").cast("double") / F.col("n_p2").cast("double")
+             ).alias("conf_2_to_1"),
+        )
+    )
+
+
 def components(graph: DataFrame, max_iter: int = 30) -> DataFrame:
     """Weakly connected components over the entity graph: (entity,
     component_id, component_size) for every entity, component_id = the

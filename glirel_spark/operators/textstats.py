@@ -108,6 +108,48 @@ def doc_gopher_rules(docs: DataFrame) -> DataFrame:
     )
 
 
+def doc_surprisal(docs: DataFrame) -> DataFrame:
+    """Unigram LM quality proxy (the CCNet / Wenzek et al. 2020
+    perplexity-bucket idea, reduced to an exactly-computable form): a
+    document whose tokens are corpus-rare carries high average
+    surprisal; boilerplate and repeated junk score low.
+
+    Per token with corpus count ``cnt`` out of ``total`` corpus tokens,
+    integer surprisal = bitlen(total) - bitlen(cnt), i.e. log2(total /
+    cnt) within 1 bit — ALL-INTEGER (``length(bin(x))``, identical in
+    Spark and DuckDB), so per-doc sums are order-independent and the
+    oracle matches bit-for-bit; ``mean_surprisal_bits`` is the single
+    exactly-rounded division at the end.
+
+    Scale shape: one token explode -> count shuffle builds the unigram
+    table (at web scale this is the "train the LM" pass, written once
+    and reused); the corpus total rides along as a single-row broadcast
+    (cross-join of an agg row, no driver collect); the join back to the
+    token stream is a plain shuffle join on token — AQE-splittable when
+    a stop-word key is hot — followed by the per-doc re-agg on doc_id.
+    """
+    tok = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.explode(F.split(F.col("text"), " ")).alias("token"),
+    )
+    counts = tok.groupBy("token").agg(F.count("*").cast("long").alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))  # 1 row -> broadcast
+    bits = F.length(F.bin(F.col("total"))) - F.length(F.bin(F.col("cnt")))
+    per_tok = (
+        tok.join(counts, "token")
+        .join(F.broadcast(total))
+        .select("doc_id", bits.cast("long").alias("bits"))
+    )
+    return per_tok.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum("bits").alias("sum_surprisal_bits"),
+        (
+            F.sum("bits").cast("double")
+            / F.count("*").cast("double")
+        ).alias("mean_surprisal_bits"),
+    )
+
+
 def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace + BPE-ish subword estimate.
 

@@ -607,6 +607,31 @@ JOIN cdeg dy ON dy.ent = p.e2"""
     )
 
 
+def q_pred_cooccurrence() -> str:
+    """Mirror of graph.pred_cooccurrence: distinct-triple graph,
+    per-predicate entity-pair support, same-pair co-occurrence counts,
+    two directional confidences as single divisions."""
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED)
+        + """
+, g AS (
+  SELECT subj, pred, obj FROM linked GROUP BY subj, pred, obj
+),
+supp AS (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY pred
+),
+co AS (
+  SELECT a.pred AS p1, b.pred AS p2, CAST(count(*) AS BIGINT) AS n_both
+  FROM g a JOIN g b ON a.subj = b.subj AND a.obj = b.obj AND a.pred < b.pred
+  GROUP BY a.pred, b.pred
+)
+SELECT co.p1, co.p2, co.n_both, s1.n AS n_p1, s2.n AS n_p2,
+       CAST(co.n_both AS DOUBLE) / CAST(s1.n AS DOUBLE) AS conf_1_to_2,
+       CAST(co.n_both AS DOUBLE) / CAST(s2.n AS DOUBLE) AS conf_2_to_1
+FROM co JOIN supp s1 ON s1.pred = co.p1 JOIN supp s2 ON s2.pred = co.p2"""
+    )
+
+
 def q_kg_components() -> str:
     """Transitive closure via a recursive reachability CTE; min
     reachable entity = component id (mirrors graph.components'

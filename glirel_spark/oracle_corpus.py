@@ -422,6 +422,28 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
 FROM documents"""
 
 
+def q_doc_surprisal() -> str:
+    """Mirror of textstats.doc_surprisal: unigram counts + corpus total,
+    integer bit-length surprisal, one final division."""
+    return """
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(length(bin(tt.total)) - length(bin(c.cnt))) AS BIGINT)
+         AS sum_surprisal_bits,
+       CAST(sum(length(bin(tt.total)) - length(bin(c.cnt))) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS mean_surprisal_bits
+FROM tok t JOIN counts c ON c.token = t.token CROSS JOIN tot tt
+GROUP BY t.doc_id"""
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

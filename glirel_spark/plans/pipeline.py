@@ -231,6 +231,12 @@ def entity_neighbor_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.entity_neighbor_sim(graph(spark, sf_dir))
 
 
+def pred_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+
+    return graph_ops.pred_cooccurrence(graph(spark, sf_dir))
+
+
 def two_hop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import graph as graph_ops
 
@@ -403,6 +409,12 @@ def doc_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import textstats
 
     return textstats.doc_gopher_rules(_flat_docs(spark, sf_dir))
+
+
+def doc_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import textstats
+
+    return textstats.doc_surprisal(_flat_docs(spark, sf_dir))
 
 
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

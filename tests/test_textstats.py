@@ -125,3 +125,19 @@ def test_gopher_rules_hand_computed(spark):
     # 2 alpha words of 60 -> fails the 80%-alpha rule
     assert n.n_alpha_words == 2 and not n.r_alpha
     assert not n.pass_gopher
+
+
+def test_doc_surprisal_hand_computed(spark):
+    from glirel_spark.operators.textstats import doc_surprisal
+
+    docs = spark.createDataFrame(
+        [("a", "x x y"), ("b", "x z")], "doc_id string, text string"
+    )
+    # total=5 tokens (bitlen 3); counts x=3 (bitlen 2), y=1, z=1 (bitlen 1)
+    # bits: x -> 1, y -> 2, z -> 2
+    got = {r.doc_id: r for r in doc_surprisal(docs).collect()}
+    a, b = got["a"], got["b"]
+    assert (a.n_tokens, a.sum_surprisal_bits) == (3, 4)
+    assert a.mean_surprisal_bits == 4 / 3
+    assert (b.n_tokens, b.sum_surprisal_bits) == (2, 3)
+    assert b.mean_surprisal_bits == 1.5
