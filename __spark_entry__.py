@@ -91,6 +91,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_neighbor_sim": pipeline.entity_neighbor_sim,
         # KG schema induction: AMIE-style same-pair predicate rules
         "pred_cooccurrence": pipeline.pred_cooccurrence,
+        # inverse/symmetric predicate rules p1(x,y) => p2(y,x)
+        "pred_inverse": pipeline.pred_inverse,
+        # per-predicate (inverse-)functionality — AMIE PCA ingredient
+        "pred_functionality": pipeline.pred_functionality,
+        # relation type signatures: pred -> (subj_type, obj_type) shares
+        "pred_type_signature": pipeline.pred_type_signature,
         # directed 3-cycles (canonical rotation, pred-agnostic)
         "kg_triangles": pipeline.kg_triangles,
         # weakly connected components (min-label propagation fixpoint)
@@ -120,6 +126,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_rules": pipeline.doc_gopher_rules,
         # CCNet-style unigram surprisal quality proxy (integer bitlen)
         "doc_surprisal": pipeline.doc_surprisal,
+        # chunk-level (line-dedup analog) dedup accounting
+        "chunk_dedup": pipeline.chunk_dedup,
+        # DSIR hashed-bigram importance-resampling weights
+        "dsir_weights": pipeline.dsir_weights,
         # TF-IDF keyword extraction (log-free score: bit-exact ranking)
         "doc_top_terms": pipeline.doc_top_terms,
         "lang_id": pipeline.lang_id,
@@ -194,6 +204,9 @@ def oracle_sql() -> dict[str, str]:
         "two_hop_paths": oracle.q_two_hop_paths(),
         "entity_neighbor_sim": oracle.q_entity_neighbor_sim(),
         "pred_cooccurrence": oracle.q_pred_cooccurrence(),
+        "pred_inverse": oracle.q_pred_inverse(),
+        "pred_functionality": oracle.q_pred_functionality(),
+        "pred_type_signature": oracle.q_pred_type_signature(),
         "kg_triangles": oracle.q_kg_triangles(),
         # recursive-CTE closure / unrolled peel / unrolled integer power iteration
         "kg_components": oracle.q_kg_components(),
@@ -213,6 +226,8 @@ def oracle_sql() -> dict[str, str]:
         "token_counts": oc.q_token_counts(),
         "doc_gopher_rules": oc.q_doc_gopher_rules(),
         "doc_surprisal": oc.q_doc_surprisal(),
+        "chunk_dedup": oc.q_chunk_dedup(),
+        "dsir_weights": oc.q_dsir_weights(),
         "doc_top_terms": oc.q_doc_top_terms(),
         "lang_id": oc.q_lang_id(),
         "corpus_sample": oc.q_corpus_sample(),

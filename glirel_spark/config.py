@@ -152,6 +152,12 @@ FINGERPRINT_BASE = 1_000_003  # rolling-hash base for document fingerprint
 # benchmark decontamination: the deterministic pseudo-eval split
 # (doc_id % MOD == 0) standing in for an external benchmark table
 DECONTAM_EVAL_MOD = 97
+# chunk-level (line-dedup analog) dedup: tokens per chunk
+CHUNK_W = 8
+# DSIR importance resampling: hashed-bigram feature buckets + the
+# target-distribution selector (docs whose lang == this)
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
 
 # --------------------------------------------------------------------------
 # Similarity search

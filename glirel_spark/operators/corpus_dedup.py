@@ -501,3 +501,149 @@ def doc_repetition(shingled: DataFrame) -> DataFrame:
         nd.alias("n_distinct_shingles"),
         frac.alias("dup_shingle_frac"),
     )
+
+
+def chunk_dedup(docs_tokens: DataFrame, w: int = config.CHUNK_W) -> DataFrame:
+    """Chunk-level (line-level) dedup accounting — the CCNet /
+    RefinedWeb "remove duplicated lines, keep one occurrence" pass.
+    This corpus has no newline structure, so the unit is a fixed
+    ``w``-token chunk (the last chunk may be shorter); on real documents
+    the chunking rule is the only thing that changes.
+
+    Per chunk: polynomial hash of its token ids (same per-char token
+    hash + fold discipline as shingles — oracle replays it exactly).
+    Corpus-wide, a chunk hash's KEEPER is the (doc_id, chunk_idx)-least
+    occurrence. Per doc: ``n_chunks``, ``n_dup_chunks`` (occurrences
+    whose hash appears >1 time corpus-wide), ``n_kept_chunks`` (unique
+    occurrences plus keeper copies — what a rewrite pass would retain),
+    and ``dup_ratio`` (ONE exactly-rounded division).
+
+    Scale shape: chunk hashes are a map-only array expression per doc
+    row (no position self-join); the corpus-wide occurrence count +
+    keeper election is ONE groupBy on the chunk hash (near-uniform key —
+    hot boilerplate chunks are exactly what AQE skew-split handles);
+    the join back to occurrences shuffles on the same hash and the
+    final per-doc re-agg is map-side combinable.
+    """
+    from glirel_spark.functions.barrier import materialized
+
+    b, p = config.SHINGLE_BASE, config.HASH_P
+    d = docs_tokens.withColumn(
+        "_th", materialized(F.transform(F.col("tokens"), _char_hash))
+    )
+    th = F.col("_th")
+    n = F.size(th)
+    n_chunks = F.floor((n + F.lit(w - 1)) / F.lit(w)).cast("int")
+    chunk_arr = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_chunks - 1),
+            lambda j: F.aggregate(
+                F.slice(th, j * w + 1, w),
+                F.lit(0).cast("long"),
+                lambda a, t: (a * b + t) % p,
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    occ = d.select(
+        "doc_id", F.posexplode(chunk_arr).alias("chunk_idx", "ch")
+    )
+    grouped = occ.groupBy("ch").agg(
+        F.count("*").cast("long").alias("n_occ"),
+        F.min(F.struct("doc_id", "chunk_idx")).alias("_keeper"),
+    )
+    kept = (F.col("n_occ") == 1) | (
+        (F.col("doc_id") == F.col("_keeper.doc_id"))
+        & (F.col("chunk_idx") == F.col("_keeper.chunk_idx"))
+    )
+    return (
+        occ.join(grouped, "ch")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_chunks"),
+            F.sum((F.col("n_occ") > 1).cast("long")).alias("n_dup_chunks"),
+            F.sum(kept.cast("long")).alias("n_kept_chunks"),
+            (
+                F.sum((F.col("n_occ") > 1).cast("long")).cast("double")
+                / F.count("*").cast("double")
+            ).alias("dup_ratio"),
+        )
+    )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    n_buckets: int = config.DSIR_BUCKETS,
+    target_lang: str = config.DSIR_TARGET_LANG,
+) -> DataFrame:
+    """DSIR-style importance-resampling weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document by how target-like its hashed n-gram features are,
+    weight = sum over features of log p_target(f) / p_raw(f). Here the
+    target distribution is the ``lang == target_lang`` slice (a real
+    pipeline points this at a curated corpus) and raw is the whole
+    corpus.
+
+    Exactness: the per-bucket log-ratio is the integer bit-length form
+    (bitlen(ct+1) - bitlen(Ct+B)) - (bitlen(cr+1) - bitlen(Cr+B)) —
+    add-one smoothing, log2 within 1 bit, ALL-INTEGER via
+    ``length(bin(x))`` (identical in Spark and DuckDB), so per-doc sums
+    are order-independent and ``mean_logratio_bits`` is the single
+    exactly-rounded division at the end.
+
+    Scale shape: hashed-bigram buckets (b = bigram shingle hash mod
+    ``n_buckets``) come from ONE map-only array expression per doc; the
+    two count tables are <= n_buckets rows after full map-side combine
+    (the shuffle carries partial counts, not occurrences); totals ride
+    along as a single-row broadcast cross join (no driver collect); and
+    the weight table joins back to the feature stream BROADCAST — the
+    corpus-side plan is scan -> explode -> broadcast join -> per-doc
+    re-agg, with no large shuffle except the doc_id re-agg itself.
+    """
+    from glirel_spark.functions.barrier import materialized
+
+    b, p = config.SHINGLE_BASE, config.HASH_P
+    d = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        "lang",
+        F.split(F.col("text"), " ").alias("tokens"),
+    ).withColumn("_th", materialized(F.transform(F.col("tokens"), _char_hash)))
+    th = F.col("_th")
+    n = F.size(th)
+    bg = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: ((th[i] % p) * b + th[i + 1]) % p % n_buckets,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    stream = d.select("doc_id", "lang", F.explode(bg).alias("bucket"))
+    cr = stream.groupBy("bucket").agg(F.count("*").cast("long").alias("cr"))
+    ct = (
+        stream.filter(F.col("lang") == target_lang)
+        .groupBy("bucket")
+        .agg(F.count("*").cast("long").alias("ct"))
+    )
+    counts = cr.join(ct, "bucket", "left").select(
+        "bucket", "cr", F.coalesce("ct", F.lit(0)).cast("long").alias("ct")
+    )
+    totals = counts.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
+    )  # 1 row -> broadcast
+    bits = lambda x: F.length(F.bin(x))  # noqa: E731 — bitlen, both engines
+    w = (
+        (bits(F.col("ct") + 1) - bits(F.col("tt") + n_buckets))
+        - (bits(F.col("cr") + 1) - bits(F.col("tr") + n_buckets))
+    ).cast("long")
+    weights = counts.join(F.broadcast(totals)).select("bucket", w.alias("w"))
+    return (
+        stream.join(F.broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("w").cast("long").alias("logratio_bits"),
+            (
+                F.sum("w").cast("double") / F.count("*").cast("double")
+            ).alias("mean_logratio_bits"),
+        )
+    )

@@ -283,6 +283,136 @@ def pred_cooccurrence(graph: DataFrame) -> DataFrame:
     )
 
 
+def pred_inverse(graph: DataFrame) -> DataFrame:
+    """KG schema induction, the inverse-rule shape: p1(x, y) => p2(y, x)
+    (AMIE's other length-2 rule family; p1 == p2 detects SYMMETRIC
+    predicates). Complements pred_cooccurrence, which covers the
+    same-direction p1(x,y) => p2(x,y) shape.
+
+    For every predicate pair with p1 <= p2: ``n_inv`` = number of
+    (x, y) entity pairs where p1(x, y) and p2(y, x) both hold (for
+    p1 == p2 each symmetric pair contributes from both orientations and
+    each self-loop once — a deterministic convention the oracle
+    mirrors), supports and the two directional confidences as in
+    pred_cooccurrence (single exactly-rounded divisions).
+
+    Scale shape: identical to pred_cooccurrence — the join key is the
+    (x, y) pair against the REVERSED edge list, per-key fanout bounded
+    by the predicate vocabulary, support table broadcast. The p1 <= p2
+    canonicalization dedups the (p1,p2)/(p2,p1) mirror images that the
+    reversed join would otherwise emit twice.
+    """
+    g = graph.select("subj", "pred", "obj")
+    supp = g.groupBy("pred").agg(F.count("*").cast("long").alias("n"))
+    a = g.select("subj", "obj", F.col("pred").alias("p1"))
+    rev = g.select(
+        F.col("obj").alias("subj"), F.col("subj").alias("obj"),
+        F.col("pred").alias("p2"),
+    )
+    inv = (
+        a.join(rev, ["subj", "obj"])
+        .filter(
+            (F.col("p1") < F.col("p2"))
+            | ((F.col("p1") == F.col("p2")) & (F.col("subj") <= F.col("obj")))
+        )
+        .groupBy("p1", "p2")
+        .agg(F.count("*").cast("long").alias("n_inv"))
+    )
+    s1 = supp.select(F.col("pred").alias("p1"), F.col("n").alias("n_p1"))
+    s2 = supp.select(F.col("pred").alias("p2"), F.col("n").alias("n_p2"))
+    return (
+        inv.join(F.broadcast(s1), "p1")
+        .join(F.broadcast(s2), "p2")
+        .select(
+            "p1", "p2", "n_inv", "n_p1", "n_p2",
+            (F.col("n_inv").cast("double") / F.col("n_p1").cast("double")
+             ).alias("conf_1_to_2"),
+            (F.col("n_inv").cast("double") / F.col("n_p2").cast("double")
+             ).alias("conf_2_to_1"),
+        )
+    )
+
+
+def pred_functionality(graph: DataFrame) -> DataFrame:
+    """Per-predicate (inverse-)functionality — the AMIE PCA-confidence
+    ingredient and the standard KG-quality panel row: ``functionality``
+    = distinct subjects / triples (1.0 = every subject has exactly one
+    object: a functional property like birth-date), ``inv_functionality``
+    the same for objects. Each ratio is ONE exactly-rounded division
+    over exact longs.
+
+    Scale shape: the distinct-subject and distinct-object counts run as
+    two-stage exact count-distincts — dedup shuffles on (pred, entity),
+    which stays skew-free even when a single predicate dominates the
+    corpus (the reducer key includes the entity); the per-pred re-count
+    then aggregates tiny deduped relations. A direct
+    groupBy(pred).countDistinct would funnel every triple of a hot
+    predicate through one reducer.
+    """
+    g = graph.select("subj", "pred", "obj")
+    n = g.groupBy("pred").agg(F.count("*").cast("long").alias("n_triples"))
+    ns = (
+        g.select("pred", "subj").distinct()
+        .groupBy("pred").agg(F.count("*").cast("long").alias("n_subj"))
+    )
+    no = (
+        g.select("pred", "obj").distinct()
+        .groupBy("pred").agg(F.count("*").cast("long").alias("n_obj"))
+    )
+    return (
+        n.join(ns, "pred").join(no, "pred")
+        .select(
+            "pred", "n_triples", "n_subj", "n_obj",
+            (F.col("n_subj").cast("double") / F.col("n_triples").cast("double")
+             ).alias("functionality"),
+            (F.col("n_obj").cast("double") / F.col("n_triples").cast("double")
+             ).alias("inv_functionality"),
+        )
+    )
+
+
+def pred_type_signature(scored: DataFrame) -> DataFrame:
+    """Relation type signatures: for each predicate, the distribution of
+    (head entity type, tail entity type) slots over decoded triples —
+    the schema-induction step that turns an untyped triple store into
+    "works_for: PER -> ORG (0.94)". Consumes the typed scored relation
+    (pre-format decode keeps h_type/t_type on the row, so no join back
+    to mentions is needed).
+
+    Output per (pred, subj_type, obj_type): ``n`` supporting triples,
+    ``n_pred`` total for the predicate, and ``share`` = n / n_pred (one
+    exactly-rounded division).
+
+    Scale shape: decode is the existing fused plan; the signature agg is
+    a tiny-result groupBy with full map-side combine (cube of |labels| x
+    |types|^2 keys), and the per-pred totals re-aggregate FROM the
+    signature relation itself — no second pass over triples, and the
+    totals join is broadcast.
+    """
+    from glirel_spark.operators import decode
+
+    t = decode.threshold_filter(scored)
+    t = decode.top_k_per_pair(t)
+    t = decode.constraint_filter(t)
+    sig = (
+        t.groupBy(
+            F.col("label").alias("pred"),
+            F.col("h_type").alias("subj_type"),
+            F.col("t_type").alias("obj_type"),
+        )
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = sig.groupBy("pred").agg(F.sum("n").cast("long").alias("n_pred"))
+    return (
+        sig.join(F.broadcast(tot), "pred")
+        .select(
+            "pred", "subj_type", "obj_type", "n", "n_pred",
+            (F.col("n").cast("double") / F.col("n_pred").cast("double")
+             ).alias("share"),
+        )
+    )
+
+
 def components(graph: DataFrame, max_iter: int = 30) -> DataFrame:
     """Weakly connected components over the entity graph: (entity,
     component_id, component_size) for every entity, component_id = the

@@ -632,6 +632,80 @@ FROM co JOIN supp s1 ON s1.pred = co.p1 JOIN supp s2 ON s2.pred = co.p2"""
     )
 
 
+def q_pred_inverse() -> str:
+    """Mirror of graph.pred_inverse: reversed-edge join, p1 <= p2
+    canonicalization (with subj <= obj for the symmetric diagonal),
+    confidences as single divisions."""
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED)
+        + """
+, g AS (
+  SELECT subj, pred, obj FROM linked GROUP BY subj, pred, obj
+),
+supp AS (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY pred
+),
+co AS (
+  SELECT a.pred AS p1, b.pred AS p2, CAST(count(*) AS BIGINT) AS n_inv
+  FROM g a JOIN g b ON a.subj = b.obj AND a.obj = b.subj
+  WHERE a.pred < b.pred OR (a.pred = b.pred AND a.subj <= a.obj)
+  GROUP BY a.pred, b.pred
+)
+SELECT co.p1, co.p2, co.n_inv, s1.n AS n_p1, s2.n AS n_p2,
+       CAST(co.n_inv AS DOUBLE) / CAST(s1.n AS DOUBLE) AS conf_1_to_2,
+       CAST(co.n_inv AS DOUBLE) / CAST(s2.n AS DOUBLE) AS conf_2_to_1
+FROM co JOIN supp s1 ON s1.pred = co.p1 JOIN supp s2 ON s2.pred = co.p2"""
+    )
+
+
+def q_pred_functionality() -> str:
+    """Mirror of graph.pred_functionality: exact distinct counts per
+    predicate, two single divisions."""
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED)
+        + """
+, g AS (
+  SELECT subj, pred, obj FROM linked GROUP BY subj, pred, obj
+)
+SELECT pred,
+       CAST(count(*) AS BIGINT) AS n_triples,
+       CAST(count(DISTINCT subj) AS BIGINT) AS n_subj,
+       CAST(count(DISTINCT obj) AS BIGINT) AS n_obj,
+       CAST(count(DISTINCT subj) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS functionality,
+       CAST(count(DISTINCT obj) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS inv_functionality
+FROM g GROUP BY pred"""
+    )
+
+
+def q_pred_type_signature() -> str:
+    """Mirror of graph.pred_type_signature: the typed thresholded
+    relation (threshold -> top-k -> constraints, types kept on the
+    row), signature counts + per-pred share."""
+    return (
+        with_chain(cte_scored(), cte_triples())
+        + f"""
+, typed AS (
+  SELECT label AS pred, h_type AS subj_type, t_type AS obj_type
+  FROM thresholded
+  WHERE _rk <= {c.TOP_K}
+    AND (allowed_head IS NULL OR list_contains(allowed_head, h_type))
+    AND (allowed_tail IS NULL OR list_contains(allowed_tail, t_type))
+),
+sig AS (
+  SELECT pred, subj_type, obj_type, CAST(count(*) AS BIGINT) AS n
+  FROM typed GROUP BY pred, subj_type, obj_type
+),
+tot AS (
+  SELECT pred, CAST(sum(n) AS BIGINT) AS n_pred FROM sig GROUP BY pred
+)
+SELECT sig.pred, sig.subj_type, sig.obj_type, sig.n, tot.n_pred,
+       CAST(sig.n AS DOUBLE) / CAST(tot.n_pred AS DOUBLE) AS share
+FROM sig JOIN tot ON tot.pred = sig.pred"""
+    )
+
+
 def q_kg_components() -> str:
     """Transitive closure via a recursive reachability CTE; min
     reachable entity = component id (mirrors graph.components'

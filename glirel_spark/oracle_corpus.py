@@ -444,6 +444,90 @@ FROM tok t JOIN counts c ON c.token = t.token CROSS JOIN tot tt
 GROUP BY t.doc_id"""
 
 
+def q_chunk_dedup() -> str:
+    """Mirror of corpus_dedup.chunk_dedup: same token hashes (thash),
+    chunk fold replayed with an ORDER BY pos list_reduce, keeper =
+    first (doc_id, chunk_idx) per hash via row_number."""
+    w, b, p = c.CHUNK_W, c.SHINGLE_BASE, c.HASH_P
+    return (
+        _with(CTE_TOKENS, CTE_THASH)
+        + f""",
+chunks AS (
+  SELECT doc_id, CAST(pos // {w} AS INT) AS chunk_idx,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT), list(tid ORDER BY pos)),
+           (a, t) -> (a * {b} + t) % {p}) AS ch
+  FROM thash GROUP BY doc_id, pos // {w}
+),
+occ AS (
+  SELECT doc_id, chunk_idx, ch,
+         count(*) OVER (PARTITION BY ch) AS n_occ,
+         row_number() OVER (PARTITION BY ch ORDER BY doc_id, chunk_idx)
+           AS _rk
+  FROM chunks
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup_chunks,
+       CAST(sum(CASE WHEN n_occ = 1 OR _rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_kept_chunks,
+       CAST(sum(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS dup_ratio
+FROM occ GROUP BY doc_id"""
+    )
+
+
+def q_dsir_weights() -> str:
+    """Mirror of corpus_dedup.dsir_weights: hashed-bigram buckets from
+    the same thash stream, per-bucket target/raw counts, integer
+    bit-length log-ratio, one final division."""
+    nb, b, p = c.DSIR_BUCKETS, c.SHINGLE_BASE, c.HASH_P
+    return (
+        _with(CTE_TOKENS, CTE_THASH)
+        + f""",
+lang_map AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang FROM documents
+),
+bg AS (
+  SELECT a.doc_id, lm.lang,
+         ((a.tid % {p}) * {b} + bb.tid) % {p} % {nb} AS bucket
+  FROM thash a
+  JOIN thash bb ON bb.doc_id = a.doc_id AND bb.pos = a.pos + 1
+  JOIN lang_map lm ON lm.doc_id = a.doc_id
+),
+cr AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM bg GROUP BY bucket
+),
+ct AS (
+  SELECT bucket, CAST(count(*) AS BIGINT) AS ct FROM bg
+  WHERE lang = '{c.DSIR_TARGET_LANG}' GROUP BY bucket
+),
+counts AS (
+  SELECT cr.bucket, cr.cr, CAST(coalesce(ct.ct, 0) AS BIGINT) AS ct
+  FROM cr LEFT JOIN ct ON ct.bucket = cr.bucket
+),
+tot AS (
+  SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt
+  FROM counts
+),
+wt AS (
+  SELECT bucket,
+         CAST((length(bin(ct + 1)) - length(bin(tt + {nb})))
+            - (length(bin(cr + 1)) - length(bin(tr + {nb}))) AS BIGINT)
+           AS w
+  FROM counts CROSS JOIN tot
+)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(w) AS BIGINT) AS logratio_bits,
+       CAST(sum(w) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         AS mean_logratio_bits
+FROM bg JOIN wt ON wt.bucket = bg.bucket
+GROUP BY bg.doc_id"""
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------

@@ -237,6 +237,24 @@ def pred_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.pred_cooccurrence(graph(spark, sf_dir))
 
 
+def pred_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+
+    return graph_ops.pred_inverse(graph(spark, sf_dir))
+
+
+def pred_functionality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+
+    return graph_ops.pred_functionality(graph(spark, sf_dir))
+
+
+def pred_type_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+
+    return graph_ops.pred_type_signature(scored(spark, sf_dir))
+
+
 def two_hop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import graph as graph_ops
 
@@ -343,6 +361,18 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import corpus_dedup as cd
 
     return cd.decontaminate(docs_shingled(spark, sf_dir))
+
+
+def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import corpus_dedup as cd
+
+    return cd.chunk_dedup(docs_tokens(spark, sf_dir))
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import corpus_dedup as cd
+
+    return cd.dsir_weights(_flat_docs(spark, sf_dir))
 
 
 def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:

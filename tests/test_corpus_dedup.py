@@ -187,3 +187,41 @@ def test_decontaminate_rejects_noninteger_doc_ids(spark):
         Exception, match="doc_id must cast to long|cannot be cast"
     ):
         decontaminate(sh).collect()
+
+
+def test_chunk_dedup_hand_computed(spark):
+    from glirel_spark.operators.corpus_dedup import chunk_dedup
+
+    docs = spark.createDataFrame(
+        [
+            ("a", ["p", "q", "r", "s"]),   # chunks: [p q], [r s]
+            ("b", ["p", "q", "x"]),        # chunks: [p q] (dup of a#0), [x]
+            ("c", ["p", "q"]),             # chunk:  [p q] (dup)
+        ],
+        "doc_id string, tokens array<string>",
+    )
+    got = {r.doc_id: r for r in chunk_dedup(docs, w=2).collect()}
+    a, b, c = got["a"], got["b"], got["c"]
+    # "p q" appears 3x; keeper is (a, 0)
+    assert (a.n_chunks, a.n_dup_chunks, a.n_kept_chunks) == (2, 1, 2)
+    assert (b.n_chunks, b.n_dup_chunks, b.n_kept_chunks) == (2, 1, 1)
+    assert (c.n_chunks, c.n_dup_chunks, c.n_kept_chunks) == (1, 1, 0)
+    assert a.dup_ratio == 0.5 and c.dup_ratio == 1.0
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    from glirel_spark.operators.corpus_dedup import dsir_weights
+
+    rows = (
+        # target slice: "en" docs repeat the bigram "good text"
+        [(f"t{i}", "good text good text", "en") for i in range(4)]
+        # raw-only mass: junk bigrams never seen in the target
+        + [(f"r{i}", "junk junk junk junk", "fr") for i in range(4)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id string, text string, lang string")
+    got = {r.doc_id: r for r in dsir_weights(docs).collect()}
+    assert got["t0"].n_bigrams == 3
+    # target-like docs must outscore raw-only docs
+    assert got["t0"].mean_logratio_bits > got["r0"].mean_logratio_bits
+    # deterministic across docs with identical text
+    assert got["t0"].logratio_bits == got["t3"].logratio_bits

@@ -304,3 +304,49 @@ def test_entity_neighbor_sim_jaccard_and_hub_removal(spark):
     loose = {(r.e1, r.e2) for r in
              entity_neighbor_sim(g, hub_cap=100).collect()}
     assert ("C", "D") in loose
+
+
+def _graph_df(spark, rows):
+    # minimal materialized-graph shape: (subj, pred, obj) is all the
+    # schema-induction ops read
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_pred_inverse_hand_computed(spark):
+    from glirel_spark.operators.graph import pred_inverse
+
+    g = _graph_df(spark, [
+        ("a", "parent", "b"),
+        ("b", "child", "a"),      # inverse pair with parent
+        ("a", "knows", "b"),
+        ("b", "knows", "a"),      # symmetric: counted from both sides
+        ("c", "knows", "c"),      # self-loop: counted once
+        ("c", "parent", "d"),     # no inverse
+    ])
+    got = {(r.p1, r.p2): r for r in pred_inverse(g).collect()}
+    r = got[("child", "parent")]
+    assert (r.n_inv, r.n_p1, r.n_p2) == (1, 1, 2)
+    assert r.conf_1_to_2 == 1.0 and r.conf_2_to_1 == 0.5
+    k = got[("knows", "knows")]
+    # (a,b)+(b,a) pass subj<=obj once... both orientations: subj<=obj
+    # keeps (a,b) only for the a/b pair, plus the (c,c) self-loop
+    assert (k.n_inv, k.n_p1) == (2, 3)
+
+
+def test_pred_functionality_hand_computed(spark):
+    from glirel_spark.operators.graph import pred_functionality
+
+    g = _graph_df(spark, [
+        ("a", "born_in", "x"),
+        ("b", "born_in", "x"),
+        ("c", "born_in", "y"),
+        ("a", "works_for", "x"),
+        ("a", "works_for", "y"),
+    ])
+    got = {r.pred: r for r in pred_functionality(g).collect()}
+    b = got["born_in"]
+    assert (b.n_triples, b.n_subj, b.n_obj) == (3, 3, 2)
+    assert b.functionality == 1.0 and b.inv_functionality == 2 / 3
+    w = got["works_for"]
+    assert (w.n_triples, w.n_subj, w.n_obj) == (2, 1, 2)
+    assert w.functionality == 0.5 and w.inv_functionality == 1.0
