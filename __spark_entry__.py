@@ -130,6 +130,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_dedup": pipeline.chunk_dedup,
         # DSIR hashed-bigram importance-resampling weights
         "dsir_weights": pipeline.dsir_weights,
+        # ExactSubstr-style cross-doc duplicated-substring runs
+        "dup_spans": pipeline.dup_spans,
         # TF-IDF keyword extraction (log-free score: bit-exact ranking)
         "doc_top_terms": pipeline.doc_top_terms,
         "lang_id": pipeline.lang_id,
@@ -228,6 +230,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_surprisal": oc.q_doc_surprisal(),
         "chunk_dedup": oc.q_chunk_dedup(),
         "dsir_weights": oc.q_dsir_weights(),
+        "dup_spans": oc.q_dup_spans(),
         "doc_top_terms": oc.q_doc_top_terms(),
         "lang_id": oc.q_lang_id(),
         "corpus_sample": oc.q_corpus_sample(),

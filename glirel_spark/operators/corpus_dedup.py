@@ -647,3 +647,78 @@ def dsir_weights(
             ).alias("mean_logratio_bits"),
         )
     )
+
+
+def dup_spans(docs_tokens: DataFrame, k: int = config.SHINGLE_K) -> DataFrame:
+    """ExactSubstr-style duplicated-substring detection (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better"):
+    find, per document, the maximal runs of consecutive k-shingle
+    positions whose shingle also occurs in ANOTHER document. A run of L
+    consecutive duplicated positions == an exactly-duplicated substring
+    of L + k - 1 tokens — the suffix-array pass of the paper re-expressed
+    as a shuffle join + gaps-and-islands, which is the shape that
+    distributes (a suffix array over 100 TB does not).
+
+    Output per doc (docs with >=1 duplicated position): ``n_dup_positions``,
+    ``n_runs``, ``max_run`` (longest run in positions), ``max_dup_tokens``
+    (= max_run + k - 1), ``dup_cover_ratio`` (ONE exactly-rounded
+    division by the doc's shingle-position count).
+
+    Scale shape: positional shingles are the same map-only array
+    expression as the minhash path (shared subtree when both run);
+    cross-doc support is a two-stage exact count-distinct on
+    (sh, doc_id) — skew-free reducer key; the flagging join carries ONLY
+    shingles with ndocs >= 2 on the build side (boilerplate shingles are
+    hot keys — AQE skew-split applies); run grouping is a per-doc window
+    (pos - row_number), sorted within the doc partition only.
+    """
+    from glirel_spark.functions.barrier import materialized
+    from pyspark.sql import Window as W
+
+    b, p = config.SHINGLE_BASE, config.HASH_P
+    d = docs_tokens.withColumn(
+        "_th", materialized(F.transform(F.col("tokens"), _char_hash))
+    )
+    th = F.col("_th")
+    n = F.size(th)
+    sh_arr = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(0), n - k),
+            lambda i: (((th[i] % p) * b + th[i + 1]) % p * b + th[i + 2]) % p,
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    d = d.withColumn("_psh", materialized(sh_arr))
+    stream = d.select("doc_id", F.posexplode("_psh").alias("pos", "sh"))
+    npos = d.select("doc_id", F.size("_psh").cast("long").alias("n_pos"))
+    nd = (
+        stream.select("sh", "doc_id").distinct()
+        .groupBy("sh").agg(F.count("*").alias("ndocs"))
+    )
+    dup = stream.join(nd.filter(F.col("ndocs") >= 2).select("sh"), "sh")
+    grp = (F.col("pos") - F.row_number().over(
+        W.partitionBy("doc_id").orderBy("pos")
+    )).alias("grp")
+    runlen = (
+        dup.select("doc_id", "pos")
+        .select("doc_id", "pos", grp)
+        .groupBy("doc_id", "grp")
+        .agg(F.count("*").cast("long").alias("rl"))
+    )
+    return (
+        runlen.groupBy("doc_id")
+        .agg(
+            F.sum("rl").cast("long").alias("n_dup_positions"),
+            F.count("*").cast("long").alias("n_runs"),
+            F.max("rl").cast("long").alias("max_run"),
+        )
+        .join(npos, "doc_id")
+        .select(
+            "doc_id", "n_dup_positions", "n_runs", "max_run",
+            (F.col("max_run") + F.lit(k - 1)).cast("long").alias("max_dup_tokens"),
+            (
+                F.col("n_dup_positions").cast("double")
+                / F.col("n_pos").cast("double")
+            ).alias("dup_cover_ratio"),
+        )
+    )

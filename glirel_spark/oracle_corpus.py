@@ -478,6 +478,51 @@ FROM occ GROUP BY doc_id"""
     )
 
 
+def q_dup_spans() -> str:
+    """Mirror of corpus_dedup.dup_spans: positional shingles via
+    offset self-joins, cross-doc support, gaps-and-islands run
+    grouping, one final division."""
+    k, b, p = c.SHINGLE_K, c.SHINGLE_BASE, c.HASH_P
+    return (
+        _with(CTE_TOKENS, CTE_THASH)
+        + f""",
+pos_sh AS (
+  SELECT t0.doc_id, t0.pos,
+         (((t0.tid % {p}) * {b} + t1.tid) % {p} * {b} + t2.tid) % {p} AS sh
+  FROM thash t0
+  JOIN thash t1 ON t1.doc_id = t0.doc_id AND t1.pos = t0.pos + 1
+  JOIN thash t2 ON t2.doc_id = t0.doc_id AND t2.pos = t0.pos + 2
+),
+nd AS (
+  SELECT sh FROM pos_sh GROUP BY sh HAVING count(DISTINCT doc_id) >= 2
+),
+dup AS (
+  SELECT ps.doc_id, ps.pos FROM pos_sh ps JOIN nd ON nd.sh = ps.sh
+),
+runs AS (
+  SELECT doc_id, pos,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM dup
+),
+runlen AS (
+  SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS rl
+  FROM runs GROUP BY doc_id, grp
+),
+npos AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pos FROM pos_sh GROUP BY doc_id
+)
+SELECT r.doc_id,
+       CAST(sum(rl) AS BIGINT) AS n_dup_positions,
+       CAST(count(*) AS BIGINT) AS n_runs,
+       CAST(max(rl) AS BIGINT) AS max_run,
+       CAST(max(rl) + {k - 1} AS BIGINT) AS max_dup_tokens,
+       CAST(sum(rl) AS DOUBLE) / CAST(any_value(n_pos) AS DOUBLE)
+         AS dup_cover_ratio
+FROM runlen r JOIN npos ON npos.doc_id = r.doc_id
+GROUP BY r.doc_id"""
+    )
+
+
 def q_dsir_weights() -> str:
     """Mirror of corpus_dedup.dsir_weights: hashed-bigram buckets from
     the same thash stream, per-bucket target/raw counts, integer

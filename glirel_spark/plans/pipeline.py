@@ -369,6 +369,12 @@ def chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cd.chunk_dedup(docs_tokens(spark, sf_dir))
 
 
+def dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import corpus_dedup as cd
+
+    return cd.dup_spans(docs_tokens(spark, sf_dir))
+
+
 def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import corpus_dedup as cd
 

@@ -225,3 +225,29 @@ def test_dsir_weights_prefers_target_like_docs(spark):
     assert got["t0"].mean_logratio_bits > got["r0"].mean_logratio_bits
     # deterministic across docs with identical text
     assert got["t0"].logratio_bits == got["t3"].logratio_bits
+
+
+def test_dup_spans_hand_computed(spark):
+    from glirel_spark.operators.corpus_dedup import dup_spans
+
+    docs = spark.createDataFrame(
+        [
+            # shared 4-token run "a b c d" -> 2 consecutive dup 3-shingle
+            # positions; doc x has 5 shingle positions total
+            ("x", ["a", "b", "c", "d", "q", "r", "s"]),
+            ("y", ["z", "a", "b", "c", "d"]),
+            # unique content, and a doc too short for any shingle
+            ("u", ["m", "n", "o", "p"]),
+            ("v", ["t"]),
+        ],
+        "doc_id string, tokens array<string>",
+    )
+    got = {r.doc_id: r for r in dup_spans(docs).collect()}
+    assert set(got) == {"x", "y"}  # u unique, v has no shingles
+    x = got["x"]
+    assert (x.n_dup_positions, x.n_runs, x.max_run) == (2, 1, 2)
+    assert x.max_dup_tokens == 4           # run of 2 positions + k-1
+    assert x.dup_cover_ratio == 2 / 5
+    y = got["y"]
+    assert (y.n_dup_positions, y.n_runs, y.max_run) == (2, 1, 2)
+    assert y.dup_cover_ratio == 2 / 3
