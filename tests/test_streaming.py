@@ -181,3 +181,63 @@ def test_stateful_asof_equals_batch_across_micro_batches(spark, tmp_path):
         for r in asof_last_event(ev).collect()
     }
     assert got == want and len(got) == ev.count()
+
+
+def test_stateful_dedup_equals_batch_across_micro_batches(spark, tmp_path):
+    import time
+
+    from pyspark.sql import functions as F
+
+    from glirel_spark.operators.corpus_dedup import exact_dedup, fingerprint
+    from glirel_spark.streaming.dedup_state import dedup_stateful, fingerprint_expr
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    # arrival order respects doc_id order -> streaming keeper == batch
+    # keeper (= min doc_id); split at the median id across two files
+    cut = docs.agg(F.percentile_approx(F.col("doc_id").cast("long"), 0.5)).collect()[0][0]
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    docs.filter(F.col("doc_id").cast("long") <= cut).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    time.sleep(1.1)
+    docs.filter(F.col("doc_id").cast("long") > cut).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    stream_in = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        dedup_stateful(stream_in)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_state_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        r.doc_id: (r.fp, r.keeper, r.is_duplicate)
+        for r in spark.sql("SELECT * FROM dedup_state_out").collect()
+    }
+
+    tok = docs.select("doc_id", F.split("text", " ").alias("tokens"))
+    fps = fingerprint(tok)
+    batch = fps.join(exact_dedup(tok), "fp")
+    want = {
+        r.doc_id: (r.fp, r.keeper, r.doc_id != r.keeper) for r in batch.collect()
+    }
+    assert got == want and len(got) == docs.count()
+
+    # the map-only fp expression is bit-identical to the sorted-fold form
+    a = {r.doc_id: r.fp2 for r in docs.select(
+        "doc_id", fingerprint_expr(F.split("text", " ")).alias("fp2")
+    ).collect()}
+    b = {r.doc_id: r.fp for r in fps.collect()}
+    assert a == b
