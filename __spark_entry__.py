@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pred_cooccurrence": pipeline.pred_cooccurrence,
         # inverse/symmetric predicate rules p1(x,y) => p2(y,x)
         "pred_inverse": pipeline.pred_inverse,
+        # cross-doc entity co-occurrence lift (PMI ratio, log-free)
+        "entity_pmi": pipeline.entity_pmi,
         # per-predicate (inverse-)functionality — AMIE PCA ingredient
         "pred_functionality": pipeline.pred_functionality,
         # relation type signatures: pred -> (subj_type, obj_type) shares
@@ -207,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
         "entity_neighbor_sim": oracle.q_entity_neighbor_sim(),
         "pred_cooccurrence": oracle.q_pred_cooccurrence(),
         "pred_inverse": oracle.q_pred_inverse(),
+        "entity_pmi": oracle.q_entity_pmi(),
         "pred_functionality": oracle.q_pred_functionality(),
         "pred_type_signature": oracle.q_pred_type_signature(),
         "kg_triangles": oracle.q_kg_triangles(),

@@ -641,3 +641,56 @@ def triangles(graph: DataFrame) -> DataFrame:
         .filter((F.col("a") < F.col("b")) & (F.col("a") < F.col("c")))
         .select("a", "b", "c")
     )
+
+
+def entity_pmi(linked: DataFrame) -> DataFrame:
+    """Cross-document entity co-occurrence weighting: for every
+    unordered canonical-entity pair appearing in the same document,
+    the doc-level co-occurrence count and the PMI ratio in its
+    exactly-computable form ``lift`` = (n_co * N) / (n_e1 * n_e2) —
+    PMI without the log, ONE exactly-rounded division of exact long
+    products, so the oracle matches bit-for-bit (log is monotone, so
+    ranking by lift == ranking by PMI). The standard KG edge-weighting /
+    entity-relatedness signal (e.g. Milne-Witten style relatedness
+    inputs) a linker or recommender consumes downstream.
+
+    Scale shape: per-doc entity sets come from one explode + distinct on
+    (doc_id, entity) — skew-free key; pair generation is a DOC-LOCAL
+    self-join on doc_id (per-key fanout bounded by entities-per-doc,
+    never by corpus-wide entity frequency — hub entities do NOT blow up
+    this join, unlike an entity-keyed join); marginals are a tiny
+    re-agg of the deduped relation, joined back by shuffle on each
+    endpoint; the corpus doc count rides along as a single-row
+    broadcast cross join.
+    """
+    ents = (
+        linked.select("doc_id", F.col("subj").alias("ent"))
+        .unionByName(linked.select("doc_id", F.col("obj").alias("ent")))
+        .distinct()
+    )
+    n_e = ents.groupBy("ent").agg(F.count("*").cast("long").alias("n"))
+    n_docs = ents.select("doc_id").distinct().agg(
+        F.count("*").cast("long").alias("n_docs_total")
+    )  # 1 row -> broadcast
+    a = ents.select("doc_id", F.col("ent").alias("e1"))
+    b = ents.select("doc_id", F.col("ent").alias("e2"))
+    co = (
+        a.join(b, "doc_id")
+        .filter(F.col("e1") < F.col("e2"))
+        .groupBy("e1", "e2")
+        .agg(F.count("*").cast("long").alias("n_co"))
+    )
+    m1 = n_e.select(F.col("ent").alias("e1"), F.col("n").alias("n_e1"))
+    m2 = n_e.select(F.col("ent").alias("e2"), F.col("n").alias("n_e2"))
+    return (
+        co.join(m1, "e1")
+        .join(m2, "e2")
+        .join(F.broadcast(n_docs))
+        .select(
+            "e1", "e2", "n_co", "n_e1", "n_e2", "n_docs_total",
+            (
+                (F.col("n_co") * F.col("n_docs_total")).cast("double")
+                / (F.col("n_e1") * F.col("n_e2")).cast("double")
+            ).alias("lift"),
+        )
+    )

@@ -632,6 +632,40 @@ FROM co JOIN supp s1 ON s1.pred = co.p1 JOIN supp s2 ON s2.pred = co.p2"""
     )
 
 
+def q_entity_pmi() -> str:
+    """Mirror of graph.entity_pmi: per-doc distinct entity sets,
+    doc-local pair join, marginals, one exactly-rounded lift division."""
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED)
+        + """
+, ents AS (
+  SELECT DISTINCT doc_id, ent FROM (
+    SELECT doc_id, subj AS ent FROM linked
+    UNION ALL
+    SELECT doc_id, obj AS ent FROM linked
+  )
+),
+n_e AS (
+  SELECT ent, CAST(count(*) AS BIGINT) AS n FROM ents GROUP BY ent
+),
+nd AS (
+  SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_total FROM ents
+),
+co AS (
+  SELECT a.ent AS e1, b.ent AS e2, CAST(count(*) AS BIGINT) AS n_co
+  FROM ents a JOIN ents b ON a.doc_id = b.doc_id AND a.ent < b.ent
+  GROUP BY a.ent, b.ent
+)
+SELECT co.e1, co.e2, co.n_co, m1.n AS n_e1, m2.n AS n_e2, nd.n_docs_total,
+       CAST(co.n_co * nd.n_docs_total AS DOUBLE)
+         / CAST(m1.n * m2.n AS DOUBLE) AS lift
+FROM co
+JOIN n_e m1 ON m1.ent = co.e1
+JOIN n_e m2 ON m2.ent = co.e2
+CROSS JOIN nd"""
+    )
+
+
 def q_pred_inverse() -> str:
     """Mirror of graph.pred_inverse: reversed-edge join, p1 <= p2
     canonicalization (with subj <= obj for the symmetric diagonal),

@@ -237,6 +237,12 @@ def pred_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph_ops.pred_cooccurrence(graph(spark, sf_dir))
 
 
+def entity_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+
+    return graph_ops.entity_pmi(linked_triples(spark, sf_dir))
+
+
 def pred_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import graph as graph_ops
 
