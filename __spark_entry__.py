@@ -107,6 +107,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_kcore": pipeline.kg_kcore,
         # scaled-integer PageRank (bit-exact across engines)
         "kg_pagerank": pipeline.kg_pagerank,
+        # knowledge fusion: per-(subj,pred) winning object by support
+        "kg_fusion": pipeline.kg_fusion,
+        # SPO adjacency-list materialization (serving index layout)
+        "kg_adjacency": pipeline.kg_adjacency,
+        # deterministic filtered negative sampling (KG-embedding protocol)
+        "kg_negative_samples": pipeline.kg_negative_samples,
+        # common-neighbor link-prediction candidates (top-100)
+        "kg_link_pred": pipeline.kg_link_pred,
         # corpus dedup (training-data pipeline)
         "minhash_signatures": pipeline.minhash_signatures,
         "minhash_neardups": pipeline.minhash_neardups,
@@ -212,6 +220,10 @@ def oracle_sql() -> dict[str, str]:
         "entity_pmi": oracle.q_entity_pmi(),
         "pred_functionality": oracle.q_pred_functionality(),
         "pred_type_signature": oracle.q_pred_type_signature(),
+        "kg_fusion": oracle.q_kg_fusion(),
+        "kg_adjacency": oracle.q_kg_adjacency(),
+        "kg_negative_samples": oracle.q_kg_negative_samples(),
+        "kg_link_pred": oracle.q_kg_link_pred(),
         "kg_triangles": oracle.q_kg_triangles(),
         # recursive-CTE closure / unrolled peel / unrolled integer power iteration
         "kg_components": oracle.q_kg_components(),

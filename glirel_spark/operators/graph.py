@@ -694,3 +694,187 @@ def entity_pmi(linked: DataFrame) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+def kg_fusion(graph: DataFrame) -> DataFrame:
+    """Knowledge fusion / conflict resolution: for every (subj, pred)
+    slot, elect the single best object across all source documents —
+    highest supporting-mention count, ties broken by lexicographically
+    smallest object (deterministic, partition-order-free). The classic
+    truth-discovery step (Knowledge Vault-style voting, reference
+    semantics: one canonical value per functional slot) that turns an
+    extraction soup into a clean property table.
+
+    Output: subj, pred, obj (winner), n_support (its mentions),
+    n_objects (competing values), n_total (all mentions for the slot),
+    support_share = n_support / n_total (ONE exactly-rounded division
+    of exact longs — bit-reproducible vs the oracle).
+
+    Scale shape: input is already the materialized graph (one row per
+    (subj,pred,obj)), so this is a single map-side-combinable groupBy
+    on (subj,pred) — strictly fewer rows than the graph itself, and the
+    argmax rides inside the aggregate as min(struct(-n, obj)) instead
+    of a window (no per-group sort, no skew beyond the slot's own
+    value count).
+    """
+    w = F.min(
+        F.struct((-F.col("n_mentions")).alias("neg"), F.col("obj").alias("obj"))
+    )
+    per_slot = graph.groupBy("subj", "pred").agg(
+        w.alias("_w"),
+        F.sum("n_mentions").cast("long").alias("n_total"),
+        F.count("*").cast("long").alias("n_objects"),
+    )
+    n_support = (-F.col("_w.neg")).cast("long")
+    return per_slot.select(
+        "subj",
+        "pred",
+        F.col("_w.obj").alias("obj"),
+        n_support.alias("n_support"),
+        "n_objects",
+        "n_total",
+        (n_support.cast("double") / F.col("n_total").cast("double")).alias(
+            "support_share"
+        ),
+    )
+
+
+def kg_adjacency(graph: DataFrame) -> DataFrame:
+    """Adjacency-list materialization (the SPO index layout): one row
+    per subject with its sorted outgoing (pred, obj) posting list — the
+    serving-side format a triple store / GraphFrames-style traversal
+    loads, built once from the materialized graph.
+
+    The list is emitted as a '|'-joined, ','-separated sorted string
+    (deterministic; avoids array-vs-list representation skew between
+    engines in the value-hash gate). Scale shape: one groupBy(subj) —
+    hub subjects produce long rows, which is inherent to the format;
+    production shards hot subjects by a (subj, page) key once a row
+    exceeds the page size (documented, not needed at sandbox scale).
+    """
+    edge = F.concat_ws("|", "pred", "obj")
+    return graph.groupBy("subj").agg(
+        F.count("*").cast("long").alias("out_degree"),
+        F.sum("n_mentions").cast("long").alias("n_mentions"),
+        F.array_join(F.array_sort(F.collect_list(edge)), ",").alias("adjacency"),
+    )
+
+
+def _entity_index(ents: DataFrame, n_buckets: int = 64) -> DataFrame:
+    """(entity, idx) with idx = dense 1..|V| rank of the sorted entity
+    list — the distributed zipWithIndex shape: bucket by a pure hash of
+    the entity, row_number WITHIN each bucket (never a global
+    single-partition window), then add per-bucket offsets computed by a
+    prefix sum over the n_buckets-row count table. Order is
+    (bucket, entity) — deterministic and engine-independent.
+    """
+    from pyspark.sql import Window
+
+    from glirel_spark.operators.corpus_dedup import _char_hash
+
+    b = ents.select("entity", (_char_hash(F.col("entity")) % n_buckets).alias("bucket"))
+    counts = b.groupBy("bucket").agg(F.count("*").cast("long").alias("c"))
+    # n_buckets rows: the unpartitioned running-sum window is bounded by
+    # construction (64 rows), not by data volume
+    off_w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offs = counts.select(
+        "bucket", F.coalesce(F.sum("c").over(off_w), F.lit(0)).alias("off")
+    )
+    rn_w = Window.partitionBy("bucket").orderBy("entity")
+    return (
+        b.join(F.broadcast(offs), "bucket")
+        .withColumn("idx", (F.col("off") + F.row_number().over(rn_w)).cast("long"))
+        .select("entity", "idx")
+    )
+
+
+def kg_negative_samples(graph: DataFrame) -> DataFrame:
+    """Filtered negative sampling for KG-embedding training (TransE /
+    DistMult protocol): for every true (subj, pred, obj) edge, corrupt
+    the tail with a pseudo-random entity drawn DETERMINISTICALLY from
+    the entity vocabulary — neg_idx = polyhash(subj␟pred␟obj) mod |V| —
+    and flag whether the corruption is a genuine negative (is_clean =
+    the corrupted triple does not itself appear in the graph, the
+    'filtered' setting of the link-prediction literature).
+
+    No RNG: the polynomial char hash is a pure function of the edge, so
+    sampling is reproducible across runs, partitionings, and engines
+    (the DuckDB oracle replays it exactly).
+
+    Scale shape: the entity index is a dimension (|V| entities, orders
+    of magnitude below edge count) built with the bucketed zipWithIndex
+    above; edges pick up their negative via ONE broadcast join on idx,
+    and the is_clean flag is ONE left join back on the graph's own
+    (subj, pred, obj) key — skew-bounded by the spo key like every
+    other graph-side join.
+    """
+    from glirel_spark.operators.corpus_dedup import _char_hash
+
+    edges = graph.select("subj", "pred", "obj")
+    ents = (
+        edges.select(F.col("subj").alias("entity"))
+        .unionByName(edges.select(F.col("obj").alias("entity")))
+        .distinct()
+    )
+    idx = _entity_index(ents)
+    n_e = idx.agg(F.count("*").cast("long").alias("n_entities"))
+    h = _char_hash(F.concat_ws("\x1f", "subj", "pred", "obj"))
+    picked = (
+        edges.withColumn("_h", h)
+        .crossJoin(F.broadcast(n_e))
+        .withColumn("_neg_idx", (F.col("_h") % F.col("n_entities")) + 1)
+        .join(F.broadcast(idx), F.col("_neg_idx") == F.col("idx"))
+        .select("subj", "pred", "obj", F.col("entity").alias("neg_obj"))
+    )
+    truth = edges.select(
+        F.col("subj").alias("_ts"), F.col("pred").alias("_tp"), F.col("obj").alias("_to")
+    )
+    return picked.join(
+        truth,
+        (F.col("subj") == F.col("_ts"))
+        & (F.col("pred") == F.col("_tp"))
+        & (F.col("neg_obj") == F.col("_to")),
+        "left",
+    ).select(
+        "subj", "pred", "obj", "neg_obj", F.col("_ts").isNull().alias("is_clean")
+    )
+
+
+def kg_link_pred(graph: DataFrame, top_n: int = 100) -> DataFrame:
+    """KG-completion candidate generation by common-neighbor counting:
+    rank NON-adjacent entity pairs by how many neighbors they share in
+    the undirected entity graph — the standard structural
+    link-prediction baseline (Liben-Nowell & Kleinberg) feeding a
+    downstream scorer. Top-N under the deterministic total order
+    (common_neighbors DESC, a, b).
+
+    Scale shape: wedge enumeration is ONE self-join of the symmetric
+    neighbor relation on the shared-neighbor key — fanout is quadratic
+    in per-node degree, so production caps hub degree before the join
+    (the entity_neighbor_sim NEIGH_HUB_CAP pattern; exact here, where
+    degrees are sandbox-small); existing edges drop out via a left-anti
+    join; the final top-N is TakeOrderedAndProject (per-partition heaps
+    + single k-row merge), never a global sort.
+    """
+    e = graph.select("subj", "obj").filter(F.col("subj") != F.col("obj"))
+    nb = (
+        e.select(F.col("subj").alias("x"), F.col("obj").alias("y"))
+        .unionByName(e.select(F.col("obj").alias("x"), F.col("subj").alias("y")))
+        .distinct()
+    )
+    l = nb.select(F.col("x").alias("a"), F.col("y").alias("n"))
+    r = nb.select(F.col("x").alias("b"), F.col("y").alias("n"))
+    cn = (
+        l.join(r, "n")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("common_neighbors"))
+    )
+    adj = nb.filter(F.col("x") < F.col("y")).select(
+        F.col("x").alias("a"), F.col("y").alias("b")
+    )
+    return (
+        cn.join(adj, ["a", "b"], "left_anti")
+        .orderBy(F.desc("common_neighbors"), "a", "b")
+        .limit(top_n)
+    )

@@ -889,3 +889,138 @@ def q_refeval_metrics() -> str:
         f"FROM read_parquet('{root}/refeval_counts.parquet')),\n"
         + _METRIC_SQL
     )
+
+
+CTE_GM = """
+gm AS (
+  SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS n_mentions
+  FROM linked GROUP BY subj, pred, obj
+)
+"""
+
+
+def q_kg_fusion() -> str:
+    """Mirror of graph.kg_fusion: per-(subj,pred) argmax object by
+    (n_mentions DESC, obj ASC) via row_number, slot totals, one
+    exactly-rounded share division."""
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED, CTE_GM)
+        + """
+, tot AS (
+  SELECT subj, pred,
+         CAST(sum(n_mentions) AS BIGINT) AS n_total,
+         CAST(count(*) AS BIGINT) AS n_objects
+  FROM gm GROUP BY subj, pred
+),
+w AS (
+  SELECT subj, pred, obj, n_mentions,
+         row_number() OVER (
+           PARTITION BY subj, pred ORDER BY n_mentions DESC, obj ASC
+         ) AS rn
+  FROM gm
+)
+SELECT w.subj, w.pred, w.obj,
+       CAST(w.n_mentions AS BIGINT) AS n_support,
+       t.n_objects, t.n_total,
+       CAST(w.n_mentions AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+         AS support_share
+FROM w JOIN tot t ON t.subj = w.subj AND t.pred = w.pred
+WHERE w.rn = 1"""
+    )
+
+
+def q_kg_adjacency() -> str:
+    """Mirror of graph.kg_adjacency: sorted '|'-joined posting list per
+    subject over the materialized graph rows."""
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED, CTE_GM)
+        + """
+SELECT subj,
+       CAST(count(*) AS BIGINT) AS out_degree,
+       CAST(sum(n_mentions) AS BIGINT) AS n_mentions,
+       string_agg(pred || '|' || obj, ',' ORDER BY pred || '|' || obj)
+         AS adjacency
+FROM gm GROUP BY subj"""
+    )
+
+
+def _char_hash_sql(expr: str) -> str:
+    """The per-character polynomial hash (corpus_dedup._char_hash /
+    oracle_corpus.CTE_THASH arithmetic) over an arbitrary SQL string
+    expression."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(string_split({expr}, ''), "
+        "ch -> CAST(ascii(ch) AS BIGINT))), "
+        f"(a, b) -> (a * {c.SHINGLE_BASE} + b) % {c.HASH_P})"
+    )
+
+
+def q_kg_negative_samples() -> str:
+    """Mirror of graph.kg_negative_samples: bucketed dense entity index
+    (row_number over (bucket, entity) == the two-stage Spark offsets),
+    deterministic polyhash tail corruption, filtered-negative flag."""
+    edge_h = _char_hash_sql("subj || chr(31) || pred || chr(31) || obj")
+    ent_b = _char_hash_sql("entity")
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED)
+        + f"""
+, g AS (
+  SELECT DISTINCT subj, pred, obj FROM linked
+),
+ents AS (
+  SELECT DISTINCT entity FROM (
+    SELECT subj AS entity FROM g UNION ALL SELECT obj FROM g
+  )
+),
+idx AS (
+  SELECT entity,
+         CAST(row_number() OVER (
+           ORDER BY {ent_b} % 64, entity
+         ) AS BIGINT) AS idx
+  FROM ents
+),
+ne AS (SELECT CAST(count(*) AS BIGINT) AS n_entities FROM ents),
+edges AS (
+  SELECT subj, pred, obj, {edge_h} AS h FROM g
+)
+SELECT e.subj, e.pred, e.obj, i.entity AS neg_obj,
+       (t.subj IS NULL) AS is_clean
+FROM edges e
+CROSS JOIN ne
+JOIN idx i ON i.idx = (e.h % ne.n_entities) + 1
+LEFT JOIN g t
+  ON t.subj = e.subj AND t.pred = e.pred AND t.obj = i.entity"""
+    )
+
+
+def q_kg_link_pred(top_n: int = 100) -> str:
+    """Mirror of graph.kg_link_pred: symmetric neighbor relation, wedge
+    self-join, anti-join on existing undirected edges, deterministic
+    top-N."""
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED)
+        + f"""
+, e AS (
+  SELECT DISTINCT subj, obj FROM linked WHERE subj <> obj
+),
+nb AS (
+  SELECT DISTINCT x, y FROM (
+    SELECT subj AS x, obj AS y FROM e
+    UNION ALL
+    SELECT obj AS x, subj AS y FROM e
+  )
+),
+cn AS (
+  SELECT l.x AS a, r.x AS b, CAST(count(*) AS BIGINT) AS common_neighbors
+  FROM nb l JOIN nb r ON l.y = r.y AND l.x < r.x
+  GROUP BY l.x, r.x
+)
+SELECT cn.a, cn.b, cn.common_neighbors
+FROM cn
+WHERE NOT EXISTS (
+  SELECT 1 FROM nb WHERE nb.x = cn.a AND nb.y = cn.b
+)
+ORDER BY cn.common_neighbors DESC, cn.a, cn.b
+LIMIT {top_n}"""
+    )

@@ -598,3 +598,27 @@ def events_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import events
 
     return events.props_stats(tables.TableIO(spark, sf_dir).table("events"))
+
+
+def kg_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+
+    return graph_ops.kg_fusion(graph(spark, sf_dir))
+
+
+def kg_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+
+    return graph_ops.kg_adjacency(graph(spark, sf_dir))
+
+
+def kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+
+    return graph_ops.kg_negative_samples(graph(spark, sf_dir))
+
+
+def kg_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+
+    return graph_ops.kg_link_pred(graph(spark, sf_dir))
