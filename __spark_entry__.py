@@ -145,6 +145,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TF-IDF keyword extraction (log-free score: bit-exact ranking)
         "doc_top_terms": pipeline.doc_top_terms,
         "lang_id": pipeline.lang_id,
+        # blocked Levenshtein entity-resolution candidate pairs
+        "er_edit_pairs": pipeline.er_edit_pairs,
+        # sharded inverted-index build (posting lists + df/tf)
+        "inverted_index": pipeline.inverted_index,
+        # bigram LM count table with exact MLE conditionals
+        "ngram_lm": pipeline.ngram_lm,
         # deterministic hash-based stratified downsampling per language
         "corpus_sample": pipeline.corpus_sample,
         # one-pass ROLLUP corpus accounting (per lang x source + totals)
@@ -248,6 +254,9 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": oc.q_dup_spans(),
         "doc_top_terms": oc.q_doc_top_terms(),
         "lang_id": oc.q_lang_id(),
+        "er_edit_pairs": oracle.q_er_edit_pairs(),
+        "inverted_index": oc.q_inverted_index(),
+        "ngram_lm": oc.q_ngram_lm(),
         "corpus_sample": oc.q_corpus_sample(),
         "corpus_stats": oc.q_corpus_stats(),
         "ann_topk": oc.q_ann_topk(),

@@ -185,3 +185,45 @@ def apply_fuzzy(linked: DataFrame, best: DataFrame) -> DataFrame:
             "prob",
         )
     )
+
+
+def er_edit_pairs(mentions: DataFrame, max_dist: int = 2) -> DataFrame:
+    """Entity-resolution candidate pairs by blocked edit distance: all
+    distinct lowercased mention surface forms within Levenshtein
+    distance <= max_dist of each other — the classic string-similarity
+    ER match step (Fellegi-Sunter blocking + comparison), complementing
+    the MinHash-LSH fuzzy alias path with a typo-tolerant exact metric.
+
+    Blocking: equal first character + length band |len1-len2| <=
+    max_dist (an edit can change length by at most 1 per operation, so
+    the band is lossless for same-first-char pairs). The quadratic
+    comparison runs only WITHIN blocks — the whole point of blocking at
+    web scale; production adds a second blocking pass keyed on the last
+    character to also catch first-char typos (documented trade-off:
+    this pass, like most deployed blockers, misses edits at the
+    blocking key itself).
+
+    Levenshtein evaluates JVM-side (built-in expression, codegen) and
+    identically in the DuckDB oracle.
+    """
+    names = mentions.select(F.lower("text").alias("name")).distinct()
+    l = names.select(
+        F.col("name").alias("e1"),
+        F.substring("name", 1, 1).alias("_b"),
+        F.length("name").alias("_l1"),
+    )
+    r = names.select(
+        F.col("name").alias("e2"),
+        F.substring("name", 1, 1).alias("_b"),
+        F.length("name").alias("_l2"),
+    )
+    return (
+        l.join(r, "_b")
+        .filter(
+            (F.col("e1") < F.col("e2"))
+            & (F.abs(F.col("_l1") - F.col("_l2")) <= max_dist)
+        )
+        .withColumn("dist", F.levenshtein("e1", "e2").cast("long"))
+        .filter(F.col("dist") <= max_dist)
+        .select("e1", "e2", "dist")
+    )

@@ -352,3 +352,84 @@ def doc_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", "term", "tf", "df", "score")
     )
+
+
+def inverted_index(docs_tokens: DataFrame, n_shards: int = 8) -> DataFrame:
+    """Sharded inverted-index build (the search/retrieval side of a
+    training-data pipeline): one row per (token, shard) with document
+    frequency, total term frequency, and the sorted posting list.
+
+    Postings are emitted as a ','-joined sorted doc_id string (exact,
+    engine-neutral for the value-hash gate). shard = doc_id mod
+    n_shards — the posting-list partitioning that keeps any single
+    term's row bounded at corpus scale: hot terms ("the") spread over
+    n_shards rows instead of one unbounded row, and serving-side lookup
+    fans out to n_shards co-located gets. Same integer-id contract as
+    decontaminate (doc_id must cast to long).
+
+    Plan shape: per-(token, doc) partial counts first — that shuffle
+    keys on (token, doc_id), which is skew-free even when token alone
+    is Zipf-hot — then the (token, shard) rollup over the much smaller
+    partial relation (the standard two-stage hot-key aggregation).
+    """
+    toks = docs_tokens.select(
+        F.col("doc_id"), F.explode("tokens").alias("token")
+    )
+    per_doc = toks.groupBy("token", "doc_id").agg(
+        F.count("*").cast("long").alias("_tf")
+    )
+    shard = F.pmod(F.col("doc_id").cast("long"), F.lit(n_shards)).cast("long")
+    return (
+        per_doc.withColumn("shard", shard)
+        .groupBy("token", "shard")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("_tf").cast("long").alias("tf"),
+            F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias(
+                "postings"
+            ),
+        )
+    )
+
+
+def ngram_lm(docs_tokens: DataFrame, min_count: int = 3) -> DataFrame:
+    """Distributed bigram LM count table: (w1, w2, n12, n1, cond_p)
+    with cond_p = n12 / n1 — the MLE conditional probability, ONE
+    exactly-rounded division of exact longs (n1 = the left-context
+    marginal, summed over the unfiltered bigram counts BEFORE the
+    min_count output filter, so probabilities are true corpus MLEs).
+    The count-table shape every corpus LM artifact (KenLM-style tables,
+    infini-gram serving, contamination n-gram checks) starts from.
+
+    Plan shape: bigrams come from a zip of the token array with its
+    own tail — a pure map (zero joins, zero extra shuffles for pair
+    construction); counts shuffle once on (w1, w2) — skew-free even
+    for Zipf-hot w1 because w2 spreads the key; the w1 marginal is a
+    re-agg of the counts relation (tiny vs the corpus) joined back on
+    w1, where AQE's skew-join split covers the stop-word heads.
+    """
+    t = F.col("tokens")
+    pair = F.explode(
+        F.arrays_zip(
+            F.slice(t, 1, F.size(t) - 1).alias("w1"),
+            F.slice(t, 2, F.size(t) - 1).alias("w2"),
+        )
+    )
+    bg = docs_tokens.filter(F.size(t) >= 2).select(pair.alias("_p")).select(
+        F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2")
+    )
+    n12 = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n12"))
+    n1 = n12.groupBy("w1").agg(F.sum("n12").cast("long").alias("n1"))
+    return (
+        n12.join(n1, "w1")
+        .filter(F.col("n12") >= min_count)
+        .select(
+            "w1",
+            "w2",
+            "n12",
+            "n1",
+            (F.col("n12").cast("double") / F.col("n1").cast("double")).alias(
+                "cond_p"
+            ),
+        )
+    )

@@ -1024,3 +1024,23 @@ WHERE NOT EXISTS (
 ORDER BY cn.common_neighbors DESC, cn.a, cn.b
 LIMIT {top_n}"""
     )
+
+
+def q_er_edit_pairs(max_dist: int = 2) -> str:
+    """Mirror of linking.er_edit_pairs: distinct lowercased surface
+    forms, first-char + length-band blocking, Levenshtein verify."""
+    return (
+        with_chain()
+        + f"""
+, names AS (
+  SELECT DISTINCT lower(text) AS name FROM mentions
+)
+SELECT l.name AS e1, r.name AS e2,
+       CAST(levenshtein(l.name, r.name) AS BIGINT) AS dist
+FROM names l
+JOIN names r
+  ON substr(l.name, 1, 1) = substr(r.name, 1, 1)
+ AND l.name < r.name
+ AND abs(length(l.name) - length(r.name)) <= {max_dist}
+WHERE levenshtein(l.name, r.name) <= {max_dist}"""
+    )

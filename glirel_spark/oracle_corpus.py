@@ -1246,3 +1246,42 @@ SELECT v.surface, v.alias, a2.canonical_id, v.inter, v.un,
        CAST(v.inter AS DOUBLE) / v.un AS jaccard
 FROM ver v JOIN anorm a2 ON a2.s = v.alias
 WHERE CAST(v.inter AS DOUBLE) / v.un >= {threshold}"""
+
+
+def q_inverted_index(n_shards: int = 8) -> str:
+    """Mirror of textstats.inverted_index: per-(token, doc) partials,
+    (token, shard) rollup, sorted ','-joined postings."""
+    return f"""
+WITH {CTE_TOKENS.strip().rstrip()}
+, pd AS (
+  SELECT token, doc_id, CAST(count(*) AS BIGINT) AS tf_doc
+  FROM toks GROUP BY token, doc_id
+)
+SELECT token,
+       CAST(CAST(doc_id AS BIGINT) % {n_shards} AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(tf_doc) AS BIGINT) AS tf,
+       string_agg(doc_id, ',' ORDER BY doc_id) AS postings
+FROM pd GROUP BY token, CAST(doc_id AS BIGINT) % {n_shards}"""
+
+
+def q_ngram_lm(min_count: int = 3) -> str:
+    """Mirror of textstats.ngram_lm: positional bigram self-join,
+    unfiltered left marginal, one exactly-rounded division."""
+    return f"""
+WITH {CTE_TOKENS.strip().rstrip()}
+, bg AS (
+  SELECT a.token AS w1, b.token AS w2
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+c12 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM bg GROUP BY w1, w2
+),
+c1 AS (
+  SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1
+)
+SELECT c12.w1, c12.w2, c12.n12, c1.n1,
+       CAST(c12.n12 AS DOUBLE) / CAST(c1.n1 AS DOUBLE) AS cond_p
+FROM c12 JOIN c1 ON c1.w1 = c12.w1
+WHERE c12.n12 >= {min_count}"""

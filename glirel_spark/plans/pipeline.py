@@ -622,3 +622,21 @@ def kg_link_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import graph as graph_ops
 
     return graph_ops.kg_link_pred(graph(spark, sf_dir))
+
+
+def er_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import linking
+
+    return linking.er_edit_pairs(mentions(spark, sf_dir))
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import textstats
+
+    return textstats.inverted_index(docs_tokens(spark, sf_dir))
+
+
+def ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import textstats
+
+    return textstats.ngram_lm(docs_tokens(spark, sf_dir))
