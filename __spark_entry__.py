@@ -115,6 +115,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": pipeline.kg_negative_samples,
         # common-neighbor link-prediction candidates (top-100)
         "kg_link_pred": pipeline.kg_link_pred,
+        # frontier BFS hop distances from the min entity
+        "kg_bfs": pipeline.kg_bfs,
+        # degree histogram (skew census for salting decisions)
+        "kg_degree_dist": pipeline.kg_degree_dist,
+        # per-entity NER-type vote profile
+        "entity_types": pipeline.entity_types,
         # corpus dedup (training-data pipeline)
         "minhash_signatures": pipeline.minhash_signatures,
         "minhash_neardups": pipeline.minhash_neardups,
@@ -136,6 +142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_rules": pipeline.doc_gopher_rules,
         # CCNet-style unigram surprisal quality proxy (integer bitlen)
         "doc_surprisal": pipeline.doc_surprisal,
+        # bigram-conditional surprisal (one LM order up)
+        "doc_bigram_surprisal": pipeline.doc_bigram_surprisal,
         # chunk-level (line-dedup analog) dedup accounting
         "chunk_dedup": pipeline.chunk_dedup,
         # DSIR hashed-bigram importance-resampling weights
@@ -230,6 +238,10 @@ def oracle_sql() -> dict[str, str]:
         "kg_adjacency": oracle.q_kg_adjacency(),
         "kg_negative_samples": oracle.q_kg_negative_samples(),
         "kg_link_pred": oracle.q_kg_link_pred(),
+        "kg_bfs": oracle.q_kg_bfs(),
+        "kg_degree_dist": oracle.q_kg_degree_dist(),
+        "entity_types": oracle.q_entity_types(),
+        "doc_bigram_surprisal": oc.q_doc_bigram_surprisal(),
         "kg_triangles": oracle.q_kg_triangles(),
         # recursive-CTE closure / unrolled peel / unrolled integer power iteration
         "kg_components": oracle.q_kg_components(),

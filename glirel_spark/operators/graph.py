@@ -878,3 +878,72 @@ def kg_link_pred(graph: DataFrame, top_n: int = 100) -> DataFrame:
         .orderBy(F.desc("common_neighbors"), "a", "b")
         .limit(top_n)
     )
+
+
+def kg_bfs(graph: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Multi-hop reachability with exact hop distance (single-source
+    BFS) from the lexicographically smallest entity — the traversal
+    primitive behind "how far is everything from this hub?" /
+    neighborhood-expansion queries a KG serving layer runs. Output:
+    (entity, dist) for every entity reachable over the undirected edge
+    set, seed included at dist 0.
+
+    Frontier-only iteration — the scale-critical property: each round
+    joins ONLY the current frontier against the edge relation (cost
+    proportional to the frontier's edge incidence, never the full
+    visited set), then anti-joins the visited set on the entity key to
+    keep the new ring. localCheckpoint per round truncates lineage;
+    rounds needed = eccentricity of the seed; raises on hitting
+    max_iter with a live frontier rather than returning truncated
+    distances (the DuckDB oracle bounds its recursion at the same
+    depth, so the engines stay in lockstep by contract).
+    """
+    e = (
+        graph.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    seed = sym.agg(F.min("a").alias("entity"))
+    visited = seed.withColumn("dist", F.lit(0).cast("long")).localCheckpoint(
+        eager=True
+    )
+    frontier = visited.select("entity")
+    for d in range(1, max_iter + 1):
+        ring = (
+            frontier.join(sym.withColumnRenamed("a", "entity"), "entity")
+            .select(F.col("b").alias("entity"))
+            .distinct()
+            .join(visited.select("entity"), "entity", "left_anti")
+            .withColumn("dist", F.lit(d).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if ring.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(ring).localCheckpoint(eager=True)
+        frontier = ring.select("entity")
+    else:
+        raise RuntimeError(
+            f"kg_bfs frontier still live after {max_iter} rounds; raise max_iter"
+        )
+    return visited
+
+
+def kg_degree_dist(graph: DataFrame) -> DataFrame:
+    """Degree distribution of the entity graph: (degree, n_entities) —
+    the one-page skew diagnostic (Zipf exponent eyeball, hub census)
+    that decides salting factors and hub caps for every other graph
+    join. degree = out + in over the materialized edge multiset.
+
+    Tiny-result double aggregation: per-entity degrees (skew-free
+    (entity) key after the spo-grouped input), then the histogram
+    rollup whose key count is bounded by the max degree.
+    """
+    deg = entity_degrees(graph)
+    return (
+        deg.select(
+            (F.col("out_degree") + F.col("in_degree")).cast("long").alias("degree")
+        )
+        .groupBy("degree")
+        .agg(F.count("*").cast("long").alias("n_entities"))
+    )

@@ -227,3 +227,31 @@ def er_edit_pairs(mentions: DataFrame, max_dist: int = 2) -> DataFrame:
         .filter(F.col("dist") <= max_dist)
         .select("e1", "e2", "dist")
     )
+
+
+def entity_types(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
+    """Per-entity NER-type profile: for each canonical entity, the
+    distribution of entity types its mentions carry — (entity, type, n,
+    n_entity, share) with share = n / n_entity (ONE exactly-rounded
+    division). The type-vote table a KG schema layer uses to assign
+    "Q42 is-a PER (0.98)" and to flag alias collisions (one canonical
+    id drawing from two types = a linking bug surfacing as data).
+
+    Scale shape: canonicalization is the same broadcast alias join the
+    linking path uses; the profile is a map-side-combinable groupBy on
+    (entity, type) whose result is bounded by |V| x |types|, and the
+    per-entity totals re-aggregate from the profile relation itself
+    (no second mention scan).
+    """
+    m = canonicalize(mentions, aliases, "text", "entity")
+    per = m.groupBy("entity", "type").agg(F.count("*").cast("long").alias("n"))
+    tot = per.groupBy("entity").agg(F.sum("n").cast("long").alias("n_entity"))
+    return per.join(tot, "entity").select(
+        "entity",
+        "type",
+        "n",
+        "n_entity",
+        (F.col("n").cast("double") / F.col("n_entity").cast("double")).alias(
+            "share"
+        ),
+    )

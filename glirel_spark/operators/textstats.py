@@ -433,3 +433,48 @@ def ngram_lm(docs_tokens: DataFrame, min_count: int = 3) -> DataFrame:
             ),
         )
     )
+
+
+def doc_bigram_surprisal(docs: DataFrame) -> DataFrame:
+    """Bigram-LM quality proxy — the CCNet perplexity-bucket signal one
+    order up from doc_surprisal's unigram form: per bigram occurrence
+    with corpus count n12 and left-marginal n1, integer surprisal =
+    bitlen(n1) - bitlen(n12) ~ log2(1 / p(w2|w1)) within 1 bit.
+    ALL-INTEGER per-doc sums (order-independent, bit-exact vs the
+    oracle); mean_surprisal_bits is the single exactly-rounded division
+    at the end. Docs with < 2 tokens carry no bigrams and drop out.
+
+    Scale shape: the bigram count table is the "train the LM" pass
+    (one zip-map + one (w1,w2) shuffle — skew-free because w2 spreads
+    hot w1 keys); the marginal re-aggregates from the count table; the
+    join back onto the bigram stream keys on (w1, w2) then w1 — the
+    stop-word-head hot keys are exactly what AQE skew-split handles —
+    and the final re-agg is per-doc.
+    """
+    t = F.split(F.col("text"), " ")
+    pair = F.explode(
+        F.arrays_zip(
+            F.slice(t, 1, F.size(t) - 1).alias("w1"),
+            F.slice(t, 2, F.size(t) - 1).alias("w2"),
+        )
+    )
+    bg = (
+        docs.filter(F.size(t) >= 2)
+        .select(F.col("doc_id").cast("string").alias("doc_id"), pair.alias("_p"))
+        .select("doc_id", F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+    c12 = bg.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("n12"))
+    c1 = c12.groupBy("w1").agg(F.sum("n12").cast("long").alias("n1"))
+    bits = F.length(F.bin(F.col("n1"))) - F.length(F.bin(F.col("n12")))
+    per = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .select("doc_id", bits.cast("long").alias("bits"))
+    )
+    return per.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        F.sum("bits").alias("sum_surprisal_bits"),
+        (F.sum("bits").cast("double") / F.count("*").cast("double")).alias(
+            "mean_surprisal_bits"
+        ),
+    )

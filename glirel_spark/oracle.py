@@ -1044,3 +1044,69 @@ JOIN names r
  AND abs(length(l.name) - length(r.name)) <= {max_dist}
 WHERE levenshtein(l.name, r.name) <= {max_dist}"""
     )
+
+
+def q_kg_bfs(max_iter: int = 30) -> str:
+    """Mirror of graph.kg_bfs: bounded-depth recursive walk from the
+    min entity, UNION-deduped (node, d) states, min(d) = hop distance.
+    Depth bound matches the Spark raise-on-live-frontier contract."""
+    return (
+        with_chain(
+            cte_scored(), cte_triples(), CTE_LINKED, _CTE_SYM_EDGES,
+            recursive=True,
+        )
+        + f"""
+, seed AS (SELECT min(a) AS s FROM sym),
+walk(node, d) AS (
+  SELECT s, 0 FROM seed
+  UNION
+  SELECT sym.b, w.d + 1 FROM walk w JOIN sym ON sym.a = w.node
+  WHERE w.d < {max_iter}
+)
+SELECT node AS entity, CAST(min(d) AS BIGINT) AS dist
+FROM walk GROUP BY node"""
+    )
+
+
+def q_kg_degree_dist() -> str:
+    """Mirror of graph.kg_degree_dist: histogram over total (out + in)
+    degree of the materialized edge multiset."""
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED, CTE_GM)
+        + """
+, e AS (
+  SELECT subj AS entity, 1 AS is_out FROM gm
+  UNION ALL
+  SELECT obj AS entity, 0 AS is_out FROM gm
+),
+deg AS (
+  SELECT entity, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY entity
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_entities
+FROM deg GROUP BY degree"""
+    )
+
+
+def q_entity_types() -> str:
+    """Mirror of linking.entity_types: broadcast-alias canonicalization
+    of mention surfaces, (entity, type) profile, one share division."""
+    return (
+        with_chain()
+        + f"""
+, aliases(alias, canonical_id) AS (VALUES {_alias_values()}),
+me AS (
+  SELECT coalesce(a.canonical_id, 'Q:surface:' || lower(m.text)) AS entity,
+         m.type
+  FROM mentions m LEFT JOIN aliases a ON lower(m.text) = a.alias
+),
+per AS (
+  SELECT entity, type, CAST(count(*) AS BIGINT) AS n
+  FROM me GROUP BY entity, type
+),
+tot AS (
+  SELECT entity, CAST(sum(n) AS BIGINT) AS n_entity FROM per GROUP BY entity
+)
+SELECT p.entity, p.type, p.n, t.n_entity,
+       CAST(p.n AS DOUBLE) / CAST(t.n_entity AS DOUBLE) AS share
+FROM per p JOIN tot t ON t.entity = p.entity"""
+    )

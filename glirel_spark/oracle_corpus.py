@@ -1285,3 +1285,32 @@ SELECT c12.w1, c12.w2, c12.n12, c1.n1,
        CAST(c12.n12 AS DOUBLE) / CAST(c1.n1 AS DOUBLE) AS cond_p
 FROM c12 JOIN c1 ON c1.w1 = c12.w1
 WHERE c12.n12 >= {min_count}"""
+
+
+def q_doc_bigram_surprisal() -> str:
+    """Mirror of textstats.doc_bigram_surprisal: positional bigram
+    join, integer bit-length surprisal vs the bigram count table and
+    its left marginal, one final division."""
+    return f"""
+WITH {CTE_TOKENS.strip()}
+, bg AS (
+  SELECT a.doc_id, a.token AS w1, b.token AS w2
+  FROM toks a
+  JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+c12 AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n12 FROM bg GROUP BY w1, w2
+),
+c1 AS (
+  SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM c12 GROUP BY w1
+)
+SELECT bg.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(length(bin(c1.n1)) - length(bin(c12.n12))) AS BIGINT)
+         AS sum_surprisal_bits,
+       CAST(sum(length(bin(c1.n1)) - length(bin(c12.n12))) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS mean_surprisal_bits
+FROM bg
+JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
+JOIN c1 ON c1.w1 = bg.w1
+GROUP BY bg.doc_id"""

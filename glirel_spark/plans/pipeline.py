@@ -640,3 +640,27 @@ def ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import textstats
 
     return textstats.ngram_lm(docs_tokens(spark, sf_dir))
+
+
+def kg_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+
+    return graph_ops.kg_bfs(graph(spark, sf_dir))
+
+
+def kg_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+
+    return graph_ops.kg_degree_dist(graph(spark, sf_dir))
+
+
+def entity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import linking
+
+    return linking.entity_types(mentions(spark, sf_dir), linking.alias_df(spark))
+
+
+def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import textstats
+
+    return textstats.doc_bigram_surprisal(_flat_docs(spark, sf_dir))

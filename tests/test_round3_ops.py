@@ -147,3 +147,49 @@ def test_ngram_lm_exact_conditionals(spark):
     }
     assert ("a", "c") not in filtered
     assert filtered[("a", "b")].n1 == 4
+
+
+def test_kg_bfs_distances_and_guard(spark):
+    import pytest
+
+    # path graph a->b->c->d (plus seed = min entity 'a')
+    g = _graph(
+        spark,
+        [("a", "p", "b", 1), ("b", "p", "c", 1), ("c", "p", "d", 1)],
+    )
+    from glirel_spark.operators.graph import kg_bfs
+
+    out = {r.entity: r.dist for r in kg_bfs(g).collect()}
+    assert out == {"a": 0, "b": 1, "c": 2, "d": 3}
+    with pytest.raises(RuntimeError, match="frontier still live"):
+        kg_bfs(g, max_iter=2)
+
+
+def test_kg_degree_dist(spark):
+    from glirel_spark.operators.graph import kg_degree_dist
+
+    # star: h has degree 3; a,b,c degree 1
+    g = _graph(
+        spark,
+        [("h", "p", "a", 1), ("h", "p", "b", 1), ("h", "q", "c", 1)],
+    )
+    out = {r.degree: r.n_entities for r in kg_degree_dist(g).collect()}
+    assert out == {3: 1, 1: 3}
+
+
+def test_entity_types_shares(spark):
+    from glirel_spark.operators.linking import alias_df, entity_types
+
+    ments = spark.createDataFrame(
+        [
+            Row(doc_id="1", text="spark", type="TECH"),
+            Row(doc_id="2", text="Spark", type="TECH"),
+            Row(doc_id="3", text="spark", type="ORG"),   # conflicting vote
+            Row(doc_id="4", text="zzz-unknown", type="MISC"),
+        ]
+    )
+    out = {(r.entity, r.type): r for r in entity_types(ments, alias_df(spark)).collect()}
+    ent = [k[0] for k in out if k[1] == "MISC"][0]
+    assert ent == "Q:surface:zzz-unknown"  # surface fallback
+    tech = [v for (e, t), v in out.items() if t == "TECH"][0]
+    assert tech.n == 2 and tech.n_entity == 3 and tech.share == 2.0 / 3.0
