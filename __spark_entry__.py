@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": pipeline.kg_negative_samples,
         # common-neighbor link-prediction candidates (top-100)
         "kg_link_pred": pipeline.kg_link_pred,
+        # forward-chaining rule application (inverse-rule completion)
+        "kg_inferred_triples": pipeline.kg_inferred_triples,
         # frontier BFS hop distances from the min entity
         "kg_bfs": pipeline.kg_bfs,
         # degree histogram (skew census for salting decisions)
@@ -127,6 +129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # near-dup FAMILY resolution: connected components over verified
         # near-dup pairs -> canonical doc per family (keep/drop decision)
         "dedup_clusters": pipeline.dedup_clusters,
+        # LSH-collision pairs verifying to LOW overlap (contrastive mining)
+        "minhash_hard_negatives": pipeline.minhash_hard_negatives,
         # benchmark decontamination (shingle overlap vs the eval split)
         "decontaminate": pipeline.decontaminate,
         "simhash": pipeline.simhash_signatures,
@@ -238,6 +242,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_adjacency": oracle.q_kg_adjacency(),
         "kg_negative_samples": oracle.q_kg_negative_samples(),
         "kg_link_pred": oracle.q_kg_link_pred(),
+        "kg_inferred_triples": oracle.q_kg_inferred_triples(),
         "kg_bfs": oracle.q_kg_bfs(),
         "kg_degree_dist": oracle.q_kg_degree_dist(),
         "entity_types": oracle.q_entity_types(),
@@ -251,6 +256,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_neardups": oc.q_minhash_neardups(),
         # recursive-CTE transitive closure (min reachable doc_id)
         "dedup_clusters": oc.q_dedup_clusters(),
+        "minhash_hard_negatives": oc.q_minhash_hard_negatives(),
         "decontaminate": oc.q_decontaminate(),
         "simhash": oc.q_simhash(),
         "simhash_neardups": oc.q_simhash_neardups(),

@@ -722,3 +722,30 @@ def dup_spans(docs_tokens: DataFrame, k: int = config.SHINGLE_K) -> DataFrame:
             ).alias("dup_cover_ratio"),
         )
     )
+
+
+def minhash_hard_negatives(
+    docs_tokens: DataFrame,
+    max_jaccard: float = 0.2,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
+    """Contrastive-pair mining, the negative side: document pairs that
+    COLLIDED in an LSH band (similar enough to trip the sketch — the
+    hardest kind of negative) yet verify to LOW true shingle overlap
+    (jaccard < max_jaccard). The standard hard-negative feed for
+    training retrieval/embedding models: random negatives are too easy,
+    band-collision survivors that are provably not near-dups sit right
+    at the decision boundary.
+
+    Pure composition of the existing sketch machinery — same cached
+    shingle pass, same band join, same exact verify — with the verify
+    filter inverted, so the 100 TB story is identical to
+    minhash_neardups (never all-pairs, candidates only).
+    """
+    if shingled is None:
+        shingled = with_shingle_array(docs_tokens)
+    sig = minhash_signature_arr(docs_tokens, shingled=shingled)
+    cands = candidate_pairs(lsh_bands(sig))
+    return jaccard_verify(cands, shingles_arr(docs_tokens, shingled=shingled)).filter(
+        F.col("jaccard") < max_jaccard
+    )

@@ -947,3 +947,68 @@ def kg_degree_dist(graph: DataFrame) -> DataFrame:
         .groupBy("degree")
         .agg(F.count("*").cast("long").alias("n_entities"))
     )
+
+
+def kg_inferred_triples(
+    graph: DataFrame, min_conf: float = 0.5, min_support: int = 2
+) -> DataFrame:
+    """Rule-based KB completion: APPLY the induced inverse/symmetric
+    rules (pred_inverse) back to the graph and materialize the inferred
+    triples that are not already present — the forward-chaining step
+    that closes "capital_of(x,y)" into "has_capital(y,x)" once the rule
+    clears the confidence bar. Output: (subj, pred, obj, src_pred,
+    conf) — the inferred triple, the premise predicate, and the
+    applied rule's confidence; when several rules infer the same
+    triple, the (max conf, then min src_pred) one wins
+    (deterministic).
+
+    Scale shape: the rule table is bounded by the predicate vocabulary
+    squared — a broadcast dimension; inference is ONE broadcast join of
+    the edge list against it (no shuffle of the graph), the dedup
+    groupBy keys on the inferred spo (skew-bounded like every graph
+    agg), and the novelty check is one anti-join on the same key.
+    """
+    rules = pred_inverse(graph)
+    ra = rules.filter(
+        (F.col("conf_1_to_2") >= min_conf) & (F.col("n_inv") >= min_support)
+    ).select(
+        F.col("p1").alias("src"),
+        F.col("p2").alias("dst"),
+        F.col("conf_1_to_2").alias("conf"),
+    )
+    rb = rules.filter(
+        (F.col("conf_2_to_1") >= min_conf)
+        & (F.col("n_inv") >= min_support)
+        & (F.col("p1") != F.col("p2"))
+    ).select(
+        F.col("p2").alias("src"),
+        F.col("p1").alias("dst"),
+        F.col("conf_2_to_1").alias("conf"),
+    )
+    r = ra.unionByName(rb)
+    e = graph.select("subj", "pred", "obj")
+    inf = e.join(F.broadcast(r), F.col("pred") == F.col("src")).select(
+        F.col("obj").alias("i_subj"),
+        F.col("dst").alias("i_pred"),
+        F.col("subj").alias("i_obj"),
+        F.col("src").alias("src_pred"),
+        "conf",
+    )
+    best = (
+        inf.groupBy("i_subj", "i_pred", "i_obj")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("conf")).alias("neg"), F.col("src_pred").alias("sp")
+                )
+            ).alias("_w")
+        )
+        .select(
+            F.col("i_subj").alias("subj"),
+            F.col("i_pred").alias("pred"),
+            F.col("i_obj").alias("obj"),
+            F.col("_w.sp").alias("src_pred"),
+            (-F.col("_w.neg")).alias("conf"),
+        )
+    )
+    return best.join(e, ["subj", "pred", "obj"], "left_anti")

@@ -1110,3 +1110,58 @@ SELECT p.entity, p.type, p.n, t.n_entity,
        CAST(p.n AS DOUBLE) / CAST(t.n_entity AS DOUBLE) AS share
 FROM per p JOIN tot t ON t.entity = p.entity"""
     )
+
+
+def q_kg_inferred_triples(min_conf: float = 0.5, min_support: int = 2) -> str:
+    """Mirror of graph.kg_inferred_triples: pred_inverse rule table,
+    broadcast-shaped rule application, best-rule dedup, novelty
+    anti-join. Confidence arithmetic repeats q_pred_inverse exactly so
+    the doubles are bit-identical."""
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED)
+        + f"""
+, g AS (
+  SELECT subj, pred, obj FROM linked GROUP BY subj, pred, obj
+),
+supp AS (
+  SELECT pred, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY pred
+),
+inv AS (
+  SELECT a.pred AS p1, b.pred AS p2, CAST(count(*) AS BIGINT) AS n_inv
+  FROM g a JOIN g b ON a.subj = b.obj AND a.obj = b.subj
+  WHERE a.pred < b.pred OR (a.pred = b.pred AND a.subj <= a.obj)
+  GROUP BY a.pred, b.pred
+),
+rules0 AS (
+  SELECT inv.p1, inv.p2, inv.n_inv,
+         CAST(inv.n_inv AS DOUBLE) / CAST(s1.n AS DOUBLE) AS c12,
+         CAST(inv.n_inv AS DOUBLE) / CAST(s2.n AS DOUBLE) AS c21
+  FROM inv JOIN supp s1 ON s1.pred = inv.p1 JOIN supp s2 ON s2.pred = inv.p2
+),
+r AS (
+  SELECT p1 AS src, p2 AS dst, c12 AS conf FROM rules0
+  WHERE c12 >= {min_conf} AND n_inv >= {min_support}
+  UNION ALL
+  SELECT p2 AS src, p1 AS dst, c21 AS conf FROM rules0
+  WHERE c21 >= {min_conf} AND n_inv >= {min_support} AND p1 <> p2
+),
+inf AS (
+  SELECT g.obj AS subj, r.dst AS pred, g.subj AS obj,
+         r.src AS src_pred, r.conf
+  FROM g JOIN r ON g.pred = r.src
+),
+best AS (
+  SELECT subj, pred, obj, src_pred, conf,
+         row_number() OVER (
+           PARTITION BY subj, pred, obj ORDER BY conf DESC, src_pred ASC
+         ) AS rn
+  FROM inf
+)
+SELECT b.subj, b.pred, b.obj, b.src_pred, b.conf
+FROM best b
+WHERE b.rn = 1
+  AND NOT EXISTS (
+    SELECT 1 FROM g t
+    WHERE t.subj = b.subj AND t.pred = b.pred AND t.obj = b.obj
+  )"""
+    )

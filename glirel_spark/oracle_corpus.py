@@ -1314,3 +1314,31 @@ FROM bg
 JOIN c12 ON c12.w1 = bg.w1 AND c12.w2 = bg.w2
 JOIN c1 ON c1.w1 = bg.w1
 GROUP BY bg.doc_id"""
+
+
+def q_minhash_hard_negatives(max_jaccard: float = 0.2) -> str:
+    """Mirror of corpus_dedup.minhash_hard_negatives: the
+    q_minhash_neardups body with the verify threshold inverted."""
+    return (
+        _with(CTE_TOKENS, CTE_THASH, CTE_SHINGLES, CTE_SIG, CTE_BANDS)
+        + f"""
+, sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shing GROUP BY doc_id),
+inters AS (
+  SELECT cd.doc1, cd.doc2, CAST(count(*) AS BIGINT) AS inter
+  FROM cands cd
+  JOIN shing s1 ON s1.doc_id = cd.doc1
+  JOIN shing s2 ON s2.doc_id = cd.doc2 AND s2.sh = s1.sh
+  GROUP BY cd.doc1, cd.doc2
+),
+verified AS (
+  SELECT cd.doc1, cd.doc2,
+         CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+         CAST(z1.n + z2.n - coalesce(i.inter, 0) AS BIGINT) AS un
+  FROM cands cd
+  LEFT JOIN inters i ON i.doc1 = cd.doc1 AND i.doc2 = cd.doc2
+  JOIN sizes z1 ON z1.doc_id = cd.doc1
+  JOIN sizes z2 ON z2.doc_id = cd.doc2
+)
+SELECT doc1, doc2, inter, un, CAST(inter AS DOUBLE) / un AS jaccard
+FROM verified WHERE CAST(inter AS DOUBLE) / un < {max_jaccard}"""
+    )

@@ -664,3 +664,17 @@ def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import textstats
 
     return textstats.doc_bigram_surprisal(_flat_docs(spark, sf_dir))
+
+
+def kg_inferred_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+
+    return graph_ops.kg_inferred_triples(graph(spark, sf_dir))
+
+
+def minhash_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import corpus_dedup as cd
+
+    return cd.minhash_hard_negatives(
+        docs_tokens(spark, sf_dir), shingled=docs_shingled(spark, sf_dir)
+    )
