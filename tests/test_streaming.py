@@ -241,3 +241,50 @@ def test_stateful_dedup_equals_batch_across_micro_batches(spark, tmp_path):
     ).collect()}
     b = {r.doc_id: r.fp for r in fps.collect()}
     assert a == b
+
+
+def test_graph_maintenance_stream_two_batches(spark, tmp_path):
+    """Snapshot-versioned incremental KG maintenance: split the corpus
+    into TWO micro-batches; the final snapshot must equal the one-shot
+    batch materialization (upsert(materialize(A), B) == materialize(A
+    union B)), and there must be one snapshot per micro-batch."""
+    import os
+    import time
+
+    import pyspark.sql.functions as F
+
+    from glirel_spark.plans import pipeline
+    from glirel_spark.streaming.graph_stream import (
+        latest_snapshot,
+        run_graph_maintenance_stream,
+    )
+    from glirel_spark.streaming.triples_stream import DOCUMENTS_SCHEMA
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cut = docs.agg(F.percentile_approx("doc_id", 0.5)).collect()[0][0]
+    src = tmp_path / "docs_src"
+    src.mkdir()
+    docs.filter(F.col("doc_id") <= cut).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    time.sleep(1.1)  # file-source ordering is by modification time
+    docs.filter(F.col("doc_id") > cut).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+
+    stream_in = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "graph_snaps")
+    run_graph_maintenance_stream(stream_in, out, str(tmp_path / "gs_ckpt"))
+
+    snaps = sorted(d for d in os.listdir(out) if d.startswith("v"))
+    assert snaps == ["v00000", "v00001"]
+    assert latest_snapshot(out).endswith("v00001")
+
+    got = {tuple(r) for r in spark.read.parquet(f"{out}/v00001").collect()}
+    want = {tuple(r) for r in pipeline.graph(spark, SF).collect()}
+    assert got == want and len(got) > 0
