@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TF-IDF keyword extraction (log-free score: bit-exact ranking)
         "doc_top_terms": pipeline.doc_top_terms,
         "lang_id": pipeline.lang_id,
+        # end-to-end keep/drop routing verdict (lang+quality+dedup cascade)
+        "corpus_routing": pipeline.corpus_routing,
         # blocked Levenshtein entity-resolution candidate pairs
         "er_edit_pairs": pipeline.er_edit_pairs,
         # sharded inverted-index build (posting lists + df/tf)
@@ -272,6 +274,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_spans": oc.q_dup_spans(),
         "doc_top_terms": oc.q_doc_top_terms(),
         "lang_id": oc.q_lang_id(),
+        "corpus_routing": oc.q_corpus_routing(),
         "er_edit_pairs": oracle.q_er_edit_pairs(),
         "inverted_index": oc.q_inverted_index(),
         "ngram_lm": oc.q_ngram_lm(),

@@ -1342,3 +1342,30 @@ verified AS (
 SELECT doc1, doc2, inter, un, CAST(inter AS DOUBLE) / un AS jaccard
 FROM verified WHERE CAST(inter AS DOUBLE) / un < {max_jaccard}"""
     )
+
+
+def q_corpus_routing() -> str:
+    """Mirror of pipeline.corpus_routing: the four gate subqueries
+    (each carrying its own WITH, incl. the recursive near-dup closure)
+    joined on doc_id, with the same priority cascade."""
+    exact = (
+        _with(CTE_TOKENS, CTE_THASH, CTE_FP)
+        + "\nSELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY fp)"
+        " AS is_exact_keeper FROM fps"
+    )
+    return f"""
+SELECT l.doc_id, l.lang_pred, g.pass_gopher, e.is_exact_keeper,
+       d.is_canonical,
+       CASE WHEN l.lang_pred <> 'en' THEN 'lang'
+            WHEN NOT g.pass_gopher THEN 'quality'
+            WHEN NOT e.is_exact_keeper THEN 'exact_dup'
+            WHEN NOT d.is_canonical THEN 'near_dup'
+            ELSE 'keep' END AS reason,
+       (l.lang_pred = 'en' AND g.pass_gopher AND e.is_exact_keeper
+        AND d.is_canonical) AS keep
+FROM ({q_lang_id()}) l
+JOIN (SELECT doc_id, pass_gopher FROM ({q_doc_gopher_rules()})) g
+  ON g.doc_id = l.doc_id
+JOIN ({exact}) e ON e.doc_id = l.doc_id
+JOIN (SELECT doc_id, is_canonical FROM ({q_dedup_clusters()})) d
+  ON d.doc_id = l.doc_id"""

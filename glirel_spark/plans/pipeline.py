@@ -678,3 +678,47 @@ def minhash_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cd.minhash_hard_negatives(
         docs_tokens(spark, sf_dir), shingled=docs_shingled(spark, sf_dir)
     )
+
+
+def corpus_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-data routing verdict, one row per document:
+    language gate -> Gopher quality gate -> exact-dup keeper gate ->
+    near-dup canonical gate, first failing gate names the drop reason
+    (deterministic priority cascade — the decision table a curation
+    pipeline materializes before tokenization).
+
+    Pure composition of four existing oracle-checked subtrees (lang_id,
+    doc_gopher_rules, fingerprint groups, neardup_clusters), all
+    sharing the session-cached docs_tokens/shingle passes; the final
+    assembly is three doc_id equi-joins on uniformly-distributed keys.
+    """
+    from glirel_spark.operators import corpus_dedup as cd
+    from glirel_spark.operators import textstats
+
+    docs = _flat_docs(spark, sf_dir)
+    li = textstats.lang_id(docs).select("doc_id", "lang_pred")
+    gq = textstats.doc_gopher_rules(docs).select("doc_id", "pass_gopher")
+    fp = cd.fingerprint(docs_tokens(spark, sf_dir))
+    ex = fp.join(
+        fp.groupBy("fp").agg(F.min("doc_id").alias("_keeper")), "fp"
+    ).select("doc_id", (F.col("doc_id") == F.col("_keeper")).alias("is_exact_keeper"))
+    nd = cd.neardup_clusters(
+        docs_tokens(spark, sf_dir), shingled=docs_shingled(spark, sf_dir)
+    ).select("doc_id", "is_canonical")
+    out = li.join(gq, "doc_id").join(ex, "doc_id").join(nd, "doc_id")
+    reason = (
+        F.when(F.col("lang_pred") != "en", F.lit("lang"))
+        .when(~F.col("pass_gopher"), F.lit("quality"))
+        .when(~F.col("is_exact_keeper"), F.lit("exact_dup"))
+        .when(~F.col("is_canonical"), F.lit("near_dup"))
+        .otherwise(F.lit("keep"))
+    )
+    return out.select(
+        "doc_id",
+        "lang_pred",
+        "pass_gopher",
+        "is_exact_keeper",
+        "is_canonical",
+        reason.alias("reason"),
+        (reason == "keep").alias("keep"),
+    )
