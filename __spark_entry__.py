@@ -117,6 +117,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_link_pred": pipeline.kg_link_pred,
         # forward-chaining rule application (inverse-rule completion)
         "kg_inferred_triples": pipeline.kg_inferred_triples,
+        # per-triple provenance postings (lineage at triple granularity)
+        "kg_evidence": pipeline.kg_evidence,
+        # per-predicate top-k subject hubs (salting feed)
+        "pred_top_entities": pipeline.pred_top_entities,
         # frontier BFS hop distances from the min entity
         "kg_bfs": pipeline.kg_bfs,
         # degree histogram (skew census for salting decisions)
@@ -159,6 +163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": pipeline.lang_id,
         # end-to-end keep/drop routing verdict (lang+quality+dedup cascade)
         "corpus_routing": pipeline.corpus_routing,
+        # ROLLUP accounting over the routing verdicts
+        "routing_stats": pipeline.routing_stats,
         # blocked Levenshtein entity-resolution candidate pairs
         "er_edit_pairs": pipeline.er_edit_pairs,
         # sharded inverted-index build (posting lists + df/tf)
@@ -245,6 +251,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_negative_samples": oracle.q_kg_negative_samples(),
         "kg_link_pred": oracle.q_kg_link_pred(),
         "kg_inferred_triples": oracle.q_kg_inferred_triples(),
+        "kg_evidence": oracle.q_kg_evidence(),
+        "pred_top_entities": oracle.q_pred_top_entities(),
+        "routing_stats": oc.q_routing_stats(),
         "kg_bfs": oracle.q_kg_bfs(),
         "kg_degree_dist": oracle.q_kg_degree_dist(),
         "entity_types": oracle.q_entity_types(),

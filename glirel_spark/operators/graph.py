@@ -1012,3 +1012,54 @@ def kg_inferred_triples(
         )
     )
     return best.join(e, ["subj", "pred", "obj"], "left_anti")
+
+
+def kg_evidence(linked: DataFrame) -> DataFrame:
+    """Per-triple provenance postings: the sorted list of source
+    documents supporting each (subj, pred, obj) plus its best score —
+    the lineage record the north-rule's "per-partition lineage" asks
+    for at triple granularity (audit: WHY is this edge in the graph?).
+
+    Emitted as a ','-joined sorted doc_id string. One groupBy on the
+    spo key over the (keys, doc_id)-deduped relation — the same
+    skew-free two-stage shape as the n_docs count in materialization;
+    hub triples produce long rows, paged by (triple, page) in a
+    production sink exactly like kg_adjacency.
+    """
+    d = linked.select("subj", "pred", "obj", "doc_id", "prob")
+    per_doc = d.groupBy("subj", "pred", "obj", "doc_id").agg(
+        F.max("prob").alias("_p")
+    )
+    return per_doc.groupBy("subj", "pred", "obj").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("_p").alias("max_prob"),
+        F.array_join(F.array_sort(F.collect_list("doc_id")), ",").alias(
+            "doc_ids"
+        ),
+    )
+
+
+def pred_top_entities(graph: DataFrame, k: int = 5) -> DataFrame:
+    """Per-predicate hub census: the top-k subjects by supporting
+    mentions for every predicate, with rank — the "who dominates
+    works_for?" slice a KG browser shows and the hot-key list the
+    salting configuration feeds from.
+
+    Window partitioned BY PREDICATE (never a global sort); per-pred
+    subject totals are pre-aggregated first so the window input is the
+    (pred, subj) relation, not the edge multiset. Deterministic order
+    (n_mentions DESC, subj ASC).
+    """
+    from pyspark.sql import Window
+
+    per = graph.groupBy("pred", "subj").agg(
+        F.sum("n_mentions").cast("long").alias("n_mentions")
+    )
+    w = Window.partitionBy("pred").orderBy(
+        F.desc("n_mentions"), F.asc("subj")
+    )
+    return (
+        per.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("pred", "rank", "subj", "n_mentions")
+    )

@@ -1165,3 +1165,41 @@ WHERE b.rn = 1
     WHERE t.subj = b.subj AND t.pred = b.pred AND t.obj = b.obj
   )"""
     )
+
+
+def q_kg_evidence() -> str:
+    """Mirror of graph.kg_evidence: per-(triple, doc) dedup, then the
+    spo rollup with sorted ','-joined doc postings."""
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED)
+        + """
+, pd AS (
+  SELECT subj, pred, obj, doc_id, max(prob) AS p
+  FROM linked GROUP BY subj, pred, obj, doc_id
+)
+SELECT subj, pred, obj,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       max(p) AS max_prob,
+       string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
+FROM pd GROUP BY subj, pred, obj"""
+    )
+
+
+def q_pred_top_entities(k: int = 5) -> str:
+    """Mirror of graph.pred_top_entities: per-(pred, subj) totals, then
+    a per-pred row_number under (n DESC, subj ASC)."""
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED, CTE_GM)
+        + f"""
+, per AS (
+  SELECT pred, subj, CAST(sum(n_mentions) AS BIGINT) AS n_mentions
+  FROM gm GROUP BY pred, subj
+)
+SELECT pred,
+       CAST(row_number() OVER (
+         PARTITION BY pred ORDER BY n_mentions DESC, subj ASC
+       ) AS BIGINT) AS rank,
+       subj, n_mentions
+FROM per
+QUALIFY rank <= {k}"""
+    )

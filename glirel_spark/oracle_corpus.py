@@ -1369,3 +1369,15 @@ JOIN (SELECT doc_id, pass_gopher FROM ({q_doc_gopher_rules()})) g
 JOIN ({exact}) e ON e.doc_id = l.doc_id
 JOIN (SELECT doc_id, is_canonical FROM ({q_dedup_clusters()})) d
   ON d.doc_id = l.doc_id"""
+
+
+def q_routing_stats() -> str:
+    """ROLLUP twin over the corpus_routing subquery; GROUPING bitmask
+    matches Spark grouping_id."""
+    return f"""
+SELECT lang_pred, reason,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(keep AS BIGINT)) AS BIGINT) AS n_keep,
+       CAST(GROUPING(lang_pred, reason) AS INT) AS gid
+FROM ({q_corpus_routing()})
+GROUP BY ROLLUP(lang_pred, reason)"""

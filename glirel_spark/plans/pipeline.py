@@ -722,3 +722,27 @@ def corpus_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         reason.alias("reason"),
         (reason == "keep").alias("keep"),
     )
+
+
+def kg_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+
+    return graph_ops.kg_evidence(linked_triples(spark, sf_dir))
+
+
+def pred_top_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+
+    return graph_ops.pred_top_entities(graph(spark, sf_dir))
+
+
+def routing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation accounting: keep/drop verdict counts per (lang, reason)
+    with per-lang subtotals and the grand total in ONE ROLLUP pass
+    (same single-Expand shape as corpus_stats)."""
+    r = corpus_routing(spark, sf_dir)
+    return r.rollup("lang_pred", "reason").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
