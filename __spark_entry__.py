@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_evidence": pipeline.kg_evidence,
         # per-predicate top-k subject hubs (salting feed)
         "pred_top_entities": pipeline.pred_top_entities,
+        # RDF N-Triples export lines
+        "kg_ntriples": pipeline.kg_ntriples,
         # frontier BFS hop distances from the min entity
         "kg_bfs": pipeline.kg_bfs,
         # degree histogram (skew census for salting decisions)
@@ -253,6 +255,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_inferred_triples": oracle.q_kg_inferred_triples(),
         "kg_evidence": oracle.q_kg_evidence(),
         "pred_top_entities": oracle.q_pred_top_entities(),
+        "kg_ntriples": oracle.q_kg_ntriples(),
         "routing_stats": oc.q_routing_stats(),
         "kg_bfs": oracle.q_kg_bfs(),
         "kg_degree_dist": oracle.q_kg_degree_dist(),

@@ -1063,3 +1063,27 @@ def pred_top_entities(graph: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("pred", "rank", "subj", "n_mentions")
     )
+
+
+def kg_ntriples(graph: DataFrame) -> DataFrame:
+    """RDF N-Triples serialization of the materialized graph — the
+    interchange export a downstream triple store bulk-loads. One line
+    per edge: ``<e/SUBJ> <p/PRED> <e/OBJ> .`` under a fixed base IRI,
+    spaces in surface-form ids underscore-escaped (deterministic,
+    engine-neutral; a production exporter percent-encodes per RFC 3987
+    — same map-only shape).
+
+    Pure projection over the graph relation: zero shuffles, written
+    with the same partitioned sink as write_graph.
+    """
+    def iri(col: str, kind: str):
+        return F.concat(
+            F.lit(f"<{kind}/"),
+            F.replace(F.col(col), F.lit(" "), F.lit("_")),
+            F.lit(">"),
+        )
+
+    line = F.concat_ws(
+        " ", iri("subj", "e"), iri("pred", "p"), iri("obj", "e"), F.lit(".")
+    )
+    return graph.select(line.alias("ntriple"))

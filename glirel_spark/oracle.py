@@ -1203,3 +1203,16 @@ SELECT pred,
 FROM per
 QUALIFY rank <= {k}"""
     )
+
+
+def q_kg_ntriples() -> str:
+    """Mirror of graph.kg_ntriples: fixed-IRI line formatting over the
+    distinct edge set."""
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED, CTE_GM)
+        + """
+SELECT '<e/' || replace(subj, ' ', '_') || '> <p/'
+       || replace(pred, ' ', '_') || '> <e/'
+       || replace(obj, ' ', '_') || '> .' AS ntriple
+FROM gm"""
+    )

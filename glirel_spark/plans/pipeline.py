@@ -746,3 +746,9 @@ def routing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep"),
         F.grouping_id().cast("int").alias("gid"),
     )
+
+
+def kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+
+    return graph_ops.kg_ntriples(graph(spark, sf_dir))
