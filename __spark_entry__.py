@@ -123,6 +123,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pred_top_entities": pipeline.pred_top_entities,
         # RDF N-Triples export lines
         "kg_ntriples": pipeline.kg_ntriples,
+        # meta-path census: length-2 predicate path frequencies
+        "pred_path_cooccurrence": pipeline.pred_path_cooccurrence,
+        # language-ID confusion matrix vs the corpus's own labels
+        "lang_confusion": pipeline.lang_confusion,
         # frontier BFS hop distances from the min entity
         "kg_bfs": pipeline.kg_bfs,
         # degree histogram (skew census for salting decisions)
@@ -256,6 +260,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_evidence": oracle.q_kg_evidence(),
         "pred_top_entities": oracle.q_pred_top_entities(),
         "kg_ntriples": oracle.q_kg_ntriples(),
+        "pred_path_cooccurrence": oracle.q_pred_path_cooccurrence(),
+        "lang_confusion": oc.q_lang_confusion(),
         "routing_stats": oc.q_routing_stats(),
         "kg_bfs": oracle.q_kg_bfs(),
         "kg_degree_dist": oracle.q_kg_degree_dist(),

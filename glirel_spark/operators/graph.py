@@ -1087,3 +1087,33 @@ def kg_ntriples(graph: DataFrame) -> DataFrame:
         " ", iri("subj", "e"), iri("pred", "p"), iri("obj", "e"), F.lit(".")
     )
     return graph.select(line.alias("ntriple"))
+
+
+def pred_path_cooccurrence(graph: DataFrame) -> DataFrame:
+    """Meta-path census: frequencies of length-2 predicate paths
+    p1 -> p2 through a shared bridge entity (x -p1-> b -p2-> y) — the
+    schema-level statistic meta-path mining (PathSim family) and join
+    planning both start from: which predicate compositions actually
+    occur, and how often.
+
+    Output: (p1, p2, n_paths, n_bridges) — total path instances and
+    distinct bridge entities carrying them.
+
+    Scale shape: the same co-partitioned bridge self-join as
+    two_hop_paths, but aggregated straight to the |preds|^2 key space —
+    map-side combine collapses the quadratic wedge fanout to a tiny
+    result; n_bridges is the standard two-stage exact count-distinct
+    ((p1, p2, b) dedup first, skew-free).
+    """
+    e = graph.select("subj", "pred", "obj").filter(F.col("subj") != F.col("obj"))
+    l = e.select(F.col("pred").alias("p1"), F.col("obj").alias("b"))
+    r = e.select(F.col("pred").alias("p2"), F.col("subj").alias("b"))
+    w = l.join(r, "b")
+    paths = w.groupBy("p1", "p2").agg(F.count("*").cast("long").alias("n_paths"))
+    bridges = (
+        w.select("p1", "p2", "b")
+        .distinct()
+        .groupBy("p1", "p2")
+        .agg(F.count("*").cast("long").alias("n_bridges"))
+    )
+    return paths.join(bridges, ["p1", "p2"])

@@ -478,3 +478,35 @@ def doc_bigram_surprisal(docs: DataFrame) -> DataFrame:
             "mean_surprisal_bits"
         ),
     )
+
+
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """Language-ID evaluation against the corpus's OWN lang labels: the
+    (true lang, predicted lang) confusion matrix with per-true-lang
+    recall — the accuracy panel a pipeline publishes before trusting
+    the router's language gate. share = n / n_true, ONE exactly-rounded
+    division of exact longs.
+
+    Tiny-result double aggregation (|langs|^2 keys), map-side combined;
+    the prediction column is the same scan-bound native expression
+    lang_id uses (no second pass: one projection, one rollup).
+    """
+    pred = lang_id(docs).select("doc_id", "lang_pred")
+    truth = docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.col("lang").alias("lang_true")
+    )
+    cm = (
+        truth.join(pred, "doc_id")
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    tot = cm.groupBy("lang_true").agg(F.sum("n").cast("long").alias("n_true"))
+    return cm.join(tot, "lang_true").select(
+        "lang_true",
+        "lang_pred",
+        "n",
+        "n_true",
+        (F.col("n").cast("double") / F.col("n_true").cast("double")).alias(
+            "share"
+        ),
+    )

@@ -1216,3 +1216,29 @@ SELECT '<e/' || replace(subj, ' ', '_') || '> <p/'
        || replace(obj, ' ', '_') || '> .' AS ntriple
 FROM gm"""
     )
+
+
+def q_pred_path_cooccurrence() -> str:
+    """Mirror of graph.pred_path_cooccurrence: bridge wedge join over
+    the distinct edge set, path + distinct-bridge counts."""
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED)
+        + """
+, g AS (
+  SELECT subj, pred, obj FROM linked
+  WHERE subj <> obj GROUP BY subj, pred, obj
+),
+w AS (
+  SELECT l.pred AS p1, r.pred AS p2, l.obj AS b
+  FROM g l JOIN g r ON r.subj = l.obj
+),
+paths AS (
+  SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_paths FROM w GROUP BY p1, p2
+),
+bridges AS (
+  SELECT p1, p2, CAST(count(*) AS BIGINT) AS n_bridges
+  FROM (SELECT DISTINCT p1, p2, b FROM w) GROUP BY p1, p2
+)
+SELECT p.p1, p.p2, p.n_paths, b.n_bridges
+FROM paths p JOIN bridges b ON b.p1 = p.p1 AND b.p2 = p.p2"""
+    )

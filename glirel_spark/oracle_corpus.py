@@ -1381,3 +1381,21 @@ SELECT lang_pred, reason,
        CAST(GROUPING(lang_pred, reason) AS INT) AS gid
 FROM ({q_corpus_routing()})
 GROUP BY ROLLUP(lang_pred, reason)"""
+
+
+def q_lang_confusion() -> str:
+    """Mirror of textstats.lang_confusion: q_lang_id as a subquery
+    joined to the table's own lang labels, per-true-lang recall."""
+    return f"""
+WITH cm AS (
+  SELECT d.lang AS lang_true, p.lang_pred, CAST(count(*) AS BIGINT) AS n
+  FROM documents d
+  JOIN ({q_lang_id()}) p ON p.doc_id = CAST(d.doc_id AS VARCHAR)
+  GROUP BY d.lang, p.lang_pred
+),
+tot AS (
+  SELECT lang_true, CAST(sum(n) AS BIGINT) AS n_true FROM cm GROUP BY lang_true
+)
+SELECT cm.lang_true, cm.lang_pred, cm.n, t.n_true,
+       CAST(cm.n AS DOUBLE) / CAST(t.n_true AS DOUBLE) AS share
+FROM cm JOIN tot t ON t.lang_true = cm.lang_true"""

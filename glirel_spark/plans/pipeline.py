@@ -752,3 +752,15 @@ def kg_ntriples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import graph as graph_ops
 
     return graph_ops.kg_ntriples(graph(spark, sf_dir))
+
+
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import textstats
+
+    return textstats.lang_confusion(_flat_docs(spark, sf_dir))
+
+
+def pred_path_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+
+    return graph_ops.pred_path_cooccurrence(graph(spark, sf_dir))

@@ -107,3 +107,42 @@ def test_range_join_plan_is_equi_join_not_nested_loop(spark):
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
     # event-type predicate pushed into the parquet scan
     assert "PushedFilters: [IsNotNull(event_type)" in plan
+
+
+def test_kg_link_pred_uses_takeordered_not_global_sort(spark):
+    from glirel_spark.plans import pipeline
+
+    plan = _plan(pipeline.kg_link_pred(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_kg_negative_samples_entity_index_is_broadcast(spark):
+    """The entity-index and n_entities joins must BROADCAST (the index
+    is a dimension); the distributed zipWithIndex must never fall back
+    to a global single-partition window."""
+    from glirel_spark.plans import pipeline
+
+    plan = _plan(pipeline.kg_negative_samples(spark, SF))
+    assert "BroadcastExchange HashedRelationBroadcastMode" in plan
+    # the only windows allowed are partitioned BY BUCKET (the
+    # within-bucket row_number) or over the 64-row offsets table
+    for line in plan.splitlines():
+        if "partitionBy" in line.lower():
+            continue
+    assert "CartesianProduct" not in plan
+
+
+def test_kg_fusion_plan_is_window_free(spark):
+    from glirel_spark.plans import pipeline
+
+    plan = _plan(pipeline.kg_fusion(spark, SF))
+    assert "Window" not in plan  # argmax rides inside the aggregate
+
+
+def test_inverted_index_plan_single_scan_two_aggs(spark):
+    from glirel_spark.plans import pipeline
+
+    plan = _plan(pipeline.inverted_index(spark, SF))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan

@@ -193,3 +193,46 @@ def test_entity_types_shares(spark):
     assert ent == "Q:surface:zzz-unknown"  # surface fallback
     tech = [v for (e, t), v in out.items() if t == "TECH"][0]
     assert tech.n == 2 and tech.n_entity == 3 and tech.share == 2.0 / 3.0
+
+
+def test_ngram_lm_conditionals_sum_to_one_per_context(spark):
+    """Property: with min_count=1, sum of cond_p over w2 for a fixed w1
+    equals 1 exactly in exact-rational terms (sum n12 == n1); checked
+    on integer counts to avoid float-order effects."""
+    from glirel_spark.plans.pipeline import docs_tokens
+
+    dt = docs_tokens(spark, "/root/testdata/sf0.001")
+    out = ngram_lm(dt, min_count=1)
+    bad = (
+        out.groupBy("w1", "n1")
+        .agg(F.sum("n12").alias("s"))
+        .filter(F.col("s") != F.col("n1"))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_inverted_index_df_equals_postings_length(spark):
+    """Property: df == number of entries in the postings string."""
+    from glirel_spark.plans.pipeline import docs_tokens
+    from glirel_spark.operators.textstats import inverted_index as inv
+
+    out = inv(docs_tokens(spark, "/root/testdata/sf0.001"))
+    bad = out.filter(
+        F.size(F.split("postings", ",")) != F.col("df")
+    ).count()
+    assert bad == 0
+
+
+def test_kg_fusion_share_bounds_on_corpus(spark):
+    """Property: 0 < support_share <= 1 and n_support <= n_total on the
+    real corpus graph."""
+    from glirel_spark.plans import pipeline
+
+    out = pipeline.kg_fusion(spark, "/root/testdata/sf0.001")
+    bad = out.filter(
+        (F.col("support_share") <= 0)
+        | (F.col("support_share") > 1)
+        | (F.col("n_support") > F.col("n_total"))
+    ).count()
+    assert bad == 0
