@@ -378,7 +378,19 @@ def inverted_index(docs_tokens: DataFrame, n_shards: int = 8) -> DataFrame:
     per_doc = toks.groupBy("token", "doc_id").agg(
         F.count("*").cast("long").alias("_tf")
     )
-    shard = F.pmod(F.col("doc_id").cast("long"), F.lit(n_shards)).cast("long")
+    did = F.col("doc_id").cast("long")
+    # content-addressed doc_ids would cast to NULL and silently lump
+    # every posting under shard NULL — fail loudly instead (the same
+    # integer-id contract guard decontaminate carries, ADVICE r2).
+    did = F.when(
+        F.assert_true(
+            did.isNotNull(),
+            "inverted_index: doc_id must cast to long (integer-id corpora); "
+            "for content-addressed ids supply an explicit shard key",
+        ).isNull(),
+        did,
+    )
+    shard = F.pmod(did, F.lit(n_shards)).cast("long")
     return (
         per_doc.withColumn("shard", shard)
         .groupBy("token", "shard")

@@ -236,3 +236,18 @@ def test_kg_fusion_share_bounds_on_corpus(spark):
         | (F.col("n_support") > F.col("n_total"))
     ).count()
     assert bad == 0
+
+
+def test_inverted_index_rejects_noninteger_doc_ids(spark):
+    """Same integer-id contract guard as decontaminate (ADVICE r2
+    pattern): content-addressed ids must raise, never lump postings
+    under a NULL shard."""
+    import pytest
+
+    dt = spark.createDataFrame(
+        [Row(doc_id="sha1:a1b2", tokens=["x", "y"])]
+    )
+    with pytest.raises(
+        Exception, match="doc_id must cast to long|cannot be cast"
+    ):
+        inverted_index(dt).collect()
