@@ -127,6 +127,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pred_path_cooccurrence": pipeline.pred_path_cooccurrence,
         # language-ID confusion matrix vs the corpus's own labels
         "lang_confusion": pipeline.lang_confusion,
+        # mergeable HLL distinct-token sketch per lang (bit-exact)
+        "distinct_hll": pipeline.distinct_hll,
         # frontier BFS hop distances from the min entity
         "kg_bfs": pipeline.kg_bfs,
         # degree histogram (skew census for salting decisions)
@@ -262,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_ntriples": oracle.q_kg_ntriples(),
         "pred_path_cooccurrence": oracle.q_pred_path_cooccurrence(),
         "lang_confusion": oc.q_lang_confusion(),
+        "distinct_hll": oc.q_distinct_hll(),
         "routing_stats": oc.q_routing_stats(),
         "kg_bfs": oracle.q_kg_bfs(),
         "kg_degree_dist": oracle.q_kg_degree_dist(),

@@ -522,3 +522,108 @@ def lang_confusion(docs: DataFrame) -> DataFrame:
             "share"
         ),
     )
+
+
+# HLL sketch geometry: m=64 registers off the shared polynomial char
+# hash (h < HASH_P ~ 2^30 -> 6 register bits + 24 payload bits, max
+# rho 24; production swaps in a 64-bit hash, same plan). K caps the
+# exact-rational exponent; ALPHA_M2_2K = alpha_64 * m^2 * 2^K computed
+# once in Python so BOTH engines inline the identical double literal.
+HLL_M = 64
+HLL_K = 25
+HLL_ALPHA_M2_2K = 0.709 * HLL_M * HLL_M * 2**HLL_K  # 97444218011.648
+
+# Linear-counting table for the small-range correction: index V (number
+# of EMPTY registers) -> m * ln(m / V). Only 64 possible inputs, so the
+# logs are precomputed HERE and inlined as identical double literals in
+# both engines — ln itself is not a correctly-rounded IEEE op, a
+# runtime log() could differ in the last ulp between libms.
+import math as _math
+
+HLL_LC_TABLE = [0.0] + [HLL_M * _math.log(HLL_M / v) for v in range(1, HLL_M + 1)]
+
+
+def distinct_hll(docs: DataFrame) -> DataFrame:
+    """HyperLogLog distinct-token sketch per language — the mergeable
+    cardinality structure a 10^12-doc pipeline actually uses where an
+    exact count-distinct shuffle is unaffordable. Registers are
+    INTEGER maxima (map-side combinable, constant state per group:
+    the whole point at scale); the harmonic-mean estimate is computed
+    as an EXACT RATIONAL — sum(2^-M_j) = (sum of integer 2^(K-M_j)) /
+    2^K — so the only float steps are division/subtraction (correctly-
+    rounded IEEE ops), bit-identical in the oracle. The small-range
+    linear-counting correction (raw <= 2.5m with empty registers ->
+    m*ln(m/V)) uses the precomputed HLL_LC_TABLE literals, never a
+    runtime log().
+
+    Output per lang: the 64 registers (','-joined in register order —
+    the mergeable sketch itself), est_distinct, the exact n_distinct
+    for comparison (the oracle recomputes BOTH), and rel_err.
+    """
+    from glirel_spark.operators.corpus_dedup import _char_hash
+
+    tok = docs.select(
+        F.col("lang"), F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    h = _char_hash(F.col("token"))
+    hv = tok.select("lang", h.alias("_h"))
+    reg = (F.col("_h") % HLL_M).cast("int")
+    w = F.expr(f"_h DIV {HLL_M}")
+    low = w.bitwiseAND(-w)
+    rho = F.when(w == 0, F.lit(HLL_K)).otherwise(
+        F.length(F.bin(low)).cast("int")
+    )
+    regs = (
+        hv.select("lang", reg.alias("reg"), rho.alias("rho"))
+        .groupBy("lang", "reg")
+        .agg(F.max("rho").alias("m"))
+    )
+    # dense 0..63 register frame per lang (empty registers carry M=0)
+    all_regs = (
+        docs.select("lang")
+        .distinct()
+        .select("lang", F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("reg"))
+    )
+    dense = all_regs.join(regs, ["lang", "reg"], "left").select(
+        "lang", "reg", F.coalesce("m", F.lit(0)).cast("int").alias("m")
+    )
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_K} - m)")
+    sk = dense.groupBy("lang").agg(
+        F.sum(term).cast("long").alias("_den"),
+        F.sum((F.col("m") == 0).cast("long")).cast("long").alias("n_empty"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("reg", "m"))),
+                lambda s: s["m"].cast("string"),
+            ),
+            ",",
+        ).alias("registers"),
+    )
+    exact = (
+        tok.distinct()
+        .groupBy("lang")
+        .agg(F.count("*").cast("long").alias("n_distinct"))
+    )
+    est = F.lit(HLL_ALPHA_M2_2K) / F.col("_den").cast("double")
+    # small-range correction: raw estimate <= 2.5m with empty registers
+    # -> linear counting m*ln(m/V) via the inlined table (element_at is
+    # 1-indexed; V ranges 0..m, index V+1)
+    lc = F.element_at(
+        F.array(*[F.lit(v) for v in HLL_LC_TABLE]),
+        (F.col("n_empty") + 1).cast("int"),
+    )
+    corrected = F.when(
+        (est <= F.lit(2.5 * HLL_M)) & (F.col("n_empty") > 0), lc
+    ).otherwise(est)
+    return sk.join(exact, "lang").select(
+        "lang",
+        "registers",
+        "n_empty",
+        est.alias("est_raw"),
+        corrected.alias("est_distinct"),
+        "n_distinct",
+        (
+            (corrected - F.col("n_distinct").cast("double"))
+            / F.col("n_distinct").cast("double")
+        ).alias("rel_err"),
+    )

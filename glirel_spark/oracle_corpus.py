@@ -1399,3 +1399,72 @@ tot AS (
 SELECT cm.lang_true, cm.lang_pred, cm.n, t.n_true,
        CAST(cm.n AS DOUBLE) / CAST(t.n_true AS DOUBLE) AS share
 FROM cm JOIN tot t ON t.lang_true = cm.lang_true"""
+
+
+def q_distinct_hll() -> str:
+    """Mirror of textstats.distinct_hll: same register geometry off the
+    char hash, exact-rational harmonic sum, identical inlined
+    alpha*m^2*2^K and linear-counting table literals."""
+    from glirel_spark.operators.textstats import (
+        HLL_ALPHA_M2_2K,
+        HLL_K,
+        HLL_LC_TABLE,
+        HLL_M,
+    )
+
+    ch = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(token, ''), "
+        "ch -> CAST(ascii(ch) AS BIGINT))), "
+        f"(a, b) -> (a * {c.SHINGLE_BASE} + b) % {c.HASH_P})"
+    )
+    # trailing e0 forces DOUBLE parse (a bare decimal literal is
+    # DECIMAL in DuckDB and double-rounds through the cast)
+    const = repr(HLL_ALPHA_M2_2K) + "e0"
+    lc_list = "[" + ", ".join(f"{v!r}e0" for v in HLL_LC_TABLE) + "]"
+    return f"""
+WITH tok AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+),
+hv AS (
+  SELECT lang, {ch} AS h FROM tok
+),
+rr AS (
+  SELECT lang, CAST(h % {HLL_M} AS INT) AS reg,
+         CASE WHEN (h // {HLL_M}) = 0 THEN {HLL_K}
+              ELSE length(bin((h // {HLL_M}) & -(h // {HLL_M}))) END AS rho
+  FROM hv
+),
+regs AS (SELECT lang, reg, max(rho) AS m FROM rr GROUP BY lang, reg),
+langs AS (SELECT DISTINCT lang FROM documents),
+dense AS (
+  SELECT l.lang, r.reg, CAST(coalesce(g.m, 0) AS INT) AS m
+  FROM langs l
+  CROSS JOIN (SELECT unnest(range({HLL_M})) AS reg) r
+  LEFT JOIN regs g ON g.lang = l.lang AND g.reg = r.reg
+),
+sk AS (
+  SELECT lang,
+         CAST(sum(CAST(1 AS BIGINT) << ({HLL_K} - m)) AS BIGINT) AS den,
+         CAST(sum(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty,
+         string_agg(CAST(m AS VARCHAR), ',' ORDER BY reg) AS registers
+  FROM dense GROUP BY lang
+),
+ex AS (
+  SELECT lang, CAST(count(DISTINCT token) AS BIGINT) AS n_distinct
+  FROM tok GROUP BY lang
+),
+es AS (
+  SELECT sk.lang, sk.registers, sk.n_empty,
+         {const} / CAST(sk.den AS DOUBLE) AS est_raw,
+         CASE WHEN {const} / CAST(sk.den AS DOUBLE) <= {repr(2.5 * HLL_M)}
+                   AND sk.n_empty > 0
+              THEN ({lc_list})[CAST(sk.n_empty AS INT) + 1]
+              ELSE {const} / CAST(sk.den AS DOUBLE) END AS est_distinct
+  FROM sk
+)
+SELECT es.lang, es.registers, es.n_empty, es.est_raw, es.est_distinct,
+       ex.n_distinct,
+       (es.est_distinct - CAST(ex.n_distinct AS DOUBLE))
+         / CAST(ex.n_distinct AS DOUBLE) AS rel_err
+FROM es JOIN ex ON ex.lang = es.lang"""

@@ -764,3 +764,9 @@ def pred_path_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import graph as graph_ops
 
     return graph_ops.pred_path_cooccurrence(graph(spark, sf_dir))
+
+
+def distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import textstats
+
+    return textstats.distinct_hll(_flat_docs(spark, sf_dir))
