@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_confusion": pipeline.lang_confusion,
         # mergeable HLL distinct-token sketch per lang (bit-exact)
         "distinct_hll": pipeline.distinct_hll,
+        # count-min sketch + point-query audit on true top tokens
+        "cms_topk": pipeline.cms_topk,
         # frontier BFS hop distances from the min entity
         "kg_bfs": pipeline.kg_bfs,
         # degree histogram (skew census for salting decisions)
@@ -265,6 +267,7 @@ def oracle_sql() -> dict[str, str]:
         "pred_path_cooccurrence": oracle.q_pred_path_cooccurrence(),
         "lang_confusion": oc.q_lang_confusion(),
         "distinct_hll": oc.q_distinct_hll(),
+        "cms_topk": oc.q_cms_topk(),
         "routing_stats": oc.q_routing_stats(),
         "kg_bfs": oracle.q_kg_bfs(),
         "kg_degree_dist": oracle.q_kg_degree_dist(),

@@ -627,3 +627,70 @@ def distinct_hll(docs: DataFrame) -> DataFrame:
             / F.col("n_distinct").cast("double")
         ).alias("rel_err"),
     )
+
+
+# Count-min geometry: d=4 rows of w=256 counters; row hashes are the
+# first 4 affine permutations of the shared minhash family applied to
+# the token's char hash.
+CMS_D = 4
+CMS_W = 256
+
+
+def cms_topk(docs: DataFrame, top_n: int = 20) -> DataFrame:
+    """Count-min sketch over the token stream + point-query audit: the
+    OTHER mergeable structure a 10^12-row pipeline carries where exact
+    per-token counts are unaffordable. The sketch is d x w INTEGER
+    counters (sums — map-side combinable, constant state); the point
+    estimate for a token is min over its d counters, always >= the
+    true count (one-sided error, the CMS guarantee — asserted by the
+    oracle via the overcount column being non-negative).
+
+    Output: the top_n tokens by TRUE count (deterministic (count DESC,
+    token) order — the audit set), each with est (CMS point query),
+    exact, and overcount = est - exact. ALL-INTEGER, bit-exact.
+
+    Scale shape: the sketch build is one groupBy((row, col)) over the
+    exploded token stream — 1024 cells of state no matter the corpus;
+    the exact side exists only for the audit and is the usual (token)
+    count the production path would NOT run.
+    """
+    from glirel_spark.operators.corpus_dedup import _char_hash
+
+    tok = docs.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    h = _char_hash(F.col("token"))
+    ht = tok.select("token", h.alias("_h"))
+    cells = None
+    for i in range(CMS_D):
+        a, b = config.MINHASH_AB[i]
+        part = ht.select(
+            F.lit(i).alias("row"),
+            (((F.col("_h") * a + b) % config.HASH_P) % CMS_W).cast("int").alias("col"),
+        )
+        cells = part if cells is None else cells.unionByName(part)
+    sketch = cells.groupBy("row", "col").agg(
+        F.count("*").cast("long").alias("cnt")
+    )
+    exact = (
+        ht.groupBy("token", "_h")
+        .agg(F.count("*").cast("long").alias("exact"))
+        .orderBy(F.desc("exact"), "token")
+        .limit(top_n)
+    )
+    est = None
+    for i in range(CMS_D):
+        a, b = config.MINHASH_AB[i]
+        col_i = (((F.col("_h") * a + b) % config.HASH_P) % CMS_W).cast("int")
+        sk_i = sketch.filter(F.col("row") == i).select(
+            F.col("col").alias(f"_c{i}"), F.col("cnt").alias(f"_n{i}")
+        )
+        joined = (est if est is not None else exact).join(
+            F.broadcast(sk_i), col_i == F.col(f"_c{i}")
+        )
+        est = joined
+    mins = F.least(*[F.col(f"_n{i}") for i in range(CMS_D)])
+    return est.select(
+        "token",
+        mins.alias("est"),
+        "exact",
+        (mins - F.col("exact")).alias("overcount"),
+    )

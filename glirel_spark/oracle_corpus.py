@@ -1468,3 +1468,49 @@ SELECT es.lang, es.registers, es.n_empty, es.est_raw, es.est_distinct,
        (es.est_distinct - CAST(ex.n_distinct AS DOUBLE))
          / CAST(ex.n_distinct AS DOUBLE) AS rel_err
 FROM es JOIN ex ON ex.lang = es.lang"""
+
+
+def q_cms_topk(top_n: int = 20) -> str:
+    """Mirror of textstats.cms_topk: same d x w cell hashing, sketch
+    build, and min-over-rows point queries for the true top-N tokens."""
+    from glirel_spark.operators.textstats import CMS_D, CMS_W
+
+    ch = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(token, ''), "
+        "ch -> CAST(ascii(ch) AS BIGINT))), "
+        f"(a, b) -> (a * {c.SHINGLE_BASE} + b) % {c.HASH_P})"
+    )
+    cell_rows = "\n  UNION ALL\n".join(
+        f"  SELECT {i} AS row, CAST(((h * {c.MINHASH_AB[i][0]} + {c.MINHASH_AB[i][1]})"
+        f" % {c.HASH_P}) % {CMS_W} AS INT) AS col FROM ht"
+        for i in range(CMS_D)
+    )
+    joins = "\n".join(
+        f"JOIN sketch s{i} ON s{i}.row = {i} AND s{i}.col = "
+        f"CAST(((e.h * {c.MINHASH_AB[i][0]} + {c.MINHASH_AB[i][1]})"
+        f" % {c.HASH_P}) % {CMS_W} AS INT)"
+        for i in range(CMS_D)
+    )
+    least = "least(" + ", ".join(f"s{i}.cnt" for i in range(CMS_D)) + ")"
+    return f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+ht AS (SELECT token, {ch} AS h FROM tok),
+cells AS (
+{cell_rows}
+),
+sketch AS (
+  SELECT row, col, CAST(count(*) AS BIGINT) AS cnt
+  FROM cells GROUP BY row, col
+),
+exact AS (
+  SELECT token, h, CAST(count(*) AS BIGINT) AS exact
+  FROM ht GROUP BY token, h
+  ORDER BY exact DESC, token LIMIT {top_n}
+)
+SELECT e.token, {least} AS est, e.exact,
+       {least} - e.exact AS overcount
+FROM exact e
+{joins}"""

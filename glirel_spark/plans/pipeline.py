@@ -770,3 +770,9 @@ def distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import textstats
 
     return textstats.distinct_hll(_flat_docs(spark, sf_dir))
+
+
+def cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import textstats
+
+    return textstats.cms_topk(_flat_docs(spark, sf_dir))
