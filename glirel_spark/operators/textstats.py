@@ -543,23 +543,10 @@ import math as _math
 HLL_LC_TABLE = [0.0] + [HLL_M * _math.log(HLL_M / v) for v in range(1, HLL_M + 1)]
 
 
-def distinct_hll(docs: DataFrame) -> DataFrame:
-    """HyperLogLog distinct-token sketch per language — the mergeable
-    cardinality structure a 10^12-doc pipeline actually uses where an
-    exact count-distinct shuffle is unaffordable. Registers are
-    INTEGER maxima (map-side combinable, constant state per group:
-    the whole point at scale); the harmonic-mean estimate is computed
-    as an EXACT RATIONAL — sum(2^-M_j) = (sum of integer 2^(K-M_j)) /
-    2^K — so the only float steps are division/subtraction (correctly-
-    rounded IEEE ops), bit-identical in the oracle. The small-range
-    linear-counting correction (raw <= 2.5m with empty registers ->
-    m*ln(m/V)) uses the precomputed HLL_LC_TABLE literals, never a
-    runtime log().
-
-    Output per lang: the 64 registers (','-joined in register order —
-    the mergeable sketch itself), est_distinct, the exact n_distinct
-    for comparison (the oracle recomputes BOTH), and rel_err.
-    """
+def hll_dense_registers(docs: DataFrame) -> DataFrame:
+    """(lang, reg, m): the dense 0..m-1 register frame — the mergeable
+    HLL state itself (merge = elementwise max; streaming twin asserts
+    max-merge across micro-batches == one-shot build)."""
     from glirel_spark.operators.corpus_dedup import _char_hash
 
     tok = docs.select(
@@ -578,15 +565,40 @@ def distinct_hll(docs: DataFrame) -> DataFrame:
         .groupBy("lang", "reg")
         .agg(F.max("rho").alias("m"))
     )
-    # dense 0..63 register frame per lang (empty registers carry M=0)
     all_regs = (
         docs.select("lang")
         .distinct()
-        .select("lang", F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("reg"))
+        .select(
+            "lang",
+            F.explode(F.sequence(F.lit(0), F.lit(HLL_M - 1))).alias("reg"),
+        )
     )
-    dense = all_regs.join(regs, ["lang", "reg"], "left").select(
+    return all_regs.join(regs, ["lang", "reg"], "left").select(
         "lang", "reg", F.coalesce("m", F.lit(0)).cast("int").alias("m")
     )
+
+
+def distinct_hll(docs: DataFrame) -> DataFrame:
+    """HyperLogLog distinct-token sketch per language — the mergeable
+    cardinality structure a 10^12-doc pipeline actually uses where an
+    exact count-distinct shuffle is unaffordable. Registers are
+    INTEGER maxima (map-side combinable, constant state per group:
+    the whole point at scale); the harmonic-mean estimate is computed
+    as an EXACT RATIONAL — sum(2^-M_j) = (sum of integer 2^(K-M_j)) /
+    2^K — so the only float steps are division/subtraction (correctly-
+    rounded IEEE ops), bit-identical in the oracle. The small-range
+    linear-counting correction (raw <= 2.5m with empty registers ->
+    m*ln(m/V)) uses the precomputed HLL_LC_TABLE literals, never a
+    runtime log().
+
+    Output per lang: the 64 registers (','-joined in register order —
+    the mergeable sketch itself), est_distinct, the exact n_distinct
+    for comparison (the oracle recomputes BOTH), and rel_err.
+    """
+    tok = docs.select(
+        F.col("lang"), F.explode(F.split(F.col("text"), " ")).alias("token")
+    )
+    dense = hll_dense_registers(docs)
     term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_K} - m)")
     sk = dense.groupBy("lang").agg(
         F.sum(term).cast("long").alias("_den"),

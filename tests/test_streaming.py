@@ -288,3 +288,46 @@ def test_graph_maintenance_stream_two_batches(spark, tmp_path):
     got = {tuple(r) for r in spark.read.parquet(f"{out}/v00001").collect()}
     want = {tuple(r) for r in pipeline.graph(spark, SF).collect()}
     assert got == want and len(got) > 0
+
+
+def test_hll_register_merge_stream_two_batches(spark, tmp_path):
+    """HLL registers max-merged across TWO micro-batches must equal the
+    one-shot batch registers — the sketch merge law under the same
+    snapshot-versioned commit protocol as the graph stream."""
+    import time
+
+    import pyspark.sql.functions as F
+
+    from glirel_spark.operators.textstats import hll_dense_registers
+    from glirel_spark.streaming.graph_stream import latest_snapshot
+    from glirel_spark.streaming.sketch_stream import run_hll_stream
+    from glirel_spark.streaming.triples_stream import DOCUMENTS_SCHEMA
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cut = docs.agg(F.percentile_approx("doc_id", 0.5)).collect()[0][0]
+    src = tmp_path / "hll_src"
+    src.mkdir()
+    docs.filter(F.col("doc_id") <= cut).coalesce(1).write.parquet(
+        str(src / "b0")
+    )
+    time.sleep(1.1)
+    docs.filter(F.col("doc_id") > cut).coalesce(1).write.parquet(
+        str(src / "b1")
+    )
+    stream_in = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "hll_snaps")
+    run_hll_stream(stream_in, out, str(tmp_path / "hll_ckpt"))
+
+    got = {
+        (r.lang, r.reg): r.m
+        for r in spark.read.parquet(latest_snapshot(out)).collect()
+    }
+    want = {
+        (r.lang, r.reg): r.m for r in hll_dense_registers(docs).collect()
+    }
+    assert got == want and len(got) > 0
