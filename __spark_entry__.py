@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_hard_negatives": pipeline.minhash_hard_negatives,
         # benchmark decontamination (shingle overlap vs the eval split)
         "decontaminate": pipeline.decontaminate,
+        # Bloom-filter decontamination with false-positive audit
+        "bloom_decontaminate": pipeline.bloom_decontaminate,
         "simhash": pipeline.simhash_signatures,
         "simhash_neardups": pipeline.simhash_neardups,
         "fingerprints": pipeline.fingerprints,
@@ -284,6 +286,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": oc.q_dedup_clusters(),
         "minhash_hard_negatives": oc.q_minhash_hard_negatives(),
         "decontaminate": oc.q_decontaminate(),
+        "bloom_decontaminate": oc.q_bloom_decontaminate(),
         "simhash": oc.q_simhash(),
         "simhash_neardups": oc.q_simhash_neardups(),
         "fingerprints": oc.q_fingerprint(),

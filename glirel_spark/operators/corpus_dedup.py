@@ -749,3 +749,82 @@ def minhash_hard_negatives(
     return jaccard_verify(cands, shingles_arr(docs_tokens, shingled=shingled)).filter(
         F.col("jaccard") < max_jaccard
     )
+
+
+# Bloom geometry for the decontamination filter: m bits, k=3 affine
+# probes off the shingle hash (the first 3 minhash permutations).
+BLOOM_M = 16384
+BLOOM_K = 3
+
+
+def bloom_decontaminate(
+    shingled: DataFrame, eval_mod: int = config.DECONTAM_EVAL_MOD
+) -> DataFrame:
+    """Decontamination through a BLOOM FILTER of the eval shingle set —
+    the constant-size broadcast a multi-benchmark sweep ships at 100 TB
+    when the exact shingle array (decontaminate) outgrows the plan: m
+    bits cover ANY number of eval shingles. One-sided by construction
+    (bloom_contaminated >= exact contaminated row-wise); this query
+    emits BOTH flags plus is_fp so the false-positive cost of the m/k
+    choice is measurable, with the exact twin as the audit.
+
+    All-integer: probe positions are affine mod-m hashes of the shingle
+    hash; the filter itself is the distinct position set aggregated to
+    one sorted array row and broadcast (same Catalyst broadcast-variable
+    form as decontaminate — at production scale, a fixed m-bit binary
+    column). Membership = all k probe positions present.
+    """
+    did = F.col("doc_id").cast("long")
+    did = F.when(
+        F.assert_true(
+            did.isNotNull(),
+            "bloom_decontaminate: doc_id must cast to long (integer-id "
+            "corpora); for content-addressed ids supply an explicit eval split",
+        ).isNull(),
+        did,
+    )
+    is_eval = (did % eval_mod) == 0
+
+    def probes(sh_col):
+        return F.array(
+            *[
+                ((sh_col * config.MINHASH_AB[i][0] + config.MINHASH_AB[i][1])
+                 % config.HASH_P) % BLOOM_M
+                for i in range(BLOOM_K)
+            ]
+        )
+
+    bits = (
+        shingled.filter(is_eval)
+        .select(F.explode("_sh").alias("sh"))
+        .select(F.explode(probes(F.col("sh"))).alias("bit"))
+        .distinct()
+        .agg(F.sort_array(F.collect_list("bit")).alias("_bits"))
+    )
+    # a shingle is bloom-positive iff ALL k probe bits are set
+    sh_hit = F.filter(
+        F.col("_sh"),
+        lambda sh: F.forall(
+            probes(sh), lambda b: F.array_contains(F.col("_bits"), b)
+        ),
+    )
+    ex_hits = F.size(F.array_intersect(F.col("_sh"), F.col("_eval_sh")))
+    ev_arr = (
+        shingled.filter(is_eval)
+        .select(F.explode("_sh").alias("sh"))
+        .distinct()
+        .agg(F.sort_array(F.collect_list("sh")).alias("_eval_sh"))
+    )
+    bloom_n = F.size(sh_hit)
+    return (
+        shingled.filter(~is_eval)
+        .join(F.broadcast(bits))
+        .join(F.broadcast(ev_arr))
+        .select(
+            "doc_id",
+            bloom_n.cast("int").alias("n_bloom_hits"),
+            (bloom_n > 0).alias("bloom_contaminated"),
+            (ex_hits > 0).alias("contaminated"),
+            ((bloom_n > 0) & ~(ex_hits > 0)).alias("is_fp"),
+        )
+    )

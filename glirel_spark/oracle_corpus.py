@@ -1514,3 +1514,47 @@ SELECT e.token, {least} AS est, e.exact,
        {least} - e.exact AS overcount
 FROM exact e
 {joins}"""
+
+
+def q_bloom_decontaminate() -> str:
+    """Mirror of corpus_dedup.bloom_decontaminate: same affine probe
+    positions, distinct-bit filter, all-k membership, exact twin."""
+    from glirel_spark.operators.corpus_dedup import BLOOM_K, BLOOM_M
+
+    def probe(i: int, col: str) -> str:
+        a, b = c.MINHASH_AB[i]
+        return f"(({col} * {a} + {b}) % {c.HASH_P}) % {BLOOM_M}"
+
+    probes_list = ", ".join(probe(i, "s.sh") for i in range(BLOOM_K))
+    member = " AND ".join(
+        f"EXISTS (SELECT 1 FROM bits WHERE bits.bit = {probe(i, 's.sh')})"
+        for i in range(BLOOM_K)
+    )
+    return (
+        _with(CTE_TOKENS, CTE_THASH, CTE_SHINGLES)
+        + f"""
+, ev AS (
+  SELECT DISTINCT sh FROM shing WHERE CAST(doc_id AS BIGINT) % {c.DECONTAM_EVAL_MOD} = 0
+),
+bits AS (
+  SELECT DISTINCT bit FROM ev s, unnest([{probes_list}]) AS u(bit)
+),
+train AS (
+  SELECT doc_id, sh FROM shing
+  WHERE CAST(doc_id AS BIGINT) % {c.DECONTAM_EVAL_MOD} <> 0
+),
+flags AS (
+  SELECT s.doc_id,
+         CAST(sum(CASE WHEN {member} THEN 1 ELSE 0 END) AS INT)
+           AS n_bloom_hits,
+         CAST(sum(CASE WHEN e.sh IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+           AS n_exact
+  FROM train s LEFT JOIN ev e ON e.sh = s.sh
+  GROUP BY s.doc_id
+)
+SELECT doc_id, n_bloom_hits,
+       n_bloom_hits > 0 AS bloom_contaminated,
+       n_exact > 0 AS contaminated,
+       (n_bloom_hits > 0 AND NOT (n_exact > 0)) AS is_fp
+FROM flags"""
+    )

@@ -776,3 +776,9 @@ def cms_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import textstats
 
     return textstats.cms_topk(_flat_docs(spark, sf_dir))
+
+
+def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import corpus_dedup as cd
+
+    return cd.bloom_decontaminate(docs_shingled(spark, sf_dir))
