@@ -179,6 +179,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "routing_stats": pipeline.routing_stats,
         # blocked Levenshtein entity-resolution candidate pairs
         "er_edit_pairs": pipeline.er_edit_pairs,
+        # ER surface-form clusters (CC over edit pairs, canonical = min)
+        "er_clusters": pipeline.er_clusters,
+        # dictionary-free KG canonicalization over the ER clusters
+        "kg_canonicalized": pipeline.kg_canonicalized,
         # sharded inverted-index build (posting lists + df/tf)
         "inverted_index": pipeline.inverted_index,
         # bigram LM count table with exact MLE conditionals
@@ -303,6 +307,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": oc.q_lang_id(),
         "corpus_routing": oc.q_corpus_routing(),
         "er_edit_pairs": oracle.q_er_edit_pairs(),
+        "er_clusters": oracle.q_er_clusters(),
+        "kg_canonicalized": oracle.q_kg_canonicalized(),
         "inverted_index": oc.q_inverted_index(),
         "ngram_lm": oc.q_ngram_lm(),
         "corpus_sample": oc.q_corpus_sample(),

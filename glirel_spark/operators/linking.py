@@ -255,3 +255,132 @@ def entity_types(mentions: DataFrame, aliases: DataFrame) -> DataFrame:
             "share"
         ),
     )
+
+
+def er_clusters(
+    mentions: DataFrame, max_dist: int = 2, max_iter: int = 20
+) -> DataFrame:
+    """Surface-form entity-resolution clusters: connected components
+    over the blocked-Levenshtein candidate pairs (``er_edit_pairs``),
+    canonical form = lexicographically-min member — the CESI-style
+    "cluster the noun phrases, then canonicalize the KG over cluster
+    representatives" step (Vashishth et al., WWW'18; reference analog:
+    the alias remap in data/process_wiki_zsl.py:19-33 is the
+    dictionary path, this is the dictionary-free unsupervised path).
+
+    Output: (name, canonical, cluster_size) for EVERY distinct
+    lowercased mention surface form; singletons map to themselves.
+
+    Scale shape: identical to corpus_dedup.neardup_clusters — min-label
+    propagation iterates ONLY over surface forms that appear in at
+    least one edit pair (a small fraction of the vocabulary), with
+    localCheckpoint lineage truncation per round and a RAISE (not a
+    silent partial merge) if a >max_iter-diameter chain appears; the
+    full vocabulary joins in exactly once at the end for the singleton
+    default. Cluster sizes re-aggregate from the mapping relation
+    itself, not from a second mention scan.
+    """
+    names = mentions.select(F.lower("text").alias("name")).distinct()
+    e = er_edit_pairs(mentions, max_dist).select("e1", "e2")
+    sym = e.select(F.col("e1").alias("a"), F.col("e2").alias("b")).union(
+        e.select(F.col("e2").alias("a"), F.col("e1").alias("b"))
+    )
+    labels = (
+        sym.select(F.col("a").alias("name"))
+        .distinct()
+        .withColumn("root", F.col("name"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            sym.join(
+                labels.select(
+                    F.col("name").alias("b"), F.col("root").alias("nroot")
+                ),
+                "b",
+            )
+            .groupBy("a")
+            .agg(F.min("nroot").alias("nbr_root"))
+            .withColumnRenamed("a", "name")
+        )
+        new_labels = (
+            labels.join(nbr, "name", "left")
+            .select(
+                "name",
+                F.least(
+                    F.col("root"), F.coalesce(F.col("nbr_root"), F.col("root"))
+                ).alias("root"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("root", "_old"), "name")
+            .filter(F.col("root") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"er_clusters did not converge in {max_iter} rounds; "
+            "raising rather than returning a partially-merged cluster"
+        )
+    mapping = names.join(labels, "name", "left").select(
+        "name", F.coalesce(F.col("root"), F.col("name")).alias("canonical")
+    )
+    sizes = mapping.groupBy("canonical").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return mapping.join(sizes, "canonical").select(
+        "name", "canonical", "cluster_size"
+    )
+
+
+def canonicalized_graph(triples: DataFrame, er_map: DataFrame) -> DataFrame:
+    """KG canonicalization over ER clusters: rewrite each triple's head
+    and tail surface form to its cluster representative, then
+    re-aggregate the graph — the step that merges "acme corp" /
+    "acme corpx" rows a raw surface-form graph keeps apart (CESI's
+    output side; completes the north-rule canonicalization clause with
+    a dictionary-free path beside the alias-broadcast one).
+
+    Output per canonical (subj, pred, obj): ``n_mentions`` supporting
+    triple rows, ``n_docs`` distinct documents, and
+    ``n_subj_surfaces`` / ``n_obj_surfaces`` — how many distinct raw
+    surface forms were merged into each endpoint (the canonicalization
+    audit a KG curator reads).
+
+    Scale shape: ``er_map`` is (vocabulary-sized, bounded by distinct
+    mention strings) -> broadcast into two map-side joins, so the only
+    shuffle is the final (subj, pred, obj) aggregation, which is
+    map-side combinable. On a 10^12-doc corpus the mapping outgrows a
+    broadcast -> the joins become shuffle hash joins on `name`
+    (uniformly distributed — surface strings, not hub entities).
+    """
+    m = er_map.select("name", "canonical")
+    t = triples.select(
+        F.lower("head_text").alias("h_name"),
+        F.lower("tail_text").alias("t_name"),
+        F.col("label").alias("pred"),
+        "doc_id",
+    )
+    t = (
+        t.join(
+            F.broadcast(m.withColumnRenamed("name", "h_name")
+                         .withColumnRenamed("canonical", "subj")),
+            "h_name",
+        )
+        .join(
+            F.broadcast(m.withColumnRenamed("name", "t_name")
+                         .withColumnRenamed("canonical", "obj")),
+            "t_name",
+        )
+    )
+    return t.groupBy("subj", "pred", "obj").agg(
+        F.count("*").cast("long").alias("n_mentions"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.countDistinct("h_name").cast("long").alias("n_subj_surfaces"),
+        F.countDistinct("t_name").cast("long").alias("n_obj_surfaces"),
+    )

@@ -1242,3 +1242,78 @@ bridges AS (
 SELECT p.p1, p.p2, p.n_paths, b.n_bridges
 FROM paths p JOIN bridges b ON b.p1 = p.p1 AND b.p2 = p.p2"""
     )
+
+
+def _cte_er(max_dist: int = 2) -> str:
+    """Shared ER-cluster chain: blocked-Levenshtein pairs -> recursive
+    transitive closure -> (name, canonical) mapping with singleton
+    default (mirror of linking.er_clusters' min-label fixpoint, which
+    converges to exactly min-reachable-name)."""
+    return f"""
+names AS (SELECT DISTINCT lower(text) AS name FROM mentions),
+eredges AS (
+  SELECT l.name AS e1, r.name AS e2
+  FROM names l JOIN names r
+    ON substr(l.name, 1, 1) = substr(r.name, 1, 1)
+   AND l.name < r.name
+   AND abs(length(l.name) - length(r.name)) <= {max_dist}
+  WHERE levenshtein(l.name, r.name) <= {max_dist}
+),
+ersym AS (
+  SELECT e1 AS a, e2 AS b FROM eredges
+  UNION ALL
+  SELECT e2 AS a, e1 AS b FROM eredges
+),
+erreach(src, node) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM ersym)
+  UNION
+  SELECT r.src, s.b FROM erreach r JOIN ersym s ON s.a = r.node
+),
+ercomp AS (
+  SELECT node AS name, min(src) AS canonical FROM erreach GROUP BY node
+),
+ermap AS (
+  SELECT n.name, coalesce(c.canonical, n.name) AS canonical
+  FROM names n LEFT JOIN ercomp c ON c.name = n.name
+)
+"""
+
+
+def q_er_clusters() -> str:
+    return (
+        with_chain(_cte_er(), recursive=True)
+        + """
+, ersizes AS (
+  SELECT canonical, CAST(count(*) AS BIGINT) AS cluster_size
+  FROM ermap GROUP BY canonical
+)
+SELECT m.name, m.canonical, s.cluster_size
+FROM ermap m JOIN ersizes s USING (canonical)"""
+    )
+
+
+def q_kg_canonicalized() -> str:
+    """Mirror of linking.canonicalized_graph: triples' surface forms
+    rewritten through the ER-cluster mapping, then re-aggregated."""
+    return (
+        with_chain(cte_scored(), cte_triples(), _cte_er(), recursive=True)
+        + """
+, ct AS (
+  SELECT lower(head_text) AS h_name, lower(tail_text) AS t_name,
+         label AS pred, doc_id
+  FROM triples
+),
+cj AS (
+  SELECT hm.canonical AS subj, ct.pred, tm.canonical AS obj,
+         ct.doc_id, ct.h_name, ct.t_name
+  FROM ct
+  JOIN ermap hm ON hm.name = ct.h_name
+  JOIN ermap tm ON tm.name = ct.t_name
+)
+SELECT subj, pred, obj,
+       CAST(count(*) AS BIGINT) AS n_mentions,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT h_name) AS BIGINT) AS n_subj_surfaces,
+       CAST(count(DISTINCT t_name) AS BIGINT) AS n_obj_surfaces
+FROM cj GROUP BY subj, pred, obj"""
+    )

@@ -782,3 +782,20 @@ def bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import corpus_dedup as cd
 
     return cd.bloom_decontaminate(docs_shingled(spark, sf_dir))
+
+
+def er_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import linking
+
+    return linking.er_clusters(mentions(spark, sf_dir))
+
+
+def kg_canonicalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-free KG canonicalization: ER-cluster the mention
+    surface forms (blocked Levenshtein -> connected components), then
+    rebuild the triple graph over cluster representatives."""
+    from glirel_spark.operators import linking
+
+    return linking.canonicalized_graph(
+        triples(spark, sf_dir), linking.er_clusters(mentions(spark, sf_dir))
+    )
