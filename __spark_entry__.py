@@ -191,6 +191,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample": pipeline.corpus_sample,
         # one-pass ROLLUP corpus accounting (per lang x source + totals)
         "corpus_stats": pipeline.corpus_stats,
+        # GPT-style sequence packing (distributed prefix-sum layout)
+        "token_blocks": pipeline.token_blocks,
+        # RAG-style overlapping chunk windows with content hash
+        "doc_chunks": pipeline.doc_chunks,
+        # CCNet-style exact quality deciles (histogram, no global sort)
+        "quality_buckets": pipeline.quality_buckets,
         # similarity search
         "ann_topk": pipeline.ann_topk,
         "ann_topk_ivf": pipeline.ann_topk_ivf,
@@ -313,6 +319,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_lm": oc.q_ngram_lm(),
         "corpus_sample": oc.q_corpus_sample(),
         "corpus_stats": oc.q_corpus_stats(),
+        "token_blocks": oc.q_token_blocks(),
+        "doc_chunks": oc.q_doc_chunks(),
+        "quality_buckets": oc.q_quality_buckets(),
         "ann_topk": oc.q_ann_topk(),
         "ann_topk_ivf": oc.q_ann_topk_ivf(),
         "ann_topk_kmeans": oc.q_ann_topk_kmeans(),

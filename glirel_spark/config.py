@@ -201,6 +201,17 @@ NEIGH_HUB_CAP = 64  # stop-node removal: drop neighbors of degree > cap
 # --------------------------------------------------------------------------
 MEDIA_N_BYTES = 64
 
+# --------------------------------------------------------------------------
+# Training-data packing / chunking / quality stratification / KG walks
+# --------------------------------------------------------------------------
+PACK_BLOCK = 256  # tokens per packed pretraining block (each doc adds 1 EOS)
+RAG_CHUNK_W = 32  # RAG chunk window (tokens)
+RAG_CHUNK_STRIDE = 24  # chunk stride (overlap = W - stride)
+QUALITY_N_BUCKETS = 10  # CCNet-style corpus quality deciles
+WALK_LEN = 4  # deterministic DeepWalk rollout length (steps past the start)
+WALK_SALT = "walk:v1:"  # salt for the neighbor-selection char hash
+DS_MIN_SUPPORT = 2  # distant supervision: min distinct supporting docs
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",

@@ -8,7 +8,7 @@ The fingerprint is in corpus_dedup.fingerprint (shared with dedup).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from glirel_spark import config
 
@@ -706,3 +706,41 @@ def cms_topk(docs: DataFrame, top_n: int = 20) -> DataFrame:
         "exact",
         (mins - F.col("exact")).alias("overcount"),
     )
+
+
+def quality_buckets(
+    docs: DataFrame, n_buckets: int = config.QUALITY_N_BUCKETS
+) -> DataFrame:
+    """(doc_id, decibits, bucket): CCNet-style corpus quality
+    stratification (Wenzek et al. 2020 route documents by perplexity
+    tercile; here: surprisal deciles), computed as EXACT quantiles
+    without a global sort.
+
+    The per-doc quality score is the integer deci-bit mean surprisal
+    ``(sum_surprisal_bits * 10) DIV n_tokens`` — a BOUNDED domain (a
+    few hundred distinct values no matter the corpus size), so exact
+    bucketing reduces to a value-frequency histogram: bucket(v) =
+    (#docs with score < v) * n_buckets DIV total. All ties share a
+    bucket (unlike ntile, which splits ties nondeterministically).
+
+    Scale shape: one small-domain groupBy for the histogram, one window
+    over the TINY histogram frame (bounded by the score domain, not the
+    corpus), and a broadcast map join back — the corpus itself is
+    touched map-side only. A global ``ntile() OVER (ORDER BY score)``
+    would single-task the corpus; this never does.
+    """
+    s = doc_surprisal(docs).select(
+        "doc_id",
+        F.expr("(sum_surprisal_bits * 10) DIV n_tokens").alias("decibits"),
+    )
+    hist = s.groupBy("decibits").agg(F.count("*").cast("long").alias("n"))
+    w = Window.orderBy("decibits").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.withColumn(
+        "below", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long")
+    )
+    total = hist.agg(F.sum("n").cast("long").alias("total"))
+    m = cum.join(F.broadcast(total)).select(
+        "decibits",
+        F.expr(f"(below * {n_buckets}) DIV total").alias("bucket"),
+    )
+    return s.join(F.broadcast(m), "decibits").select("doc_id", "decibits", "bucket")

@@ -1558,3 +1558,119 @@ SELECT doc_id, n_bloom_hits,
        (n_bloom_hits > 0 AND NOT (n_exact > 0)) AS is_fp
 FROM flags"""
     )
+
+
+def q_token_blocks() -> str:
+    """Mirror of packing.token_blocks: exclusive prefix sum of per-doc
+    sequence lengths (tokens + 1 EOS) in doc_id order, arithmetic block
+    membership, per-block aggregation. The oracle uses one global
+    window (fine at oracle scale); the engine's distributed two-phase
+    scan must produce the identical layout."""
+    b = c.PACK_BLOCK
+    return f"""
+WITH dlen AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS sl
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, sl,
+         sum(sl) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - sl AS s
+  FROM dlen
+),
+blk AS (
+  SELECT doc_id, s, s + sl AS e,
+         unnest(range(CAST(s // {b} AS BIGINT),
+                      CAST((s + sl - 1) // {b} + 1 AS BIGINT))) AS block_id
+  FROM offs
+)
+SELECT block_id,
+       CAST(sum(least(e, (block_id + 1) * {b}) - greatest(s, block_id * {b}))
+            AS BIGINT) AS n_positions,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM blk GROUP BY block_id"""
+
+
+def q_doc_chunks() -> str:
+    """Mirror of packing.doc_chunks: overlapping W/S token windows with
+    the polynomial chunk-content hash folded over per-token ids in
+    position order."""
+    w, s = c.RAG_CHUNK_W, c.RAG_CHUNK_STRIDE
+    return (
+        "WITH "
+        + CTE_TOKENS.strip().rstrip(",")
+        + ",\n"
+        + CTE_THASH.strip().rstrip(",")
+        + f""",
+dlen AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM thash GROUP BY doc_id
+),
+chunks AS (
+  SELECT doc_id, n,
+         unnest(range(CAST(CASE WHEN n <= {w} THEN 1
+                           ELSE (n - {w} + {s} - 1) // {s} + 1 END
+                      AS BIGINT))) AS chunk_id
+  FROM dlen
+),
+cj AS (
+  SELECT ch.doc_id, ch.chunk_id,
+         CAST(ch.chunk_id * {s} AS BIGINT) AS start,
+         CAST(least({w}, ch.n - ch.chunk_id * {s}) AS BIGINT) AS chunk_len,
+         t.pos, t.tid
+  FROM chunks ch JOIN thash t
+    ON t.doc_id = ch.doc_id
+   AND t.pos >= ch.chunk_id * {s} AND t.pos < ch.chunk_id * {s} + {w}
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, start, chunk_len,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT), list(tid ORDER BY pos)),
+         (a, b) -> (a * {c.SHINGLE_BASE} + b) % {c.HASH_P}) AS chunk_hash
+FROM cj GROUP BY doc_id, chunk_id, start, chunk_len"""
+    )
+
+
+def q_quality_buckets() -> str:
+    """Mirror of textstats.quality_buckets: integer deci-bit mean
+    surprisal per doc, histogram cumsum, bucket = below * NB DIV total
+    (ties share a bucket)."""
+    nb = c.QUALITY_N_BUCKETS
+    return f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+per_doc AS (
+  SELECT t.doc_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(length(bin(tt.total)) - length(bin(cn.cnt))) AS BIGINT)
+           AS sum_bits
+  FROM tok t JOIN counts cn ON cn.token = t.token CROSS JOIN tot tt
+  GROUP BY t.doc_id
+),
+s AS (
+  SELECT doc_id, CAST((sum_bits * 10) // n AS BIGINT) AS decibits
+  FROM per_doc
+),
+hist AS (
+  SELECT decibits, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY decibits
+),
+cum AS (
+  SELECT decibits,
+         CAST(coalesce(sum(n) OVER (ORDER BY decibits
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS below
+  FROM hist
+),
+dtot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM hist)
+SELECT s.doc_id, s.decibits,
+       CAST((cm.below * {nb}) // dt.total AS BIGINT) AS bucket
+FROM s JOIN cum cm USING (decibits) CROSS JOIN dtot dt"""

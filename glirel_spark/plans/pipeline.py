@@ -799,3 +799,21 @@ def kg_canonicalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return linking.canonicalized_graph(
         triples(spark, sf_dir), linking.er_clusters(mentions(spark, sf_dir))
     )
+
+
+def token_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import packing
+
+    return packing.token_blocks(docs_tokens(spark, sf_dir))
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import packing
+
+    return packing.doc_chunks(docs_tokens(spark, sf_dir))
+
+
+def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import textstats
+
+    return textstats.quality_buckets(_flat_docs(spark, sf_dir))
