@@ -135,6 +135,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bfs": pipeline.kg_bfs,
         # degree histogram (skew census for salting decisions)
         "kg_degree_dist": pipeline.kg_degree_dist,
+        # deterministic DeepWalk rollouts (precomputed successor joins)
+        "kg_walks": pipeline.kg_walks,
+        # distant supervision: KB x co-occurrence silver examples
+        "kg_distant_supervision": pipeline.kg_distant_supervision,
         # per-entity NER-type vote profile
         "entity_types": pipeline.entity_types,
         # corpus dedup (training-data pipeline)
@@ -283,6 +287,8 @@ def oracle_sql() -> dict[str, str]:
         "routing_stats": oc.q_routing_stats(),
         "kg_bfs": oracle.q_kg_bfs(),
         "kg_degree_dist": oracle.q_kg_degree_dist(),
+        "kg_walks": oracle.q_kg_walks(),
+        "kg_distant_supervision": oracle.q_kg_distant_supervision(),
         "entity_types": oracle.q_entity_types(),
         "doc_bigram_surprisal": oc.q_doc_bigram_surprisal(),
         "kg_triangles": oracle.q_kg_triangles(),

@@ -1117,3 +1117,130 @@ def pred_path_cooccurrence(graph: DataFrame) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_bridges"))
     )
     return paths.join(bridges, ["p1", "p2"])
+
+
+def kg_walks(
+    graph: DataFrame,
+    walk_len: int = config.WALK_LEN,
+    salt: str = config.WALK_SALT,
+) -> DataFrame:
+    """Deterministic DeepWalk-style rollouts: from EVERY entity, a
+    length-``walk_len`` walk over the undirected edge set, where the
+    step-t successor of node u is the neighbor v minimizing the salted
+    polynomial hash of ``salt + t + ':' + u + '>' + v`` (ties by v).
+    The node-embedding corpus generator (DeepWalk / node2vec p=q=1)
+    with the RNG replaced by a hash — same neighbor-frequency behavior
+    in aggregate, bit-for-bit replayable by the DuckDB oracle and
+    independent of partitioning.
+
+    Output: (entity, n1..n{walk_len}) — the visited node at each step.
+
+    Scale shape: the successor function depends only on (t, u, v), so
+    it is PRECOMPUTED as one relation: edges x walk_len rows, argmin
+    per (t, u) via min(struct(hash, v)) — an algebraic aggregate, so
+    map-side combine absorbs hub-entity fanout (a hub's candidate rows
+    collapse to one partial min per map task; no hot reducer). The
+    rollout is then walk_len hash joins, each moving |V| rows keyed on
+    the current node — bounded by the ENTITY count, never edge count,
+    and free of the per-round count() barrier an iterative frontier
+    algorithm needs (the whole plan is one static DAG Catalyst/AQE can
+    schedule end to end).
+    """
+    from glirel_spark.operators.corpus_dedup import _char_hash
+
+    e = (
+        graph.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    steps = sym.select(
+        "a", "b",
+        F.explode(F.sequence(F.lit(1), F.lit(walk_len))).alias("t"),
+    )
+    h = _char_hash(
+        F.concat(
+            F.lit(salt), F.col("t").cast("string"), F.lit(":"),
+            F.col("a"), F.lit(">"), F.col("b"),
+        )
+    )
+    succ = (
+        steps.withColumn("_h", h)
+        .groupBy("t", "a")
+        .agg(F.min(F.struct(F.col("_h").alias("h"), F.col("b").alias("b"))).alias("_m"))
+        .select("t", "a", F.col("_m.b").alias("nxt"))
+    )
+    walk = (
+        sym.select("a")
+        .distinct()
+        .select(F.col("a").alias("entity"), F.col("a").alias("_cur"))
+    )
+    for t in range(1, walk_len + 1):
+        st = succ.filter(F.col("t") == t).select(
+            F.col("a").alias("_cur"), F.col("nxt")
+        )
+        walk = (
+            walk.join(st, "_cur")
+            .drop("_cur")
+            .withColumnRenamed("nxt", f"n{t}")
+            .withColumn("_cur", F.col(f"n{t}"))
+        )
+    return walk.drop("_cur")
+
+
+def kg_distant_supervision(
+    linked: DataFrame, min_support: int = config.DS_MIN_SUPPORT
+) -> DataFrame:
+    """Distant supervision (Mintz et al. 2009): align the KB against
+    raw entity co-occurrence to mine silver training examples. For
+    every ordered entity pair (s, o) co-occurring in a document and
+    present in the KB as (s, p, o), that document supports the triple;
+    documents where the extractor did NOT itself emit (s, p, o) are the
+    NEW silver examples distant supervision exists to harvest. Kept
+    only when distinct supporting documents >= ``min_support`` (the
+    classic noise gate).
+
+    Output: (subj, pred, obj, n_support_docs, n_new_docs,
+    first_new_doc) — first_new_doc = '' when every supporting doc
+    already had the triple extracted.
+
+    Scale shape: per-doc entity sets via explode + distinct on
+    (doc_id, entity) — skew-free key; pair generation is the DOC-LOCAL
+    self-join (fanout bounded by entities-per-doc, hub-entity safe,
+    same shape as entity_pmi); the KB join shuffles on (subj, obj)
+    where the KB side is ~1 row per key; the extracted-marker join is
+    keyed on (doc, subj, pred, obj) — skew-free; the final per-triple
+    aggregate is all-algebraic (count / conditional sum / min), so
+    map-side combine absorbs hot-triple skew.
+    """
+    ents = (
+        linked.select("doc_id", F.col("subj").alias("ent"))
+        .unionByName(linked.select("doc_id", F.col("obj").alias("ent")))
+        .distinct()
+    )
+    cooc = (
+        ents.select("doc_id", F.col("ent").alias("subj"))
+        .join(ents.select("doc_id", F.col("ent").alias("obj")), "doc_id")
+        .filter(F.col("subj") != F.col("obj"))
+    )
+    kb = linked.select("subj", "pred", "obj").distinct()
+    extracted = (
+        linked.select("doc_id", "subj", "pred", "obj")
+        .distinct()
+        .withColumn("_ex", F.lit(1))
+    )
+    aligned = cooc.join(kb, ["subj", "obj"]).join(
+        extracted, ["doc_id", "subj", "pred", "obj"], "left"
+    )
+    new_doc = F.when(F.col("_ex").isNull(), F.col("doc_id"))
+    return (
+        aligned.groupBy("subj", "pred", "obj")
+        .agg(
+            F.count("*").cast("long").alias("n_support_docs"),
+            F.sum(F.when(F.col("_ex").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_new_docs"),
+            F.coalesce(F.min(new_doc), F.lit("")).alias("first_new_doc"),
+        )
+        .filter(F.col("n_support_docs") >= min_support)
+    )

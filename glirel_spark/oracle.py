@@ -1317,3 +1317,82 @@ SELECT subj, pred, obj,
        CAST(count(DISTINCT t_name) AS BIGINT) AS n_obj_surfaces
 FROM cj GROUP BY subj, pred, obj"""
     )
+
+
+def q_kg_walks(walk_len: int | None = None) -> str:
+    """Mirror of graph.kg_walks: salted-hash successor table over the
+    symmetric edge set (argmin per (t, node) with ties by neighbor),
+    then walk composition as ``walk_len`` joins. The hash is the same
+    per-character polynomial fold as corpus_dedup._char_hash."""
+    L = walk_len if walk_len is not None else c.WALK_LEN
+    joins = "\n".join(
+        f"JOIN succ s{t} ON s{t}.t = {t} AND s{t}.a = "
+        + ("n.a" if t == 1 else f"s{t-1}.nxt")
+        for t in range(1, L + 1)
+    )
+    cols = ", ".join(f"s{t}.nxt AS n{t}" for t in range(1, L + 1))
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED, _CTE_SYM_EDGES)
+        + f"""
+, steps AS (
+  SELECT t.t, s.a, s.b,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(
+               string_split('{c.WALK_SALT}' || CAST(t.t AS VARCHAR)
+                            || ':' || s.a || '>' || s.b, ''),
+               ch -> CAST(ascii(ch) AS BIGINT))),
+           (x, y) -> (x * {c.SHINGLE_BASE} + y) % {c.HASH_P}) AS h
+  FROM sym s CROSS JOIN (SELECT unnest(range(1, {L + 1})) AS t) t
+),
+succ AS (
+  SELECT t, a, b AS nxt FROM (
+    SELECT t, a, b,
+           row_number() OVER (PARTITION BY t, a ORDER BY h, b) AS rn
+    FROM steps)
+  WHERE rn = 1
+),
+nodes AS (SELECT DISTINCT a FROM sym)
+SELECT n.a AS entity, {cols}
+FROM nodes n
+{joins}"""
+    )
+
+
+def q_kg_distant_supervision(min_support: int | None = None) -> str:
+    """Mirror of graph.kg_distant_supervision: doc-local ordered
+    entity-pair co-occurrence joined against the distinct KB, left
+    marker join against per-doc extracted triples, per-triple support
+    counts with the min-support gate."""
+    ms = min_support if min_support is not None else c.DS_MIN_SUPPORT
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED)
+        + f"""
+, ents AS (
+  SELECT DISTINCT doc_id, subj AS ent FROM linked
+  UNION
+  SELECT DISTINCT doc_id, obj AS ent FROM linked
+),
+cooc AS (
+  SELECT l.doc_id, l.ent AS subj, r.ent AS obj
+  FROM ents l JOIN ents r ON l.doc_id = r.doc_id AND l.ent <> r.ent
+),
+kb AS (SELECT DISTINCT subj, pred, obj FROM linked),
+extracted AS (SELECT DISTINCT doc_id, subj, pred, obj FROM linked),
+aligned AS (
+  SELECT co.doc_id, co.subj, k.pred, co.obj,
+         (e.doc_id IS NULL) AS is_new
+  FROM cooc co
+  JOIN kb k ON k.subj = co.subj AND k.obj = co.obj
+  LEFT JOIN extracted e
+    ON e.doc_id = co.doc_id AND e.subj = co.subj
+   AND e.pred = k.pred AND e.obj = co.obj
+)
+SELECT subj, pred, obj,
+       CAST(count(*) AS BIGINT) AS n_support_docs,
+       CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new_docs,
+       coalesce(min(CASE WHEN is_new THEN doc_id END), '') AS first_new_doc
+FROM aligned
+GROUP BY subj, pred, obj
+HAVING count(*) >= {ms}"""
+    )

@@ -817,3 +817,15 @@ def quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import textstats
 
     return textstats.quality_buckets(_flat_docs(spark, sf_dir))
+
+
+def kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+
+    return graph_ops.kg_walks(graph(spark, sf_dir))
+
+
+def kg_distant_supervision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+
+    return graph_ops.kg_distant_supervision(linked_triples(spark, sf_dir))

@@ -1,0 +1,97 @@
+"""Deterministic DeepWalk rollouts (kg_walks) and distant supervision
+(kg_distant_supervision)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from glirel_spark import config
+from glirel_spark.operators import graph as graph_ops
+
+
+def _graph(spark, edges):
+    return spark.createDataFrame(
+        [(s, "p", o) for s, o in edges], "subj string, pred string, obj string"
+    )
+
+
+def _hash(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * config.SHINGLE_BASE + ord(ch)) % config.HASH_P
+    return h
+
+
+def _succ(t: int, u: str, neighbors: list[str], salt: str) -> str:
+    return min(neighbors, key=lambda v: (_hash(f"{salt}{t}:{u}>{v}"), v))
+
+
+def test_kg_walks_matches_python_replay(spark):
+    edges = [("A", "B"), ("B", "C"), ("C", "A"), ("C", "D"), ("D", "E")]
+    nbrs: dict[str, set[str]] = {}
+    for s, o in edges:
+        nbrs.setdefault(s, set()).add(o)
+        nbrs.setdefault(o, set()).add(s)
+    out = {
+        r["entity"]: r
+        for r in graph_ops.kg_walks(_graph(spark, edges), walk_len=3).collect()
+    }
+    assert set(out) == set(nbrs)
+    for start in nbrs:
+        cur = start
+        for t in (1, 2, 3):
+            cur = _succ(t, cur, sorted(nbrs[cur]), config.WALK_SALT)
+            assert out[start][f"n{t}"] == cur
+
+
+def test_kg_walks_partitioning_invariant_and_connected(spark):
+    edges = [(f"e{i}", f"e{(i * 3 + 1) % 17}") for i in range(17)]
+    g = _graph(spark, [(s, o) for s, o in edges if s != o])
+    a = sorted(map(tuple, graph_ops.kg_walks(g.repartition(1), walk_len=4).collect()))
+    b = sorted(map(tuple, graph_ops.kg_walks(g.repartition(9), walk_len=4).collect()))
+    assert a == b
+    nbrs: dict[str, set[str]] = {}
+    for s, o in edges:
+        if s != o:
+            nbrs.setdefault(s, set()).add(o)
+            nbrs.setdefault(o, set()).add(s)
+    for row in a:
+        path = list(row)
+        for u, v in zip(path, path[1:]):
+            assert v in nbrs[u]  # every step follows a real edge
+
+
+def test_distant_supervision_hand_case(spark):
+    # d1 extracts (A,p,B); d2 extracts (A,q,C) and (B,r,C): A and B
+    # co-occur in d2 with no (A,p,B) extraction there -> silver example.
+    linked = spark.createDataFrame(
+        [
+            ("d1", "A", "p", "B", 0.9),
+            ("d2", "A", "q", "C", 0.9),
+            ("d2", "B", "r", "C", 0.9),
+        ],
+        "doc_id string, subj string, pred string, obj string, prob double",
+    )
+    out = {
+        (r["subj"], r["pred"], r["obj"]): r
+        for r in graph_ops.kg_distant_supervision(linked, min_support=2).collect()
+    }
+    assert set(out) == {("A", "p", "B")}
+    r = out[("A", "p", "B")]
+    assert r["n_support_docs"] == 2
+    assert r["n_new_docs"] == 1
+    assert r["first_new_doc"] == "d2"
+
+
+def test_distant_supervision_min_support_gate(spark):
+    linked = spark.createDataFrame(
+        [("d1", "A", "p", "B", 0.9)],
+        "doc_id string, subj string, pred string, obj string, prob double",
+    )
+    assert graph_ops.kg_distant_supervision(linked, min_support=2).count() == 0
+    one = graph_ops.kg_distant_supervision(linked, min_support=1).collect()
+    assert [
+        (r["subj"], r["pred"], r["obj"], r["n_support_docs"], r["n_new_docs"],
+         r["first_new_doc"])
+        for r in one
+    ] == [("A", "p", "B", 1, 0, "")]
