@@ -139,6 +139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_walks": pipeline.kg_walks,
         # distant supervision: KB x co-occurrence silver examples
         "kg_distant_supervision": pipeline.kg_distant_supervision,
+        # skip-gram (center, context) counts from the walks (SGNS feed)
+        "kg_skipgram_pairs": pipeline.kg_skipgram_pairs,
         # per-entity NER-type vote profile
         "entity_types": pipeline.entity_types,
         # corpus dedup (training-data pipeline)
@@ -289,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_degree_dist": oracle.q_kg_degree_dist(),
         "kg_walks": oracle.q_kg_walks(),
         "kg_distant_supervision": oracle.q_kg_distant_supervision(),
+        "kg_skipgram_pairs": oracle.q_kg_skipgram_pairs(),
         "entity_types": oracle.q_entity_types(),
         "doc_bigram_surprisal": oc.q_doc_bigram_surprisal(),
         "kg_triangles": oracle.q_kg_triangles(),

@@ -1244,3 +1244,35 @@ def kg_distant_supervision(
         )
         .filter(F.col("n_support_docs") >= min_support)
     )
+
+
+def kg_skipgram_pairs(
+    walks: DataFrame,
+    walk_len: int = config.WALK_LEN,
+    window: int = config.SKIPGRAM_WINDOW,
+) -> DataFrame:
+    """(center, context, n_pairs): the skip-gram training multiset the
+    DeepWalk walks exist to produce — every ordered (center, context)
+    co-occurrence within ``window`` positions on a walk, aggregated to
+    counts (what an SGNS embedding trainer consumes; DeepWalk
+    §4.2/word2vec discipline).
+
+    Scale shape: both position explodes are ROW-LOCAL ((walk_len+1)^2
+    fanout per walk, a constant), so the only shuffle is the final
+    (center, context) count — algebraic, map-side combined, and the
+    pair key space is bounded by edges actually walked, so hot hubs
+    collapse into single rows instead of skewing a reducer.
+    """
+    arr = F.array(F.col("entity"), *[F.col(f"n{t}") for t in range(1, walk_len + 1)])
+    pos = walks.select(arr.alias("p")).select(
+        F.posexplode("p").alias("i", "center"), F.col("p")
+    )
+    pairs = pos.select(
+        "i", "center", F.posexplode("p").alias("j", "context")
+    ).filter(
+        (F.col("i") != F.col("j"))
+        & (F.abs(F.col("i") - F.col("j")) <= window)
+    )
+    return pairs.groupBy("center", "context").agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )

@@ -1396,3 +1396,25 @@ FROM aligned
 GROUP BY subj, pred, obj
 HAVING count(*) >= {ms}"""
     )
+
+
+def q_kg_skipgram_pairs(
+    walk_len: int | None = None, window: int | None = None
+) -> str:
+    """Mirror of graph.kg_skipgram_pairs: the walk relation (q_kg_walks
+    as a subquery), position pairs within the window, ordered-pair
+    counts."""
+    L = walk_len if walk_len is not None else c.WALK_LEN
+    W = window if window is not None else c.SKIPGRAM_WINDOW
+    path = "[" + ", ".join(["entity"] + [f"n{t}" for t in range(1, L + 1)]) + "]"
+    return f"""
+WITH walks AS ({q_kg_walks(L)}),
+paths AS (SELECT {path} AS p FROM walks),
+pos AS (SELECT p, unnest(range(0, {L + 1})) AS i FROM paths),
+pairs AS (
+  SELECT p[i + 1] AS center, p[j + 1] AS context
+  FROM (SELECT p, i, unnest(range(0, {L + 1})) AS j FROM pos)
+  WHERE i <> j AND abs(i - j) <= {W}
+)
+SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY center, context"""

@@ -95,3 +95,29 @@ def test_distant_supervision_min_support_gate(spark):
          r["first_new_doc"])
         for r in one
     ] == [("A", "p", "B", 1, 0, "")]
+
+
+def test_skipgram_pairs_hand_count(spark):
+    # one walk A->B->C (walk_len=2), window=1:
+    # positions [A,B,C]; ordered pairs within 1: (A,B),(B,A),(B,C),(C,B)
+    walks = spark.createDataFrame(
+        [("A", "B", "C")], "entity string, n1 string, n2 string"
+    )
+    out = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in graph_ops.kg_skipgram_pairs(walks, walk_len=2, window=1).collect()
+    }
+    assert out == {("A", "B"): 1, ("B", "A"): 1, ("B", "C"): 1, ("C", "B"): 1}
+
+
+def test_skipgram_pairs_window_and_counts(spark):
+    # repeated nodes aggregate; window=2 reaches two positions away
+    walks = spark.createDataFrame(
+        [("A", "B", "A"), ("A", "B", "A")], "entity string, n1 string, n2 string"
+    )
+    out = {
+        (r["center"], r["context"]): r["n_pairs"]
+        for r in graph_ops.kg_skipgram_pairs(walks, walk_len=2, window=2).collect()
+    }
+    # per walk: (A,B)x2, (B,A)x2, (A,A)x2 -> doubled over two walks
+    assert out == {("A", "B"): 4, ("B", "A"): 4, ("A", "A"): 4}
