@@ -141,6 +141,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_distant_supervision": pipeline.kg_distant_supervision,
         # skip-gram (center, context) counts from the walks (SGNS feed)
         "kg_skipgram_pairs": pipeline.kg_skipgram_pairs,
+        # semi-naive transitive closure of the hierarchy predicate
+        "kg_closure": pipeline.kg_closure,
         # per-entity NER-type vote profile
         "entity_types": pipeline.entity_types,
         # corpus dedup (training-data pipeline)
@@ -292,6 +294,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_walks": oracle.q_kg_walks(),
         "kg_distant_supervision": oracle.q_kg_distant_supervision(),
         "kg_skipgram_pairs": oracle.q_kg_skipgram_pairs(),
+        "kg_closure": oracle.q_kg_closure(),
         "entity_types": oracle.q_entity_types(),
         "doc_bigram_surprisal": oc.q_doc_bigram_surprisal(),
         "kg_triangles": oracle.q_kg_triangles(),

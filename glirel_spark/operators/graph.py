@@ -1276,3 +1276,63 @@ def kg_skipgram_pairs(
     return pairs.groupBy("center", "context").agg(
         F.count("*").cast("long").alias("n_pairs")
     )
+
+
+def kg_closure(
+    graph: DataFrame,
+    pred: str = config.CLOSURE_PRED,
+    max_iter: int = 30,
+) -> DataFrame:
+    """(src, dst, dist): the transitive closure of one predicate's edge
+    set with exact shortest path length — the Datalog
+    ``reach(x,y) :- edge(x,y); reach(x,z) :- reach(x,y), edge(y,z)``
+    program every taxonomy / dependency / part-of hierarchy query
+    reduces to, evaluated SEMI-NAIVELY: each round extends only the
+    LAST ring of discovered pairs (never re-deriving the whole closure,
+    the naive-evaluation trap), and an anti-join on the discovered set
+    makes first discovery == minimum distance, cycles included.
+
+    Scale shape: per round, one join keyed on the frontier's dst
+    against the (small, single-predicate) edge relation, one distinct,
+    one anti-join keyed on (src, dst) — all skew-bounded by the
+    predicate subgraph, not the corpus. localCheckpoint per round
+    truncates lineage; rounds = longest shortest path; raises on a
+    live frontier at ``max_iter`` (the DuckDB oracle bounds its
+    recursion at the same depth, keeping the engines in lockstep by
+    contract). Note the closure of a hub-heavy predicate is
+    quadratic-in-reachable-set by DEFINITION — at 100 TB you run this
+    on hierarchy predicates (bounded out-degree), not social edges;
+    that judgment call is the caller's, the evaluation is safe either
+    way.
+    """
+    e = (
+        graph.filter(F.col("pred") == pred)
+        .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    paths = e.withColumn("dist", F.lit(1).cast("long")).localCheckpoint(eager=True)
+    frontier = paths.select("src", "dst")
+    for d in range(2, max_iter + 1):
+        ring = (
+            frontier.join(
+                e.select(F.col("src").alias("dst"), F.col("dst").alias("_nxt")),
+                "dst",
+            )
+            .select("src", F.col("_nxt").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .join(paths.select("src", "dst"), ["src", "dst"], "left_anti")
+            .withColumn("dist", F.lit(d).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if ring.limit(1).count() == 0:
+            break
+        paths = paths.unionByName(ring).localCheckpoint(eager=True)
+        frontier = ring.select("src", "dst")
+    else:
+        raise RuntimeError(
+            f"kg_closure frontier still live after {max_iter} rounds; raise max_iter"
+        )
+    return paths

@@ -1418,3 +1418,27 @@ pairs AS (
 )
 SELECT center, context, CAST(count(*) AS BIGINT) AS n_pairs
 FROM pairs GROUP BY center, context"""
+
+
+def q_kg_closure(pred: str | None = None, max_iter: int = 30) -> str:
+    """Mirror of graph.kg_closure: bounded-depth recursive reachability
+    over one predicate's distinct edge set (self-pairs excluded),
+    min(d) per (src, dst) = shortest path length."""
+    p = pred if pred is not None else c.CLOSURE_PRED
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED, recursive=True)
+        + f"""
+, e AS (
+  SELECT DISTINCT subj AS src, obj AS dst FROM linked
+  WHERE pred = '{p}' AND subj <> obj
+),
+walk(src, dst, d) AS (
+  SELECT src, dst, 1 FROM e
+  UNION
+  SELECT w.src, e.dst, w.d + 1
+  FROM walk w JOIN e ON e.src = w.dst
+  WHERE w.d < {max_iter} AND w.src <> e.dst
+)
+SELECT src, dst, CAST(min(d) AS BIGINT) AS dist
+FROM walk GROUP BY src, dst"""
+    )

@@ -835,3 +835,9 @@ def kg_skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import graph as graph_ops
 
     return graph_ops.kg_skipgram_pairs(graph_ops.kg_walks(graph(spark, sf_dir)))
+
+
+def kg_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+
+    return graph_ops.kg_closure(graph(spark, sf_dir))

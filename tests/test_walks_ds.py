@@ -121,3 +121,29 @@ def test_skipgram_pairs_window_and_counts(spark):
     }
     # per walk: (A,B)x2, (B,A)x2, (A,A)x2 -> doubled over two walks
     assert out == {("A", "B"): 4, ("B", "A"): 4, ("A", "A"): 4}
+
+
+def test_kg_closure_chain_and_cycle(spark):
+    # chain A->B->C->D plus cycle D->B: closure with min dists
+    g = spark.createDataFrame(
+        [("A", "dep", "B"), ("B", "dep", "C"), ("C", "dep", "D"), ("D", "dep", "B")],
+        "subj string, pred string, obj string",
+    )
+    out = {
+        (r["src"], r["dst"]): r["dist"]
+        for r in graph_ops.kg_closure(g, pred="dep").collect()
+    }
+    assert out == {
+        ("A", "B"): 1, ("B", "C"): 1, ("C", "D"): 1, ("D", "B"): 1,
+        ("A", "C"): 2, ("B", "D"): 2, ("C", "B"): 2, ("D", "C"): 2,
+        ("A", "D"): 3,
+    }
+
+
+def test_kg_closure_filters_predicate(spark):
+    g = spark.createDataFrame(
+        [("A", "dep", "B"), ("B", "other", "C")],
+        "subj string, pred string, obj string",
+    )
+    out = graph_ops.kg_closure(g, pred="dep").collect()
+    assert [(r["src"], r["dst"], r["dist"]) for r in out] == [("A", "B", 1)]
