@@ -143,6 +143,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_skipgram_pairs": pipeline.kg_skipgram_pairs,
         # semi-naive transitive closure of the hierarchy predicate
         "kg_closure": pipeline.kg_closure,
+        # fixed-round synchronous label-propagation communities
+        "kg_label_prop": pipeline.kg_label_prop,
+        # per-doc canonical-entity salience features
+        "entity_salience": pipeline.entity_salience,
         # per-entity NER-type vote profile
         "entity_types": pipeline.entity_types,
         # corpus dedup (training-data pipeline)
@@ -295,6 +299,8 @@ def oracle_sql() -> dict[str, str]:
         "kg_distant_supervision": oracle.q_kg_distant_supervision(),
         "kg_skipgram_pairs": oracle.q_kg_skipgram_pairs(),
         "kg_closure": oracle.q_kg_closure(),
+        "kg_label_prop": oracle.q_kg_label_prop(),
+        "entity_salience": oracle.q_entity_salience(),
         "entity_types": oracle.q_entity_types(),
         "doc_bigram_surprisal": oc.q_doc_bigram_surprisal(),
         "kg_triangles": oracle.q_kg_triangles(),

@@ -212,6 +212,7 @@ WALK_LEN = 4  # deterministic DeepWalk rollout length (steps past the start)
 WALK_SALT = "walk:v1:"  # salt for the neighbor-selection char hash
 SKIPGRAM_WINDOW = 2  # skip-gram context window over walk positions
 CLOSURE_PRED = "depends on"  # hierarchy predicate for transitive closure
+LP_ROUNDS = 3  # synchronous label-propagation rounds (community detection)
 DS_MIN_SUPPORT = 2  # distant supervision: min distinct supporting docs
 
 TABLES = [

@@ -1336,3 +1336,53 @@ def kg_closure(
             f"kg_closure frontier still live after {max_iter} rounds; raise max_iter"
         )
     return paths
+
+
+def kg_label_prop(graph: DataFrame, rounds: int = config.LP_ROUNDS) -> DataFrame:
+    """(entity, community): synchronous label propagation (Raghavan et
+    al. 2007) over the undirected edge set for a FIXED number of
+    rounds — the deterministic variant: every node starts as its own
+    label; each round every node adopts the most frequent label among
+    its neighbors, ties broken by the smallest label. Fixed-round
+    synchronous updates (not run-to-convergence with random order)
+    make the result partitioning-independent and oracle-replayable;
+    the round count is the resolution knob, exactly as LPA is run in
+    practice on big graphs.
+
+    Scale shape: per round, one join keyed on the edge source to move
+    labels, one (node, label) count — map-side combinable, so a hub's
+    incident messages collapse to partial counts per map task — and
+    one argmax per node via min(struct(-n, label)) inside the
+    aggregate (no window). localCheckpoint per round truncates
+    lineage; total cost is rounds x O(|E|) with no growing state,
+    unlike closure-style algorithms.
+    """
+    e = (
+        graph.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(
+        eager=True
+    )
+    lab = sym.select(F.col("a").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(rounds):
+        msgs = sym.join(lab.withColumnRenamed("node", "a"), "a").select(
+            F.col("b").alias("node"), "label"
+        )
+        counts = msgs.groupBy("node", "label").agg(
+            F.count("*").cast("long").alias("n")
+        )
+        lab = (
+            counts.groupBy("node")
+            .agg(
+                F.min(
+                    F.struct((-F.col("n")).alias("negn"), F.col("label").alias("label"))
+                ).alias("_m")
+            )
+            .select("node", F.col("_m.label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return lab.select(F.col("node").alias("entity"), F.col("label").alias("community"))

@@ -384,3 +384,35 @@ def canonicalized_graph(triples: DataFrame, er_map: DataFrame) -> DataFrame:
         F.countDistinct("h_name").cast("long").alias("n_subj_surfaces"),
         F.countDistinct("t_name").cast("long").alias("n_obj_surfaces"),
     )
+
+
+def entity_salience(
+    mentions: DataFrame, docs_tokens: DataFrame, aliases: DataFrame
+) -> DataFrame:
+    """Per-document entity salience features: for each (doc, canonical
+    entity), mention frequency, first/last token position, and the
+    integer lead score ``lead_milli = ((n_tokens - first_pos) * 1000)
+    DIV n_tokens`` — the position-decay signal (earlier first mention =
+    more salient) salience models combine with frequency (Dunietz &
+    Gillick 2014 use exactly these feature families). The combiner is a
+    modeling choice; the features are the pipeline's job.
+
+    Scale shape: broadcast alias canonicalization (the linking path's
+    join), one map-side-combinable groupBy on (doc_id, entity) — key
+    bounded by entities-per-doc, skew-free — and one join to the
+    per-doc token count on doc_id. Everything integer; one plan, no
+    windows.
+    """
+    m = canonicalize(mentions, aliases, "text", "entity")
+    per = m.groupBy("doc_id", "entity").agg(
+        F.count("*").cast("long").alias("n_mentions"),
+        F.min("start").cast("long").alias("first_pos"),
+        F.max("start").cast("long").alias("last_pos"),
+    )
+    n = docs_tokens.select(
+        "doc_id", F.size("tokens").cast("long").alias("n_tokens")
+    )
+    return per.join(n, "doc_id").select(
+        "doc_id", "entity", "n_mentions", "first_pos", "last_pos", "n_tokens",
+        F.expr("((n_tokens - first_pos) * 1000) DIV n_tokens").alias("lead_milli"),
+    )

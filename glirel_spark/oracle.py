@@ -1442,3 +1442,71 @@ walk(src, dst, d) AS (
 SELECT src, dst, CAST(min(d) AS BIGINT) AS dist
 FROM walk GROUP BY src, dst"""
     )
+
+
+def q_entity_salience() -> str:
+    """Mirror of linking.entity_salience: broadcast-alias canonical
+    entities, per-(doc, entity) frequency + position aggregates, and
+    the integer lead_milli position-decay score."""
+    return (
+        with_chain()
+        + f"""
+, aliases(alias, canonical_id) AS (VALUES {_alias_values()}),
+me AS (
+  SELECT m.doc_id,
+         coalesce(a.canonical_id, 'Q:surface:' || lower(m.text)) AS entity,
+         m.start
+  FROM mentions m LEFT JOIN aliases a ON lower(m.text) = a.alias
+),
+per AS (
+  SELECT doc_id, entity,
+         CAST(count(*) AS BIGINT) AS n_mentions,
+         CAST(min(start) AS BIGINT) AS first_pos,
+         CAST(max(start) AS BIGINT) AS last_pos
+  FROM me GROUP BY doc_id, entity
+),
+dn AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+  FROM toks GROUP BY doc_id
+)
+SELECT p.doc_id, p.entity, p.n_mentions, p.first_pos, p.last_pos,
+       d.n_tokens,
+       CAST(((d.n_tokens - p.first_pos) * 1000) // d.n_tokens AS BIGINT)
+         AS lead_milli
+FROM per p JOIN dn d ON d.doc_id = p.doc_id"""
+    )
+
+
+def q_kg_label_prop(rounds: int | None = None) -> str:
+    """Mirror of graph.kg_label_prop: fixed-round synchronous LPA,
+    each round unrolled as a (move labels, count, argmax) CTE layer;
+    argmax = row_number ordered by (n DESC, label)."""
+    R = rounds if rounds is not None else c.LP_ROUNDS
+    layers = []
+    for r in range(1, R + 1):
+        prev = f"lab{r - 1}"
+        layers.append(
+            f"""m{r} AS (
+  SELECT s.b AS node, l.label FROM sym s JOIN {prev} l ON l.node = s.a
+),
+c{r} AS (
+  SELECT node, label, CAST(count(*) AS BIGINT) AS n
+  FROM m{r} GROUP BY node, label
+),
+lab{r} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           row_number() OVER (PARTITION BY node ORDER BY n DESC, label) AS rn
+    FROM c{r})
+  WHERE rn = 1
+)"""
+        )
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED, _CTE_SYM_EDGES)
+        + f"""
+, lab0 AS (
+  SELECT a AS node, a AS label FROM (SELECT DISTINCT a FROM sym)
+),
+{",".join(layers)}
+SELECT node AS entity, label AS community FROM lab{R}"""
+    )

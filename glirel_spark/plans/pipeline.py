@@ -841,3 +841,17 @@ def kg_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import graph as graph_ops
 
     return graph_ops.kg_closure(graph(spark, sf_dir))
+
+
+def entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import linking
+
+    return linking.entity_salience(
+        mentions(spark, sf_dir), docs_tokens(spark, sf_dir), linking.alias_df(spark)
+    )
+
+
+def kg_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+
+    return graph_ops.kg_label_prop(graph(spark, sf_dir))

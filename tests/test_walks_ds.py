@@ -147,3 +147,52 @@ def test_kg_closure_filters_predicate(spark):
     )
     out = graph_ops.kg_closure(g, pred="dep").collect()
     assert [(r["src"], r["dst"], r["dist"]) for r in out] == [("A", "B", 1)]
+
+
+def test_label_prop_two_cliques(spark):
+    # two triangles joined by one bridge edge: after 3 sync rounds each
+    # triangle converges to its min label; replay in python to pin it.
+    edges = [("a1", "a2"), ("a2", "a3"), ("a3", "a1"),
+             ("b1", "b2"), ("b2", "b3"), ("b3", "b1"), ("a1", "b1")]
+    g = _graph(spark, edges)
+    out = {r["entity"]: r["community"]
+           for r in graph_ops.kg_label_prop(g, rounds=3).collect()}
+
+    nbrs: dict[str, set[str]] = {}
+    for s, o in edges:
+        nbrs.setdefault(s, set()).add(o)
+        nbrs.setdefault(o, set()).add(s)
+    lab = {v: v for v in nbrs}
+    for _ in range(3):
+        nxt = {}
+        for v in nbrs:
+            cnt: dict[str, int] = {}
+            for u in nbrs[v]:
+                cnt[lab[u]] = cnt.get(lab[u], 0) + 1
+            nxt[v] = min(cnt, key=lambda L: (-cnt[L], L))
+        lab = nxt
+    assert out == lab
+
+
+def test_entity_salience_hand_case(spark):
+    from glirel_spark.operators import linking
+
+    mentions = spark.createDataFrame(
+        [("d1", 0, 0, "TOOL", "spark"), ("d1", 5, 5, "TOOL", "spark"),
+         ("d1", 9, 9, "OBJECT", "unknownx")],
+        "doc_id string, start int, end int, type string, text string",
+    )
+    toks = spark.createDataFrame(
+        [("d1", ["t"] * 10)], "doc_id string, tokens array<string>"
+    )
+    out = {
+        r["entity"]: r
+        for r in linking.entity_salience(
+            mentions, toks, linking.alias_df(spark)
+        ).collect()
+    }
+    sp = out["Q:apache_spark"]
+    assert (sp["n_mentions"], sp["first_pos"], sp["last_pos"]) == (2, 0, 5)
+    assert sp["lead_milli"] == 1000  # first token -> full lead score
+    un = out["Q:surface:unknownx"]
+    assert (un["n_mentions"], un["first_pos"], un["lead_milli"]) == (1, 9, 100)
