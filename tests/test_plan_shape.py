@@ -146,3 +146,46 @@ def test_inverted_index_plan_single_scan_two_aggs(spark):
     plan = _plan(pipeline.inverted_index(spark, SF))
     assert "Window" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_token_blocks_prefix_sum_is_two_phase_not_global_window(spark):
+    """The packed-block layout must come from the distributed two-phase
+    prefix sum: a rangepartitioning exchange + a _pid-partitioned
+    window, with the only unpartitioned window running over the tiny
+    per-partition-totals frame. Collapsing it into one global
+    Window.orderBy would drop the range exchange and leave a single
+    unpartitioned window over the full corpus."""
+    from glirel_spark.plans import pipeline
+
+    plan = _plan(pipeline.token_blocks(spark, SF))
+    assert "Exchange rangepartitioning" in plan
+    assert plan.count("Window") == 2  # per-partition cumsum + totals frame
+
+
+def test_quality_buckets_corpus_side_is_broadcast_mapped(spark):
+    """Exact deciles via the bounded-domain histogram: the bucket map
+    must come back to the corpus as a BROADCAST join, and the only
+    window runs over the tiny histogram frame — a global ntile over
+    the corpus would show as more windows / a shuffle join."""
+    from glirel_spark.plans import pipeline
+
+    plan = _plan(pipeline.quality_buckets(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Window") == 1
+
+
+def test_kg_walks_plan_is_window_free(spark):
+    """Successor argmin is min(struct(...)) inside an aggregate and the
+    rollout is plain joins — no window, no nested-loop join."""
+    from glirel_spark.plans import pipeline
+
+    plan = _plan(pipeline.kg_walks(spark, SF))
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kg_label_prop_plan_is_window_free(spark):
+    from glirel_spark.plans import pipeline
+
+    plan = _plan(pipeline.kg_label_prop(spark, SF))
+    assert "Window" not in plan
