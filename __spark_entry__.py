@@ -240,6 +240,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_range_join": pipeline.events_range_join,
         # JSON props extraction as codegen scan expression (no UDF)
         "events_props": pipeline.events_props,
+        # ordered conversion funnel (co-partitioned per-step min chain)
+        "funnel_counts": pipeline.funnel_counts,
+        # SCD2 state intervals (per-key lead, sentinel close)
+        "user_state_intervals": pipeline.user_state_intervals,
         # general relational/OLAP surface (TPC-H shapes)
         "tpch_pricing_summary": relational.pricing_summary,
         "tpch_top_orders": relational.top_orders,
@@ -356,6 +360,8 @@ def oracle_sql() -> dict[str, str]:
         "events_windowed": oc.q_events_windowed(),
         "events_sessionized": oc.q_events_sessionized(),
         "events_asof": oc.q_events_asof(),
+        "funnel_counts": oc.q_funnel_counts(),
+        "user_state_intervals": oc.q_user_state_intervals(),
         "events_range_join": oc.q_events_range_join(),
         "events_props": oc.q_events_props(),
         **relational.ORACLE,

@@ -175,3 +175,73 @@ def props_stats(events: DataFrame) -> DataFrame:
             F.countDistinct("k").cast("long").alias("n_distinct_k"),
         )
     )
+
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+SCD_OPEN_END = "2100-01-01 00:00:00"  # far-future, pandas-ns-representable
+
+
+def funnel_counts(events: DataFrame, steps: list[str] | None = None) -> DataFrame:
+    """(step_idx, step_type, n_users): the ordered conversion funnel —
+    how many users reached step i, where step i counts only if an event
+    of that type occurs at-or-after the user's step-(i-1) time (first
+    qualifying occurrence each). The product-analytics staple.
+
+    Scale shape: one conditional min-aggregate per step, each keyed on
+    user_id — the SAME shuffle key every round, so after the first
+    exchange the per-step joins are co-partitioned (Catalyst reuses the
+    hash partitioning; no re-shuffle); per-step state is one timestamp
+    per user. Each step's count collapses to ONE row and the result is
+    the lazy union of |steps| single-row aggregates — no driver-side
+    action, no windows, no per-user loops.
+    """
+    steps = steps if steps is not None else FUNNEL_STEPS
+    reached = events.filter(F.col("event_type") == steps[0]).groupBy("user_id").agg(
+        F.min("ts").alias("t")
+    )
+
+    def step_row(i: int, s: str, users: DataFrame) -> DataFrame:
+        return users.agg(
+            F.lit(i).cast("long").alias("step_idx"),
+            F.lit(s).alias("step_type"),
+            F.count("*").cast("long").alias("n_users"),
+        )
+
+    out = step_row(0, steps[0], reached)
+    for i, s in enumerate(steps[1:], start=1):
+        reached = (
+            events.filter(F.col("event_type") == s)
+            .join(reached, "user_id")
+            .filter(F.col("ts") >= F.col("t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        out = out.unionByName(step_row(i, s, reached))
+    return out
+
+
+def user_state_intervals(events: DataFrame) -> DataFrame:
+    """(user_id, state, valid_from, valid_to, is_open): SCD2-style
+    state-interval build — every event opens a state (its event_type)
+    valid until the user's next event; the latest event's interval is
+    closed with the far-future sentinel end (2100-01-01 — chosen inside
+    the pandas timestamp[ns] range so Arrow conversion round-trips) and
+    flagged is_open.
+    The warehouse dimension-history shape (Kimball type-2) applied to
+    the event log.
+
+    Scale shape: ONE window partitioned by user_id (per-key frames,
+    never a global order), deterministic within-key order (ts,
+    event_id). The sentinel close keeps the schema NULL-free so
+    downstream BETWEEN probes need no null guards.
+    """
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return events.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.coalesce(nxt, F.lit(SCD_OPEN_END).cast("timestamp")).alias("valid_to"),
+        nxt.isNull().alias("is_open"),
+        "event_id",
+    )

@@ -1674,3 +1674,42 @@ dtot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM hist)
 SELECT s.doc_id, s.decibits,
        CAST((cm.below * {nb}) // dt.total AS BIGINT) AS bucket
 FROM s JOIN cum cm USING (decibits) CROSS JOIN dtot dt"""
+
+
+def q_funnel_counts() -> str:
+    """Mirror of events.funnel_counts: per-step first-qualifying-time
+    chain (min ts at-or-after the previous step), |steps| count rows."""
+    from glirel_spark.operators.events import FUNNEL_STEPS
+
+    ctes = [
+        f"""t0 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = '{FUNNEL_STEPS[0]}' GROUP BY user_id
+)"""
+    ]
+    for i, s in enumerate(FUNNEL_STEPS[1:], start=1):
+        ctes.append(
+            f"""t{i} AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN t{i - 1} p ON p.user_id = e.user_id AND e.ts >= p.t
+  WHERE e.event_type = '{s}' GROUP BY e.user_id
+)"""
+        )
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS step_idx, '{s}' AS step_type,"
+        f" CAST(count(*) AS BIGINT) AS n_users FROM t{i}"
+        for i, s in enumerate(FUNNEL_STEPS)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def q_user_state_intervals() -> str:
+    """Mirror of events.user_state_intervals: lead() per user with the
+    2100-01-01 sentinel close."""
+    return """
+SELECT user_id, event_type AS state, ts AS valid_from,
+       coalesce(lead(ts) OVER w, TIMESTAMP '2100-01-01 00:00:00') AS valid_to,
+       (lead(ts) OVER w IS NULL) AS is_open,
+       event_id
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""

@@ -855,3 +855,15 @@ def kg_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import graph as graph_ops
 
     return graph_ops.kg_label_prop(graph(spark, sf_dir))
+
+
+def funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import events as ev
+
+    return ev.funnel_counts(tables.TableIO(spark, sf_dir).table("events"))
+
+
+def user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import events as ev
+
+    return ev.user_state_intervals(tables.TableIO(spark, sf_dir).table("events"))

@@ -6,6 +6,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+from pyspark.sql import functions as F
+
 from glirel_spark.operators.events import asof_last_event, range_join_counts
 
 SCHEMA = "event_id long, ts timestamp_ntz, user_id long, event_type string"
@@ -81,3 +83,48 @@ def test_asof_equals_naive_join(spark):
             | (F.col("last_error_event_id").isNull() & F.col("naive_id").isNull())
         )
     ).count() == 0
+
+
+def test_funnel_counts_hand_case(spark):
+    from glirel_spark.operators import events as ev
+
+    rows = [
+        # u1 completes view -> click -> purchase in order
+        (1, "2024-01-01 10:00:00", 10, "view"),
+        (2, "2024-01-01 10:05:00", 10, "click"),
+        (3, "2024-01-01 10:10:00", 10, "purchase"),
+        # u2: click BEFORE first view -> stalls after view
+        (4, "2024-01-01 09:00:00", 20, "click"),
+        (5, "2024-01-01 09:30:00", 20, "view"),
+        (6, "2024-01-01 09:40:00", 20, "purchase"),  # no click after view
+        # u3: never views
+        (7, "2024-01-01 08:00:00", 30, "purchase"),
+    ]
+    events = spark.createDataFrame(
+        [(e, t, u, k) for e, t, u, k in rows],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["step_idx"]: r for r in ev.funnel_counts(events).collect()}
+    assert (out[0]["step_type"], out[0]["n_users"]) == ("view", 2)  # u1, u2
+    assert (out[1]["step_type"], out[1]["n_users"]) == ("click", 1)  # u1 only
+    assert (out[2]["step_type"], out[2]["n_users"]) == ("purchase", 1)
+
+
+def test_user_state_intervals_hand_case(spark):
+    from glirel_spark.operators import events as ev
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 10, "view"),
+            (2, "2024-01-01 11:00:00", 10, "click"),
+            (3, "2024-01-01 09:00:00", 20, "signup"),
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["event_id"]: r for r in ev.user_state_intervals(events).collect()}
+    assert str(out[1]["valid_to"]) == "2024-01-01 11:00:00"
+    assert out[1]["is_open"] is False
+    assert out[2]["is_open"] is True and str(out[2]["valid_to"]).startswith("2100")
+    assert out[3]["is_open"] is True
+    # intervals tile: each user's states cover [first_ts, sentinel)
+    assert out[1]["state"] == "view" and out[2]["state"] == "click"
