@@ -157,6 +157,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": pipeline.dedup_clusters,
         # LSH-collision pairs verifying to LOW overlap (contrastive mining)
         "minhash_hard_negatives": pipeline.minhash_hard_negatives,
+        # EXACT set-similarity join via prefix filtering (no-LSH complement)
+        "allpairs_neardups": pipeline.allpairs_neardups,
         # benchmark decontamination (shingle overlap vs the eval split)
         "decontaminate": pipeline.decontaminate,
         # Bloom-filter decontamination with false-positive audit
@@ -317,6 +319,7 @@ def oracle_sql() -> dict[str, str]:
         # recursive-CTE transitive closure (min reachable doc_id)
         "dedup_clusters": oc.q_dedup_clusters(),
         "minhash_hard_negatives": oc.q_minhash_hard_negatives(),
+        "allpairs_neardups": oc.q_allpairs_neardups(),
         "decontaminate": oc.q_decontaminate(),
         "bloom_decontaminate": oc.q_bloom_decontaminate(),
         "simhash": oc.q_simhash(),

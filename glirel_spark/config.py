@@ -139,6 +139,10 @@ MINHASH_AB = [
     (8_913_131, 11_489),
 ]
 NEARDUP_JACCARD = 0.8
+# AllPairs/PPJoin exact set-similarity join threshold as an exact
+# rational (integer cross-multiplied test; == NEARDUP_JACCARD)
+ALLPAIRS_T_NUM = 4
+ALLPAIRS_T_DEN = 5
 
 SIMHASH_BITS = 48  # 12-bit LSH chunks keep candidate blocks selective
 SIMHASH_AB = [(2 * i + 3, 7 * i + 5) for i in range(SIMHASH_BITS)]

@@ -828,3 +828,59 @@ def bloom_decontaminate(
             ((bloom_n > 0) & ~(ex_hits > 0)).alias("is_fp"),
         )
     )
+
+
+def allpairs_neardups(
+    docs_tokens: DataFrame,
+    t_num: int = config.ALLPAIRS_T_NUM,
+    t_den: int = config.ALLPAIRS_T_DEN,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
+    """EXACT set-similarity self-join by prefix filtering (Bayardo et
+    al. 2007 AllPairs / Xiao et al. PPJoin family) — the no-LSH
+    complement to minhash_neardups: ZERO false negatives by
+    construction, same output contract (doc1, doc2, inter, un,
+    jaccard), threshold as the exact rational t_num/t_den.
+
+    Prefix-filter lemma: order every doc's shingles by ONE global total
+    order (ascending document frequency, ties by value — rare first);
+    if J(A,B) >= t then |A∩B| >= ceil(t·|A|), and a B missing ALL of
+    A's first |A| - ceil(t·|A|) + 1 elements could share at most
+    ceil(t·|A|) - 1 — contradiction. So every qualifying pair shares a
+    PREFIX element, and the candidate join runs on prefixes only.
+
+    Scale shape: the rare-first order is the scale mechanism — the
+    corpus's hottest shingles (boilerplate) sort to the SUFFIX and
+    never enter the candidate join, so the prefix index's per-key
+    fanout is bounded by how many docs share a *rare* shingle. One df
+    aggregation (map-side combined), one per-doc ranking window
+    (per-key frames), prefix equi-join, and the exact verify runs on
+    candidates only (shared jaccard_verify). The threshold test is
+    integer cross-multiplication (inter * t_den >= un * t_num) — no
+    float boundary.
+    """
+    from pyspark.sql import Window as W
+
+    if shingled is None:
+        shingled = with_shingle_array(docs_tokens)
+    sh = shingles_arr(docs_tokens, shingled=shingled)
+    dfreq = sh.groupBy("sh").agg(F.count("*").cast("long").alias("df"))
+    w = W.partitionBy("doc_id").orderBy("df", "sh")
+    ranked = (
+        sh.join(dfreq, "sh")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(W.partitionBy("doc_id")))
+    )
+    pref = ranked.filter(
+        F.col("rk")
+        <= F.col("n") - F.expr(f"({t_num} * n + {t_den} - 1) DIV {t_den}") + 1
+    ).select("doc_id", "sh")
+    cands = (
+        pref.select(F.col("doc_id").alias("doc1"), "sh")
+        .join(pref.select(F.col("doc_id").alias("doc2"), "sh"), "sh")
+        .filter(F.col("doc1") < F.col("doc2"))
+        .select("doc1", "doc2")
+        .distinct()
+    )
+    ver = jaccard_verify(cands, sh)
+    return ver.filter(F.col("inter") * t_den >= F.col("un") * t_num)

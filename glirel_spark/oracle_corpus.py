@@ -1713,3 +1713,47 @@ SELECT user_id, event_type AS state, ts AS valid_from,
        event_id
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"""
+
+
+def q_allpairs_neardups() -> str:
+    """Mirror of corpus_dedup.allpairs_neardups: global rare-first
+    shingle order, per-doc prefix slice, prefix equi-join candidates,
+    exact-Jaccard verify with the integer cross-multiplied threshold."""
+    tn, td = c.ALLPAIRS_T_NUM, c.ALLPAIRS_T_DEN
+    return (
+        _with(CTE_TOKENS, CTE_THASH, CTE_SHINGLES)
+        + f""",
+dfreq AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM shing GROUP BY sh),
+rk AS (
+  SELECT s.doc_id, s.sh,
+         row_number() OVER (PARTITION BY s.doc_id ORDER BY f.df, s.sh) AS rk,
+         count(*) OVER (PARTITION BY s.doc_id) AS n
+  FROM shing s JOIN dfreq f ON f.sh = s.sh
+),
+pref AS (
+  SELECT doc_id, sh FROM rk
+  WHERE rk <= n - (({tn} * n + {td} - 1) // {td}) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+  FROM pref a JOIN pref b ON a.sh = b.sh AND a.doc_id < b.doc_id
+),
+sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shing GROUP BY doc_id
+),
+iv AS (
+  SELECT cd.doc1, cd.doc2, CAST(count(*) AS BIGINT) AS inter
+  FROM cand cd
+  JOIN shing s1 ON s1.doc_id = cd.doc1
+  JOIN shing s2 ON s2.doc_id = cd.doc2 AND s2.sh = s1.sh
+  GROUP BY cd.doc1, cd.doc2
+)
+SELECT i.doc1, i.doc2, i.inter,
+       CAST(z1.n + z2.n - i.inter AS BIGINT) AS un,
+       CAST(i.inter AS DOUBLE) / CAST(z1.n + z2.n - i.inter AS DOUBLE)
+         AS jaccard
+FROM iv i
+JOIN sizes z1 ON z1.doc_id = i.doc1
+JOIN sizes z2 ON z2.doc_id = i.doc2
+WHERE i.inter * {td} >= (z1.n + z2.n - i.inter) * {tn}"""
+    )

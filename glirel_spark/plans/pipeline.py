@@ -867,3 +867,11 @@ def user_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import events as ev
 
     return ev.user_state_intervals(tables.TableIO(spark, sf_dir).table("events"))
+
+
+def allpairs_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import corpus_dedup as cd
+
+    return cd.allpairs_neardups(
+        docs_tokens(spark, sf_dir), shingled=docs_shingled(spark, sf_dir)
+    )

@@ -251,3 +251,42 @@ def test_dup_spans_hand_computed(spark):
     y = got["y"]
     assert (y.n_dup_positions, y.n_runs, y.max_run) == (2, 1, 2)
     assert y.dup_cover_ratio == 2 / 3
+
+
+def test_allpairs_matches_bruteforce_and_minhash_recall(spark):
+    """AllPairs exact join == brute-force exact Jaccard >= 4/5 on a
+    corpus with planted near-dups; also a superset of what LSH finds
+    (zero false negatives is the operator's whole claim)."""
+    from glirel_spark.operators import corpus_dedup as cd
+
+    base = "w%d"
+    rows = []
+    for d in range(12):
+        toks = [base % (i % 9) for i in range(20)]
+        if d % 3 == 1:
+            toks[-1] = "only%d" % d  # near-dup of the d%3==0 docs
+        if d % 3 == 2:
+            toks = ["only%d_%d" % (d, i) for i in range(20)]  # unrelated
+        rows.append((str(d), toks))
+    docs = spark.createDataFrame(rows, "doc_id string, tokens array<string>")
+
+    got = {
+        (r["doc1"], r["doc2"]): (r["inter"], r["un"])
+        for r in cd.allpairs_neardups(docs).collect()
+    }
+
+    # brute force over all pairs
+    sh = cd.shingles_arr(docs)
+    sets = {}
+    for r in sh.collect():
+        sets.setdefault(r["doc_id"], set()).add(r["sh"])
+    expect = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            un = len(sets[a] | sets[b])
+            if inter * 5 >= un * 4:
+                expect[(a, b)] = (inter, un)
+    assert got == expect
+    assert len(got) > 0  # the planted near-dups were found
