@@ -159,6 +159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_hard_negatives": pipeline.minhash_hard_negatives,
         # EXACT set-similarity join via prefix filtering (no-LSH complement)
         "allpairs_neardups": pipeline.allpairs_neardups,
+        # sorted-neighborhood ER census (distributed rank + band join)
+        "er_sorted_neighborhood": pipeline.er_sorted_neighborhood,
         # benchmark decontamination (shingle overlap vs the eval split)
         "decontaminate": pipeline.decontaminate,
         # Bloom-filter decontamination with false-positive audit
@@ -320,6 +322,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": oc.q_dedup_clusters(),
         "minhash_hard_negatives": oc.q_minhash_hard_negatives(),
         "allpairs_neardups": oc.q_allpairs_neardups(),
+        "er_sorted_neighborhood": oracle.q_er_sorted_neighborhood(),
         "decontaminate": oc.q_decontaminate(),
         "bloom_decontaminate": oc.q_bloom_decontaminate(),
         "simhash": oc.q_simhash(),

@@ -217,6 +217,7 @@ WALK_SALT = "walk:v1:"  # salt for the neighbor-selection char hash
 SKIPGRAM_WINDOW = 2  # skip-gram context window over walk positions
 CLOSURE_PRED = "depends on"  # hierarchy predicate for transitive closure
 LP_ROUNDS = 3  # synchronous label-propagation rounds (community detection)
+SN_WINDOW = 3  # sorted-neighborhood ER: compare next-W names in sort order
 DS_MIN_SUPPORT = 2  # distant supervision: min distinct supporting docs
 
 TABLES = [

@@ -416,3 +416,58 @@ def entity_salience(
         "doc_id", "entity", "n_mentions", "first_pos", "last_pos", "n_tokens",
         F.expr("((n_tokens - first_pos) * 1000) DIV n_tokens").alias("lead_milli"),
     )
+
+
+def er_sorted_neighborhood(
+    mentions: DataFrame, window: int = config.SN_WINDOW
+) -> DataFrame:
+    """Sorted-neighborhood ER blocking (Hernandez & Stolfo 1995): sort
+    the distinct lowercased surface forms by one global key (the name
+    itself) and compare each to its next ``window`` neighbors in sort
+    order — the third classic blocking family alongside first-char
+    blocks (er_edit_pairs) and MinHash-LSH (fuzzy_alias_candidates).
+    Output: every candidate pair with its rank gap and Levenshtein
+    distance (the comparison census; thresholding is the caller's
+    match rule).
+
+    Scale shape: the naive form needs a GLOBAL sort + sliding window —
+    the single-task trap. Here the global rank comes from the same
+    distributed two-phase prefix sum as sequence packing
+    (packing._with_global_offset: range-partition, per-partition
+    cumsum, tiny totals frame broadcast back), and the neighbor pairing
+    is the band-join trick from the event range join: rank DIV window
+    buckets, each left row exploded to 2 bucket keys, equi-join, exact
+    gap filter — candidates cross partition boundaries without any
+    boundary-row replication logic. No global window anywhere.
+    """
+    from glirel_spark.operators.packing import _with_global_offset
+
+    names = mentions.select(F.lower("text").alias("name")).distinct()
+    ranked = _with_global_offset(
+        names.withColumn("_one", F.lit(1).cast("long")), "name", "_one"
+    ).select("name", F.col("s").alias("rank"))
+    l = ranked.select(
+        F.col("name").alias("e1"),
+        F.col("rank").alias("r1"),
+        F.explode(
+            F.array(
+                F.expr(f"rank DIV {window}"), F.expr(f"rank DIV {window} + 1")
+            )
+        ).alias("_b"),
+    )
+    r = ranked.select(
+        F.col("name").alias("e2"),
+        F.col("rank").alias("r2"),
+        F.expr(f"rank DIV {window}").alias("_b"),
+    )
+    return (
+        l.join(r, "_b")
+        .filter(
+            (F.col("r2") > F.col("r1")) & (F.col("r2") - F.col("r1") <= window)
+        )
+        .select(
+            "e1", "e2",
+            (F.col("r2") - F.col("r1")).cast("long").alias("gap"),
+            F.levenshtein("e1", "e2").cast("long").alias("dist"),
+        )
+    )

@@ -1510,3 +1510,26 @@ lab{r} AS (
 {",".join(layers)}
 SELECT node AS entity, label AS community FROM lab{R}"""
     )
+
+
+def q_er_sorted_neighborhood(window: int | None = None) -> str:
+    """Mirror of linking.er_sorted_neighborhood: global name rank (one
+    window at oracle scale; the engine's distributed prefix sum must
+    produce the identical ranking), next-W neighbor pairs, rank gap +
+    Levenshtein census."""
+    W = window if window is not None else c.SN_WINDOW
+    return (
+        with_chain()
+        + f"""
+, names AS (SELECT DISTINCT lower(text) AS name FROM mentions),
+ranked AS (
+  SELECT name,
+         row_number() OVER (ORDER BY name) - 1 AS rank
+  FROM names
+)
+SELECT l.name AS e1, r.name AS e2,
+       CAST(r.rank - l.rank AS BIGINT) AS gap,
+       CAST(levenshtein(l.name, r.name) AS BIGINT) AS dist
+FROM ranked l
+JOIN ranked r ON r.rank > l.rank AND r.rank <= l.rank + {W}"""
+    )

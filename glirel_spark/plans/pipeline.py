@@ -875,3 +875,9 @@ def allpairs_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cd.allpairs_neardups(
         docs_tokens(spark, sf_dir), shingled=docs_shingled(spark, sf_dir)
     )
+
+
+def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import linking
+
+    return linking.er_sorted_neighborhood(mentions(spark, sf_dir))

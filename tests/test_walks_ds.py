@@ -196,3 +196,42 @@ def test_entity_salience_hand_case(spark):
     assert sp["lead_milli"] == 1000  # first token -> full lead score
     un = out["Q:surface:unknownx"]
     assert (un["n_mentions"], un["first_pos"], un["lead_milli"]) == (1, 9, 100)
+
+
+def test_sorted_neighborhood_pairs(spark):
+    from glirel_spark.operators import linking
+
+    mentions = spark.createDataFrame(
+        [("d", 0, 0, "T", t) for t in
+         ["alpha", "alphb", "beta", "gamma", "delta", "alpha"]],
+        "doc_id string, start int, end int, type string, text string",
+    )
+    out = {
+        (r["e1"], r["e2"]): (r["gap"], r["dist"])
+        for r in linking.er_sorted_neighborhood(mentions, window=2).collect()
+    }
+    # sorted distinct names: alpha(0) alphb(1) beta(2) delta(3) gamma(4)
+    expect = {
+        ("alpha", "alphb"): (1, 1),
+        ("alpha", "beta"): (2, 4),
+        ("alphb", "beta"): (1, 5),
+        ("alphb", "delta"): (2, 5),
+        ("beta", "delta"): (1, 2),
+        ("beta", "gamma"): (2, 4),
+        ("delta", "gamma"): (1, 4),
+    }
+    assert out == expect
+
+
+def test_sorted_neighborhood_partitioning_invariant(spark):
+    from glirel_spark.operators import linking
+
+    rows = [("d", 0, 0, "T", f"name{(i * 13) % 37:03d}") for i in range(37)]
+    m = spark.createDataFrame(
+        rows, "doc_id string, start int, end int, type string, text string"
+    )
+    a = sorted(map(tuple, linking.er_sorted_neighborhood(m.repartition(1)).collect()))
+    b = sorted(map(tuple, linking.er_sorted_neighborhood(m.repartition(8)).collect()))
+    assert a == b
+    # every name has exactly window successors except the tail
+    assert len(a) == 3 * 37 - (1 + 2 + 3)
