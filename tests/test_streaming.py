@@ -331,3 +331,53 @@ def test_hll_register_merge_stream_two_batches(spark, tmp_path):
         (r.lang, r.reg): r.m for r in hll_dense_registers(docs).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stateful_funnel_equals_batch(spark):
+    """applyInPandasWithState funnel == the batch chain of conditional
+    mins: same per-step user counts AND same first-qualifying times
+    (pandas replay as the independent double)."""
+    import pandas as pd
+
+    from glirel_spark.operators.events import FUNNEL_STEPS, funnel_counts
+    from glirel_spark.streaming.events_stream import read_events_stream
+    from glirel_spark.streaming.funnel_state import funnel_stateful
+
+    stream = funnel_stateful(read_events_stream(spark, SF))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("funnel_state_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.step_idx): r.ts
+        for r in spark.sql("SELECT * FROM funnel_state_out").collect()
+    }
+
+    # batch counts agree
+    batch = {
+        r["step_idx"]: r["n_users"]
+        for r in funnel_counts(spark.read.parquet(f"{SF}/events.parquet")).collect()
+    }
+    stream_counts = {
+        k: sum(1 for (_, s) in got if s == k) for k in range(len(FUNNEL_STEPS))
+    }
+    assert stream_counts == batch and batch[0] > 0
+
+    # per-user chain times agree with an independent pandas replay
+    pdf = pd.read_parquet(f"{SF}/events.parquet")
+    want = {}
+    for uid, g in pdf.sort_values(["ts", "event_id"]).groupby("user_id"):
+        t_prev = None
+        for k, s in enumerate(FUNNEL_STEPS):
+            cand = g[g.event_type == s]
+            if t_prev is not None:
+                cand = cand[cand.ts >= t_prev]
+            if len(cand) == 0:
+                break
+            t_prev = cand.ts.iloc[0]
+            want[(uid, k)] = t_prev
+    assert got == want
