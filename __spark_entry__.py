@@ -145,6 +145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_closure": pipeline.kg_closure,
         # fixed-round synchronous label-propagation communities
         "kg_label_prop": pipeline.kg_label_prop,
+        # per-component bipartiteness / odd-cycle audit (parity BFS)
+        "kg_bipartite_audit": pipeline.kg_bipartite_audit,
         # per-doc canonical-entity salience features
         "entity_salience": pipeline.entity_salience,
         # per-entity NER-type vote profile
@@ -308,6 +310,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_skipgram_pairs": oracle.q_kg_skipgram_pairs(),
         "kg_closure": oracle.q_kg_closure(),
         "kg_label_prop": oracle.q_kg_label_prop(),
+        "kg_bipartite_audit": oracle.q_kg_bipartite_audit(),
         "entity_salience": oracle.q_entity_salience(),
         "entity_types": oracle.q_entity_types(),
         "doc_bigram_surprisal": oc.q_doc_bigram_surprisal(),

@@ -1386,3 +1386,69 @@ def kg_label_prop(graph: DataFrame, rounds: int = config.LP_ROUNDS) -> DataFrame
             .localCheckpoint(eager=True)
         )
     return lab.select(F.col("node").alias("entity"), F.col("label").alias("community"))
+
+
+def kg_bipartite_audit(graph: DataFrame, max_iter: int = 60) -> DataFrame:
+    """(component_id, n_entities, n_conflicted, is_bipartite): per
+    weakly-connected component, does the undirected entity graph
+    2-color? A component is bipartite iff parity-BFS from its seed
+    never reaches a node at BOTH parities (odd-cycle detection) —
+    the schema-hygiene audit behind "is this relation actually a
+    two-sided affiliation graph (user-item, author-paper) or did
+    linking glue the sides together?".
+
+    Scale shape: one components() fixpoint (shared min-label loop),
+    then a MULTI-SOURCE parity BFS — all component seeds advance in
+    the same frontier, so rounds are bounded by the largest component's
+    odd-diameter, not the component count. State space is at most
+    2 states per node ((node, parity) visited set, anti-join keyed on
+    it — skew-free); frontier-only joins as in kg_bfs;
+    localCheckpoint per round; raises on a live frontier at max_iter.
+    The DuckDB oracle runs the same two recursions (reachability +
+    parity walk) to natural fixpoint — state-finite, so no depth bound
+    is needed there.
+    """
+    e = (
+        graph.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).localCheckpoint(
+        eager=True
+    )
+    comp = components(graph).select("entity", "component_id")
+    visited = (
+        comp.select(F.col("component_id").alias("node"))
+        .distinct()
+        .withColumn("par", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = visited
+    for _ in range(max_iter):
+        ring = (
+            frontier.join(sym.withColumnRenamed("a", "node"), "node")
+            .select(F.col("b").alias("node"), (F.lit(1) - F.col("par")).alias("par"))
+            .distinct()
+            .join(visited, ["node", "par"], "left_anti")
+            .localCheckpoint(eager=True)
+        )
+        if ring.limit(1).count() == 0:
+            break
+        visited = visited.unionByName(ring).localCheckpoint(eager=True)
+        frontier = ring
+    else:
+        raise RuntimeError(
+            f"kg_bipartite_audit frontier live after {max_iter} rounds; raise max_iter"
+        )
+    conf = visited.groupBy("node").agg(
+        (F.countDistinct("par") == 2).cast("long").alias("_c")
+    )
+    return (
+        comp.join(conf, comp.entity == conf.node)
+        .groupBy("component_id")
+        .agg(
+            F.count("*").cast("long").alias("n_entities"),
+            F.sum("_c").cast("long").alias("n_conflicted"),
+        )
+        .withColumn("is_bipartite", F.col("n_conflicted") == 0)
+    )

@@ -1533,3 +1533,38 @@ SELECT l.name AS e1, r.name AS e2,
 FROM ranked l
 JOIN ranked r ON r.rank > l.rank AND r.rank <= l.rank + {W}"""
     )
+
+
+def q_kg_bipartite_audit() -> str:
+    """Mirror of graph.kg_bipartite_audit: component reachability
+    recursion + parity-walk recursion from the per-component min seed,
+    both to natural fixpoint (state-finite)."""
+    return (
+        with_chain(
+            cte_scored(), cte_triples(), CTE_LINKED, _CTE_SYM_EDGES,
+            recursive=True,
+        )
+        + """
+, reach(src, node) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.src, s.b FROM reach r JOIN sym s ON s.a = r.node
+),
+comp AS (SELECT node AS entity, min(src) AS component_id FROM reach GROUP BY node),
+seeds AS (SELECT DISTINCT component_id AS node FROM comp),
+walk(node, par) AS (
+  SELECT node, CAST(0 AS BIGINT) FROM seeds
+  UNION
+  SELECT s.b, 1 - w.par FROM walk w JOIN sym s ON s.a = w.node
+),
+conf AS (
+  SELECT node, CAST(count(DISTINCT par) = 2 AS BIGINT) AS c
+  FROM walk GROUP BY node
+)
+SELECT c.component_id,
+       CAST(count(*) AS BIGINT) AS n_entities,
+       CAST(sum(f.c) AS BIGINT) AS n_conflicted,
+       (sum(f.c) = 0) AS is_bipartite
+FROM comp c JOIN conf f ON f.node = c.entity
+GROUP BY c.component_id"""
+    )

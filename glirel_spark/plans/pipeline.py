@@ -881,3 +881,9 @@ def er_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import linking
 
     return linking.er_sorted_neighborhood(mentions(spark, sf_dir))
+
+
+def kg_bipartite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+
+    return graph_ops.kg_bipartite_audit(graph(spark, sf_dir))

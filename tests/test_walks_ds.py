@@ -235,3 +235,20 @@ def test_sorted_neighborhood_partitioning_invariant(spark):
     assert a == b
     # every name has exactly window successors except the tail
     assert len(a) == 3 * 37 - (1 + 2 + 3)
+
+
+def test_bipartite_audit_triangle_vs_path(spark):
+    g = _graph(spark, [("x", "y"), ("y", "z"), ("z", "x"), ("p", "q")])
+    out = {r["component_id"]: r
+           for r in graph_ops.kg_bipartite_audit(g).collect()}
+    assert set(out) == {"p", "x"}
+    assert out["p"]["is_bipartite"] is True
+    assert (out["p"]["n_entities"], out["p"]["n_conflicted"]) == (2, 0)
+    assert out["x"]["is_bipartite"] is False
+    assert (out["x"]["n_entities"], out["x"]["n_conflicted"]) == (3, 3)
+
+
+def test_bipartite_audit_even_cycle(spark):
+    g = _graph(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
+    (r,) = graph_ops.kg_bipartite_audit(g).collect()
+    assert r["is_bipartite"] is True and r["n_entities"] == 4
