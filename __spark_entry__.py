@@ -147,6 +147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_label_prop": pipeline.kg_label_prop,
         # per-component bipartiteness / odd-cycle audit (parity BFS)
         "kg_bipartite_audit": pipeline.kg_bipartite_audit,
+        # snapshot-to-snapshot changelog (added/removed/changed support)
+        "kg_snapshot_diff": pipeline.kg_snapshot_diff,
         # per-doc canonical-entity salience features
         "entity_salience": pipeline.entity_salience,
         # per-entity NER-type vote profile
@@ -250,6 +252,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "funnel_counts": pipeline.funnel_counts,
         # SCD2 state intervals (per-key lead, sentinel close)
         "user_state_intervals": pipeline.user_state_intervals,
+        # cohort retention matrix (integer epoch weeks, no windows)
+        "user_retention": pipeline.user_retention,
         # general relational/OLAP surface (TPC-H shapes)
         "tpch_pricing_summary": relational.pricing_summary,
         "tpch_top_orders": relational.top_orders,
@@ -311,6 +315,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_closure": oracle.q_kg_closure(),
         "kg_label_prop": oracle.q_kg_label_prop(),
         "kg_bipartite_audit": oracle.q_kg_bipartite_audit(),
+        "kg_snapshot_diff": oracle.q_kg_snapshot_diff(),
         "entity_salience": oracle.q_entity_salience(),
         "entity_types": oracle.q_entity_types(),
         "doc_bigram_surprisal": oc.q_doc_bigram_surprisal(),
@@ -371,6 +376,7 @@ def oracle_sql() -> dict[str, str]:
         "events_asof": oc.q_events_asof(),
         "funnel_counts": oc.q_funnel_counts(),
         "user_state_intervals": oc.q_user_state_intervals(),
+        "user_retention": oc.q_user_retention(),
         "events_range_join": oc.q_events_range_join(),
         "events_props": oc.q_events_props(),
         **relational.ORACLE,

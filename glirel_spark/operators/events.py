@@ -245,3 +245,44 @@ def user_state_intervals(events: DataFrame) -> DataFrame:
         nxt.isNull().alias("is_open"),
         "event_id",
     )
+
+
+def user_retention(events: DataFrame) -> DataFrame:
+    """(cohort_week, week_offset, n_active, n_cohort, retention_milli):
+    classic cohort retention — users grouped by first-activity week,
+    tracked by how many are active k weeks later. Weeks are integer
+    epoch-week numbers (epoch seconds DIV 604800), all arithmetic
+    integer; retention_milli = n_active * 1000 DIV n_cohort is the one
+    integer division.
+
+    Scale shape: first-activity is one min-aggregate on user_id; the
+    (user, week) activity relation is one distinct (skew-free composite
+    key); the cohort join is keyed on user_id (co-partitioned with the
+    first-activity agg); the final rollup's key space is
+    weeks x offsets — tiny, fully map-side combined. No windows.
+    """
+    ep = "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    week = F.expr(f"({ep}) DIV 604800")
+    first = (
+        events.select("user_id", week.alias("week"))
+        .groupBy("user_id")
+        .agg(F.min("week").alias("cohort_week"))
+    )
+    active = events.select("user_id", week.alias("week")).distinct()
+    per_cell = (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_week", (F.col("week") - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.count("*").cast("long").alias("n_active"))
+    )
+    cohorts = first.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("n_cohort")
+    )
+    return per_cell.join(cohorts, "cohort_week").select(
+        F.col("cohort_week").cast("long"),
+        F.col("week_offset").cast("long"),
+        "n_active",
+        "n_cohort",
+        F.expr("(n_active * 1000) DIV n_cohort").alias("retention_milli"),
+    )

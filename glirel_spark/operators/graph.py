@@ -1452,3 +1452,39 @@ def kg_bipartite_audit(graph: DataFrame, max_iter: int = 60) -> DataFrame:
         )
         .withColumn("is_bipartite", F.col("n_conflicted") == 0)
     )
+
+
+def kg_snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """(subj, pred, obj, status, n_before, n_after): the changelog
+    between two materialized graph snapshots — 'added' (absent
+    before), 'removed' (absent after), 'changed' (support count
+    moved), 'same' rows suppressed. What an incremental KG-maintenance
+    pipeline publishes alongside each snapshot commit so downstream
+    consumers can react to deltas instead of re-reading the world.
+
+    Scale shape: ONE full-outer join keyed on the (subj, pred, obj)
+    key of two already-aggregated snapshots (each ~1 row per key —
+    no fanout), then a map-only status projection. Hot-entity skew was
+    already absorbed by the salted materialization that produced the
+    inputs.
+    """
+    o = old.select(
+        *_KEYS, F.col("n_mentions").alias("n_before")
+    )
+    n = new.select(*_KEYS, F.col("n_mentions").alias("n_after"))
+    j = o.join(n, _KEYS, "full_outer")
+    status = (
+        F.when(F.col("n_before").isNull(), F.lit("added"))
+        .when(F.col("n_after").isNull(), F.lit("removed"))
+        .when(F.col("n_before") != F.col("n_after"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return (
+        j.withColumn("status", status)
+        .filter(F.col("status") != "same")
+        .select(
+            *_KEYS, "status",
+            F.coalesce("n_before", F.lit(0)).cast("long").alias("n_before"),
+            F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
+        )
+    )

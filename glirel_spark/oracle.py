@@ -1568,3 +1568,38 @@ SELECT c.component_id,
 FROM comp c JOIN conf f ON f.node = c.entity
 GROUP BY c.component_id"""
     )
+
+
+def q_kg_snapshot_diff() -> str:
+    """Mirror of pipeline.kg_snapshot_diff: even-doc-id half snapshot
+    vs full graph, full-outer keyed on (subj, pred, obj), non-'same'
+    rows with before/after support counts."""
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED)
+        + """
+, old AS (
+  SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS n_before
+  FROM linked WHERE CAST(doc_id AS BIGINT) % 2 = 0
+  GROUP BY subj, pred, obj
+),
+new AS (
+  SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS n_after
+  FROM linked GROUP BY subj, pred, obj
+),
+j AS (
+  SELECT coalesce(o.subj, n.subj) AS subj,
+         coalesce(o.pred, n.pred) AS pred,
+         coalesce(o.obj, n.obj) AS obj,
+         o.n_before, n.n_after
+  FROM old o FULL OUTER JOIN new n
+    ON n.subj = o.subj AND n.pred = o.pred AND n.obj = o.obj
+)
+SELECT subj, pred, obj,
+       CASE WHEN n_before IS NULL THEN 'added'
+            WHEN n_after IS NULL THEN 'removed'
+            ELSE 'changed' END AS status,
+       CAST(coalesce(n_before, 0) AS BIGINT) AS n_before,
+       CAST(coalesce(n_after, 0) AS BIGINT) AS n_after
+FROM j
+WHERE n_before IS NULL OR n_after IS NULL OR n_before <> n_after"""
+    )

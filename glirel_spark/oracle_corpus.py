@@ -1757,3 +1757,34 @@ JOIN sizes z1 ON z1.doc_id = i.doc1
 JOIN sizes z2 ON z2.doc_id = i.doc2
 WHERE i.inter * {td} >= (z1.n + z2.n - i.inter) * {tn}"""
     )
+
+
+def q_user_retention() -> str:
+    """Mirror of events.user_retention: integer epoch weeks, cohort by
+    min week, distinct (user, week) activity, integer milli ratio."""
+    return """
+WITH wk AS (
+  SELECT user_id,
+         date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts) // 604800
+           AS week
+  FROM events
+),
+first AS (
+  SELECT user_id, CAST(min(week) AS BIGINT) AS cohort_week
+  FROM wk GROUP BY user_id
+),
+active AS (SELECT DISTINCT user_id, CAST(week AS BIGINT) AS week FROM wk),
+cell AS (
+  SELECT f.cohort_week, a.week - f.cohort_week AS week_offset,
+         CAST(count(*) AS BIGINT) AS n_active
+  FROM active a JOIN first f ON f.user_id = a.user_id
+  GROUP BY 1, 2
+),
+coh AS (
+  SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_cohort
+  FROM first GROUP BY cohort_week
+)
+SELECT c.cohort_week, CAST(c.week_offset AS BIGINT) AS week_offset,
+       c.n_active, h.n_cohort,
+       CAST((c.n_active * 1000) // h.n_cohort AS BIGINT) AS retention_milli
+FROM cell c JOIN coh h ON h.cohort_week = c.cohort_week"""

@@ -887,3 +887,25 @@ def kg_bipartite_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import graph as graph_ops
 
     return graph_ops.kg_bipartite_audit(graph(spark, sf_dir))
+
+
+def user_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import events as ev
+
+    return ev.user_retention(tables.TableIO(spark, sf_dir).table("events"))
+
+
+def kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog between the even-doc-id half snapshot and the full
+    graph — the deterministic, oracle-replayable stand-in for
+    'yesterday's snapshot vs today's' (same integer-doc-id split
+    discipline as decontaminate; content-addressed ids would need an
+    explicit snapshot pair)."""
+    from glirel_spark.operators import graph as graph_ops
+    from glirel_spark.operators import linking
+
+    linked = linking.link_triples(triples(spark, sf_dir), linking.alias_df(spark))
+    half = F.pmod(F.col("doc_id").cast("long"), F.lit(2)) == 0
+    old = graph_ops.materialize_graph(linked.filter(half))
+    new = graph_ops.materialize_graph(linked)
+    return graph_ops.kg_snapshot_diff(old, new)

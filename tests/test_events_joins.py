@@ -128,3 +128,28 @@ def test_user_state_intervals_hand_case(spark):
     assert out[3]["is_open"] is True
     # intervals tile: each user's states cover [first_ts, sentinel)
     assert out[1]["state"] == "view" and out[2]["state"] == "click"
+
+
+def test_user_retention_hand_case(spark):
+    from glirel_spark.operators import events as ev
+
+    # weeks are epoch-week numbers; 1970-01-05 is week 0, +7d = week 1
+    events = spark.createDataFrame(
+        [
+            (1, "1970-01-02 00:00:00", 1, "view"),   # u1 cohort week 0
+            (2, "1970-01-09 00:00:00", 1, "view"),   # u1 active week 1
+            (3, "1970-01-02 12:00:00", 2, "view"),   # u2 cohort week 0
+            (4, "1970-01-16 00:00:00", 3, "view"),   # u3 cohort week 2
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r["cohort_week"], r["week_offset"]): (r["n_active"], r["n_cohort"],
+                                               r["retention_milli"])
+        for r in ev.user_retention(events).collect()
+    }
+    assert out == {
+        (0, 0): (2, 2, 1000),
+        (0, 1): (1, 2, 500),
+        (2, 0): (1, 1, 1000),
+    }

@@ -252,3 +252,23 @@ def test_bipartite_audit_even_cycle(spark):
     g = _graph(spark, [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")])
     (r,) = graph_ops.kg_bipartite_audit(g).collect()
     assert r["is_bipartite"] is True and r["n_entities"] == 4
+
+
+def test_kg_snapshot_diff_statuses(spark):
+    old = spark.createDataFrame(
+        [("A", "p", "B", 2), ("A", "p", "C", 1)],
+        "subj string, pred string, obj string, n_mentions long",
+    )
+    new = spark.createDataFrame(
+        [("A", "p", "B", 3), ("X", "q", "Y", 1)],
+        "subj string, pred string, obj string, n_mentions long",
+    )
+    out = {
+        (r["subj"], r["pred"], r["obj"]): (r["status"], r["n_before"], r["n_after"])
+        for r in graph_ops.kg_snapshot_diff(old, new).collect()
+    }
+    assert out == {
+        ("A", "p", "B"): ("changed", 2, 3),
+        ("A", "p", "C"): ("removed", 1, 0),
+        ("X", "q", "Y"): ("added", 0, 1),
+    }
