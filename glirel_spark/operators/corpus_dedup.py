@@ -871,10 +871,16 @@ def allpairs_neardups(
         .withColumn("rk", F.row_number().over(w))
         .withColumn("n", F.count("*").over(W.partitionBy("doc_id")))
     )
-    pref = ranked.filter(
-        F.col("rk")
-        <= F.col("n") - F.expr(f"({t_num} * n + {t_den} - 1) DIV {t_den}") + 1
-    ).select("doc_id", "sh")
+    pref = (
+        ranked.filter(
+            F.col("rk")
+            <= F.col("n") - F.expr(f"({t_num} * n + {t_den} - 1) DIV {t_den}") + 1
+        )
+        .select("doc_id", "sh")
+        # both sides of the candidate self-join read the prefix index:
+        # materialize it once instead of running the ranking window twice
+        .localCheckpoint(eager=False)
+    )
     cands = (
         pref.select(F.col("doc_id").alias("doc1"), "sh")
         .join(pref.select(F.col("doc_id").alias("doc2"), "sh"), "sh")

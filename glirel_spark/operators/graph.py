@@ -1169,6 +1169,10 @@ def kg_walks(
         .groupBy("t", "a")
         .agg(F.min(F.struct(F.col("_h").alias("h"), F.col("b").alias("b"))).alias("_m"))
         .select("t", "a", F.col("_m.b").alias("nxt"))
+        # one consumer per rollout step: materialize once (on a cluster,
+        # write the successor table) instead of recomputing the argmin
+        # aggregation walk_len times
+        .localCheckpoint(eager=False)
     )
     walk = (
         sym.select("a")

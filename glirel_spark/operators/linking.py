@@ -443,9 +443,15 @@ def er_sorted_neighborhood(
     from glirel_spark.operators.packing import _with_global_offset
 
     names = mentions.select(F.lower("text").alias("name")).distinct()
-    ranked = _with_global_offset(
-        names.withColumn("_one", F.lit(1).cast("long")), "name", "_one"
-    ).select("name", F.col("s").alias("rank"))
+    ranked = (
+        _with_global_offset(
+            names.withColumn("_one", F.lit(1).cast("long")), "name", "_one"
+        )
+        .select("name", F.col("s").alias("rank"))
+        # consumed by BOTH sides of the neighbor join: materialize the
+        # rank relation once instead of running the prefix sum twice
+        .localCheckpoint(eager=False)
+    )
     l = ranked.select(
         F.col("name").alias("e1"),
         F.col("rank").alias("r1"),
