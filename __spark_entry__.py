@@ -149,6 +149,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_bipartite_audit": pipeline.kg_bipartite_audit,
         # snapshot-to-snapshot changelog (added/removed/changed support)
         "kg_snapshot_diff": pipeline.kg_snapshot_diff,
+        # one-row graph dashboard (size / reciprocity / density)
+        "kg_summary": pipeline.kg_summary,
         # per-doc canonical-entity salience features
         "entity_salience": pipeline.entity_salience,
         # per-entity NER-type vote profile
@@ -217,6 +219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": pipeline.doc_chunks,
         # CCNet-style exact quality deciles (histogram, no global sort)
         "quality_buckets": pipeline.quality_buckets,
+        # packing-efficiency census (docs per block-span count)
+        "packing_stats": pipeline.packing_stats,
         # similarity search
         "ann_topk": pipeline.ann_topk,
         "ann_topk_ivf": pipeline.ann_topk_ivf,
@@ -316,6 +320,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_label_prop": oracle.q_kg_label_prop(),
         "kg_bipartite_audit": oracle.q_kg_bipartite_audit(),
         "kg_snapshot_diff": oracle.q_kg_snapshot_diff(),
+        "kg_summary": oracle.q_kg_summary(),
         "entity_salience": oracle.q_entity_salience(),
         "entity_types": oracle.q_entity_types(),
         "doc_bigram_surprisal": oc.q_doc_bigram_surprisal(),
@@ -358,6 +363,7 @@ def oracle_sql() -> dict[str, str]:
         "token_blocks": oc.q_token_blocks(),
         "doc_chunks": oc.q_doc_chunks(),
         "quality_buckets": oc.q_quality_buckets(),
+        "packing_stats": oc.q_packing_stats(),
         "ann_topk": oc.q_ann_topk(),
         "ann_topk_ivf": oc.q_ann_topk_ivf(),
         "ann_topk_kmeans": oc.q_ann_topk_kmeans(),

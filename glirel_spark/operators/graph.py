@@ -1492,3 +1492,57 @@ def kg_snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
             F.coalesce("n_after", F.lit(0)).cast("long").alias("n_after"),
         )
     )
+
+
+def kg_summary(graph: DataFrame) -> DataFrame:
+    """One-row KG dashboard: (n_entities, n_edges_directed, n_preds,
+    n_reciprocal, reciprocity_milli, density_micro) — the shape-of-the-
+    graph numbers (size, predicate vocabulary, reciprocity = share of
+    directed edges whose reverse also exists, density vs the complete
+    digraph) a maintenance report prints at every snapshot commit.
+    Integer counts; reciprocity_milli and density_micro are the two
+    integer divisions.
+
+    Scale shape: three independent aggregations (edge set, entity set,
+    pred set) each fully map-side combinable, joined as single-row
+    cross joins — no driver collect; reciprocity is one self-join of
+    the deduped edge set on the reversed key (distinct (a,b) relation:
+    ~1 row per key, skew already collapsed by the dedup).
+    """
+    ed = (
+        graph.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_edges = ed.agg(F.count("*").cast("long").alias("n_edges_directed"))
+    n_ent = (
+        ed.select(F.col("a").alias("e"))
+        .union(ed.select(F.col("b").alias("e")))
+        .distinct()
+        .agg(F.count("*").cast("long").alias("n_entities"))
+    )
+    n_pred = graph.select("pred").distinct().agg(
+        F.count("*").cast("long").alias("n_preds")
+    )
+    recip = (
+        ed.join(
+            ed.select(F.col("b").alias("a"), F.col("a").alias("b")),
+            ["a", "b"],
+        )
+        .agg(F.count("*").cast("long").alias("n_reciprocal"))
+    )
+    return (
+        n_ent.join(F.broadcast(n_edges))
+        .join(F.broadcast(n_pred))
+        .join(F.broadcast(recip))
+        .select(
+            "n_entities", "n_edges_directed", "n_preds", "n_reciprocal",
+            F.expr("(n_reciprocal * 1000) DIV n_edges_directed").alias(
+                "reciprocity_milli"
+            ),
+            F.expr(
+                "(n_edges_directed * 1000000) DIV (n_entities * (n_entities - 1))"
+            ).alias("density_micro"),
+        )
+    )

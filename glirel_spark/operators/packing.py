@@ -151,3 +151,29 @@ def doc_chunks(
         clen.alias("chunk_len"),
         chash.alias("chunk_hash"),
     )
+
+
+def packing_stats(
+    docs_tokens: DataFrame, block: int = config.PACK_BLOCK
+) -> DataFrame:
+    """(n_blocks_spanned, n_docs): how many documents span how many
+    packed blocks — the packing-efficiency census (a doc crossing K
+    boundaries is attention-truncated K times under concat-then-chunk,
+    the number a curriculum or sequence-length decision reads first).
+
+    Reuses the distributed prefix-sum layout; the span count is pure
+    arithmetic per doc — ``(e-1) DIV B - s DIV B + 1`` — and the
+    histogram key space is bounded by max_doc_len/B.
+    """
+    d = docs_tokens.select(
+        "doc_id", (F.size("tokens") + F.lit(1)).cast("long").alias("sl")
+    )
+    g = _with_global_offset(d, "doc_id", "sl")
+    spans = g.select(
+        F.expr(f"((s + sl - 1) DIV {block}) - (s DIV {block}) + 1").alias(
+            "n_blocks_spanned"
+        )
+    )
+    return spans.groupBy("n_blocks_spanned").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )

@@ -1603,3 +1603,30 @@ SELECT subj, pred, obj,
 FROM j
 WHERE n_before IS NULL OR n_after IS NULL OR n_before <> n_after"""
     )
+
+
+def q_kg_summary() -> str:
+    """Mirror of graph.kg_summary: deduped directed edge set, entity /
+    pred / reciprocal counts, two integer-ratio columns."""
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED)
+        + """
+, ed AS (SELECT DISTINCT subj AS a, obj AS b FROM linked WHERE subj <> obj),
+ne AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_entities
+  FROM (SELECT a AS e FROM ed UNION SELECT b FROM ed)
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_edges_directed FROM ed),
+np AS (SELECT CAST(count(DISTINCT pred) AS BIGINT) AS n_preds FROM linked),
+nr AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_reciprocal
+  FROM ed l JOIN ed r ON r.a = l.b AND r.b = l.a
+)
+SELECT ne.n_entities, nd.n_edges_directed, np.n_preds, nr.n_reciprocal,
+       CAST((nr.n_reciprocal * 1000) // nd.n_edges_directed AS BIGINT)
+         AS reciprocity_milli,
+       CAST((nd.n_edges_directed * 1000000)
+            // (ne.n_entities * (ne.n_entities - 1)) AS BIGINT)
+         AS density_micro
+FROM ne CROSS JOIN nd CROSS JOIN np CROSS JOIN nr"""
+    )

@@ -1788,3 +1788,26 @@ SELECT c.cohort_week, CAST(c.week_offset AS BIGINT) AS week_offset,
        c.n_active, h.n_cohort,
        CAST((c.n_active * 1000) // h.n_cohort AS BIGINT) AS retention_milli
 FROM cell c JOIN coh h ON h.cohort_week = c.cohort_week"""
+
+
+def q_packing_stats() -> str:
+    """Mirror of packing.packing_stats: block-span arithmetic over the
+    same prefix-sum layout as q_token_blocks, histogrammed."""
+    b = c.PACK_BLOCK
+    return f"""
+WITH dlen AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(len(string_split(text, ' ')) + 1 AS BIGINT) AS sl
+  FROM documents
+),
+offs AS (
+  SELECT doc_id, sl,
+         sum(sl) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - sl AS s
+  FROM dlen
+)
+SELECT CAST(((s + sl - 1) // {b}) - (s // {b}) + 1 AS BIGINT)
+         AS n_blocks_spanned,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM offs GROUP BY 1"""

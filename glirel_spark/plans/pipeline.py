@@ -909,3 +909,15 @@ def kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = graph_ops.materialize_graph(linked.filter(half))
     new = graph_ops.materialize_graph(linked)
     return graph_ops.kg_snapshot_diff(old, new)
+
+
+def kg_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+
+    return graph_ops.kg_summary(graph(spark, sf_dir))
+
+
+def packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import packing
+
+    return packing.packing_stats(docs_tokens(spark, sf_dir))

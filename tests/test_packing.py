@@ -102,3 +102,17 @@ def test_quality_buckets_shape(spark):
             assert a["bucket"] == b["bucket"]  # ties share a bucket
     # both halves of the bimodal corpus actually land in distinct buckets
     assert len({r["bucket"] for r in out}) >= 2
+
+
+def test_packing_stats_hand_layout(spark):
+    # sl: d1=3 d2=6 d3=2 -> offsets 0,3,9; block=4:
+    # d1 spans [0,3) -> 1 block; d2 [3,9) -> blocks 0..2 = 3; d3 [9,11) -> 1
+    d = _docs_tokens(
+        spark,
+        [("d1", ["a", "b"]), ("d2", ["c", "d", "e", "f", "g"]), ("d3", ["h"])],
+    )
+    out = {
+        r["n_blocks_spanned"]: r["n_docs"]
+        for r in packing.packing_stats(d, block=4).collect()
+    }
+    assert out == {1: 2, 3: 1}

@@ -272,3 +272,16 @@ def test_kg_snapshot_diff_statuses(spark):
         ("A", "p", "C"): ("removed", 1, 0),
         ("X", "q", "Y"): ("added", 0, 1),
     }
+
+
+def test_kg_summary_hand_case(spark):
+    # edges: A->B, B->A (reciprocal pair), A->C; preds p,q
+    g = spark.createDataFrame(
+        [("A", "p", "B"), ("B", "q", "A"), ("A", "p", "C")],
+        "subj string, pred string, obj string",
+    )
+    (r,) = graph_ops.kg_summary(g).collect()
+    assert (r["n_entities"], r["n_edges_directed"], r["n_preds"]) == (3, 3, 2)
+    assert r["n_reciprocal"] == 2  # A->B and B->A each count
+    assert r["reciprocity_milli"] == 666
+    assert r["density_micro"] == 500000  # 3 / (3*2)
