@@ -28,7 +28,7 @@ from __future__ import annotations
 import os
 import re
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from glirel_spark.operators import graph as graph_ops
 from glirel_spark.operators import linking
@@ -73,6 +73,64 @@ def run_graph_maintenance_stream(
         )
         g.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"v{batch_id:05d}")
+        )
+
+    q = (
+        docs_stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def run_graph_maintenance_with_changelog(
+    docs_stream: DataFrame, out_dir: str, checkpoint: str
+):
+    """Like run_graph_maintenance_stream, but every snapshot commit
+    also publishes its CHANGELOG (graph.kg_snapshot_diff of previous vs
+    new snapshot) under ``changelog/v{batch_id}`` — the delta feed a
+    downstream consumer (embedding refresher, cache invalidator, alert
+    rule) subscribes to instead of re-reading the world. Replayed
+    micro-batches rewrite both directories: idempotent, same
+    exactly-once contract as the snapshot itself.
+
+    Changelog law (asserted in tests/test_streaming.py): replaying the
+    changelogs over the first snapshot reconstructs the final
+    snapshot's support counts — adds insert, changes overwrite,
+    removes never occur under append-only upsert.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        triples = extract_triples_batch(batch_df)
+        linked = linking.link_triples(triples, linking.alias_df(spark)).select(
+            "doc_id", "subj", "pred", "obj", "prob"
+        )
+        prev = read_latest_graph(spark, out_dir)
+        g = (
+            graph_ops.materialize_graph(linked)
+            if prev is None
+            else graph_ops.upsert_graph(prev, linked)
+        )
+        # commit the snapshot first, then its delta (a consumer that
+        # sees the changelog can rely on the snapshot existing)
+        g.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"v{batch_id:05d}")
+        )
+        diff = (
+            graph_ops.kg_snapshot_diff(prev, g)
+            if prev is not None
+            else g.select(
+                "subj", "pred", "obj",
+                F.lit("added").alias("status"),
+                F.lit(0).cast("long").alias("n_before"),
+                F.col("n_mentions").cast("long").alias("n_after"),
+            )
+        )
+        diff.write.mode("overwrite").parquet(
+            os.path.join(out_dir, "changelog", f"v{batch_id:05d}")
         )
 
     q = (
