@@ -151,6 +151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_snapshot_diff": pipeline.kg_snapshot_diff,
         # one-row graph dashboard (size / reciprocity / density)
         "kg_summary": pipeline.kg_summary,
+        # k-truss backbone (triangle-supported edges only)
+        "kg_ktruss": pipeline.kg_ktruss,
         # per-doc canonical-entity salience features
         "entity_salience": pipeline.entity_salience,
         # per-entity NER-type vote profile
@@ -221,6 +223,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_buckets": pipeline.quality_buckets,
         # packing-efficiency census (docs per block-span count)
         "packing_stats": pipeline.packing_stats,
+        # tokenizer vocabulary-budget coverage curve
+        "vocab_coverage": pipeline.vocab_coverage,
         # similarity search
         "ann_topk": pipeline.ann_topk,
         "ann_topk_ivf": pipeline.ann_topk_ivf,
@@ -321,6 +325,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_bipartite_audit": oracle.q_kg_bipartite_audit(),
         "kg_snapshot_diff": oracle.q_kg_snapshot_diff(),
         "kg_summary": oracle.q_kg_summary(),
+        "kg_ktruss": oracle.q_kg_ktruss(),
         "entity_salience": oracle.q_entity_salience(),
         "entity_types": oracle.q_entity_types(),
         "doc_bigram_surprisal": oc.q_doc_bigram_surprisal(),
@@ -364,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_chunks": oc.q_doc_chunks(),
         "quality_buckets": oc.q_quality_buckets(),
         "packing_stats": oc.q_packing_stats(),
+        "vocab_coverage": oc.q_vocab_coverage(),
         "ann_topk": oc.q_ann_topk(),
         "ann_topk_ivf": oc.q_ann_topk_ivf(),
         "ann_topk_kmeans": oc.q_ann_topk_kmeans(),

@@ -218,6 +218,8 @@ SKIPGRAM_WINDOW = 2  # skip-gram context window over walk positions
 CLOSURE_PRED = "depends on"  # hierarchy predicate for transitive closure
 LP_ROUNDS = 3  # synchronous label-propagation rounds (community detection)
 SN_WINDOW = 3  # sorted-neighborhood ER: compare next-W names in sort order
+KTRUSS_K = 3  # k-truss: every surviving edge needs >= k-2 triangle support
+VOCAB_KS = [4, 8, 16, 32]  # vocabulary-budget curve points
 DS_MIN_SUPPORT = 2  # distant supervision: min distinct supporting docs
 
 TABLES = [

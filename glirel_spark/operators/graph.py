@@ -1546,3 +1546,62 @@ def kg_summary(graph: DataFrame) -> DataFrame:
             ).alias("density_micro"),
         )
     )
+
+
+def ktruss(
+    graph: DataFrame, k: int = config.KTRUSS_K, max_iter: int = 10
+) -> DataFrame:
+    """K-truss decomposition (fixed k): iteratively peel edges whose
+    triangle support (common-neighbor count) is < k-2 until stable;
+    return the canonical surviving edges with their final support —
+    the triangle-reinforced backbone, one notch stronger than k-core
+    (every surviving relationship is corroborated by >= k-2 mutual
+    neighbors; Cohen 2008). The KG-cleaning pass that keeps only
+    edges embedded in community structure.
+
+    Scale shape: each round's support count is the co-partitioned
+    wedge join triangles/two_hop use, over a SHRINKING edge set; the
+    peel is a semi-join on the edge key; localCheckpoint truncates
+    lineage; raises past max_iter (oracle unrolls the same bound,
+    idempotent at fixpoint). Hub-pair wedge fanout is the known hot
+    spot at scale — the degree-ordering orientation used for pure
+    triangle counting can't be applied mid-peel, so production runs
+    this after a hub cap (graph.py N_HUB_CAP discipline).
+    """
+    e = (
+        graph.select(F.col("subj").alias("a"), F.col("obj").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    edges = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    tri = None
+    for _ in range(max_iter):
+        n1 = edges.select("a", F.col("b").alias("c"))
+        n2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+        tri = (
+            edges.join(n1, "a")
+            .join(n2, ["b", "c"])
+            .groupBy("a", "b")
+            .agg(F.count("*").cast("long").alias("support"))
+            .localCheckpoint(eager=True)
+        )
+        nxt = edges.join(
+            tri.filter(F.col("support") >= k - 2), ["a", "b"], "left_semi"
+        ).localCheckpoint(eager=True)
+        changed = edges.join(nxt, ["a", "b"], "left_anti").limit(1).count()
+        edges = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"ktruss did not converge in {max_iter} rounds; raise max_iter"
+        )
+    return (
+        edges.join(tri, ["a", "b"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "support")
+    )

@@ -744,3 +744,44 @@ def quality_buckets(
         F.expr(f"(below * {n_buckets}) DIV total").alias("bucket"),
     )
     return s.join(F.broadcast(m), "decibits").select("doc_id", "decibits", "bucket")
+
+
+def vocab_coverage(
+    docs: DataFrame, ks: list[int] | None = None
+) -> DataFrame:
+    """(vocab_k, n_covered, n_total, coverage_milli): what fraction of
+    token OCCURRENCES a top-k vocabulary covers, for each candidate
+    budget k — the tokenizer/vocabulary-budget curve (coverage vs OOV
+    rate) read before fixing a vocab size.
+
+    Scale shape: the count table is VOCABULARY-bounded, so the global
+    rank window runs over that bounded frame, not the corpus (the same
+    bounded-domain argument as quality_buckets); the k-budget fanout is
+    a literal array explode over that tiny frame; corpus totals ride
+    along as a single-row broadcast cross join.
+    """
+    from pyspark.sql import Window as W
+
+    ks = ks if ks is not None else config.VOCAB_KS
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    ranked = counts.withColumn(
+        "rk", F.row_number().over(W.orderBy(F.desc("n"), F.col("token")))
+    )
+    total = counts.agg(F.sum("n").cast("long").alias("n_total"))
+    karr = F.array(*[F.lit(k) for k in sorted(ks)])
+    per_k = (
+        ranked.select("n", "rk", F.explode(karr).alias("vocab_k"))
+        .filter(F.col("rk") <= F.col("vocab_k"))
+        .groupBy("vocab_k")
+        .agg(F.sum("n").cast("long").alias("n_covered"))
+    )
+    return per_k.join(F.broadcast(total)).select(
+        F.col("vocab_k").cast("long"),
+        "n_covered",
+        "n_total",
+        F.expr("(n_covered * 1000) DIV n_total").alias("coverage_milli"),
+    )

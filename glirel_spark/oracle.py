@@ -1630,3 +1630,32 @@ SELECT ne.n_entities, nd.n_edges_directed, np.n_preds, nr.n_reciprocal,
          AS density_micro
 FROM ne CROSS JOIN nd CROSS JOIN np CROSS JOIN nr"""
     )
+
+
+def q_kg_ktruss(k: int | None = None, unroll: int = 10) -> str:
+    """Mirror of graph.ktruss: wedge-join triangle support per directed
+    edge, peel below k-2, unrolled `unroll` times (idempotent at
+    fixpoint; Spark raises past the same bound). Final support comes
+    from the last level's support table (equal at fixpoint)."""
+    K = k if k is not None else c.KTRUSS_K
+    steps = []
+    for i in range(1, unroll + 1):
+        prev = "sym" if i == 1 else f"tlvl{i-1}"
+        steps.append(
+            f"t{i} AS MATERIALIZED ("
+            f"SELECT l.a, l.b, CAST(count(*) AS BIGINT) AS support"
+            f" FROM {prev} l JOIN {prev} n1 ON n1.a = l.a"
+            f" JOIN {prev} n2 ON n2.a = l.b AND n2.b = n1.b"
+            f" GROUP BY l.a, l.b),\n"
+            f"tlvl{i} AS MATERIALIZED (SELECT e.a, e.b FROM {prev} e"
+            f" JOIN t{i} t ON t.a = e.a AND t.b = e.b AND t.support >= {K - 2})"
+        )
+    return (
+        with_chain(cte_scored(), cte_triples(), CTE_LINKED, _CTE_SYM_EDGES)
+        + ",\n"
+        + ",\n".join(steps)
+        + f"""
+SELECT e.a, e.b, t.support
+FROM tlvl{unroll} e JOIN t{unroll} t ON t.a = e.a AND t.b = e.b
+WHERE e.a < e.b"""
+    )

@@ -1811,3 +1811,29 @@ SELECT CAST(((s + sl - 1) // {b}) - (s // {b}) + 1 AS BIGINT)
          AS n_blocks_spanned,
        CAST(count(*) AS BIGINT) AS n_docs
 FROM offs GROUP BY 1"""
+
+
+def q_vocab_coverage() -> str:
+    """Mirror of textstats.vocab_coverage: vocabulary-bounded rank
+    window, k-budget unnest, integer milli coverage."""
+    ks = ", ".join(str(k) for k in sorted(c.VOCAB_KS))
+    return f"""
+WITH tok AS (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+),
+counts AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY token
+),
+ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rk FROM counts
+),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM counts),
+per_k AS (
+  SELECT k.vocab_k, CAST(sum(r.n) AS BIGINT) AS n_covered
+  FROM ranked r CROSS JOIN (SELECT unnest([{ks}]) AS vocab_k) k
+  WHERE r.rk <= k.vocab_k
+  GROUP BY k.vocab_k
+)
+SELECT CAST(p.vocab_k AS BIGINT) AS vocab_k, p.n_covered, t.n_total,
+       CAST((p.n_covered * 1000) // t.n_total AS BIGINT) AS coverage_milli
+FROM per_k p CROSS JOIN tot t"""

@@ -921,3 +921,15 @@ def packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import packing
 
     return packing.packing_stats(docs_tokens(spark, sf_dir))
+
+
+def kg_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import graph as graph_ops
+
+    return graph_ops.ktruss(graph(spark, sf_dir))
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import textstats
+
+    return textstats.vocab_coverage(_flat_docs(spark, sf_dir))

@@ -141,3 +141,16 @@ def test_doc_surprisal_hand_computed(spark):
     assert a.mean_surprisal_bits == 4 / 3
     assert (b.n_tokens, b.sum_surprisal_bits) == (2, 3)
     assert b.mean_surprisal_bits == 1.5
+
+
+def test_vocab_coverage_curve(spark):
+    from glirel_spark.operators import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a b b c d")], "doc_id long, text string"
+    )
+    out = {
+        r["vocab_k"]: (r["n_covered"], r["n_total"], r["coverage_milli"])
+        for r in textstats.vocab_coverage(docs, ks=[1, 2, 4]).collect()
+    }
+    assert out == {1: (4, 8, 500), 2: (6, 8, 750), 4: (8, 8, 1000)}

@@ -285,3 +285,28 @@ def test_kg_summary_hand_case(spark):
     assert r["n_reciprocal"] == 2  # A->B and B->A each count
     assert r["reciprocity_milli"] == 666
     assert r["density_micro"] == 500000  # 3 / (3*2)
+
+
+def test_ktruss_peels_tail_keeps_triangles(spark):
+    # triangle x-y-z plus a pendant chain z-w-v: with k=3 the chain
+    # peels (no triangle support), the triangle survives with support 1
+    g = _graph(spark, [("x", "y"), ("y", "z"), ("z", "x"), ("z", "w"), ("w", "v")])
+    out = {
+        (r["a"], r["b"]): r["support"]
+        for r in graph_ops.ktruss(g, k=3).collect()
+    }
+    assert out == {("x", "y"): 1, ("y", "z"): 1, ("x", "z"): 1}
+
+
+def test_ktruss_k4_needs_two_triangles(spark):
+    # K4 minus one edge: every edge has support >= 1 but only the
+    # shared diagonal has 2; k=4 peels everything (cascade)
+    g = _graph(spark, [("a", "b"), ("b", "c"), ("c", "a"), ("b", "d"), ("d", "c")])
+    assert graph_ops.ktruss(g, k=4).count() == 0
+    # full K4: all 6 edges have support 2 -> all survive at k=4
+    g4 = _graph(
+        spark,
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")],
+    )
+    out = graph_ops.ktruss(g4, k=4).collect()
+    assert len(out) == 6 and all(r["support"] == 2 for r in out)
