@@ -262,6 +262,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_state_intervals": pipeline.user_state_intervals,
         # cohort retention matrix (integer epoch weeks, no windows)
         "user_retention": pipeline.user_retention,
+        # per-user inter-arrival gap census (session-gap tuning feed)
+        "event_gaps": pipeline.event_gaps,
         # general relational/OLAP surface (TPC-H shapes)
         "tpch_pricing_summary": relational.pricing_summary,
         "tpch_top_orders": relational.top_orders,
@@ -389,6 +391,7 @@ def oracle_sql() -> dict[str, str]:
         "funnel_counts": oc.q_funnel_counts(),
         "user_state_intervals": oc.q_user_state_intervals(),
         "user_retention": oc.q_user_retention(),
+        "event_gaps": oc.q_event_gaps(),
         "events_range_join": oc.q_events_range_join(),
         "events_props": oc.q_events_props(),
         **relational.ORACLE,

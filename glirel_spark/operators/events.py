@@ -286,3 +286,31 @@ def user_retention(events: DataFrame) -> DataFrame:
         "n_cohort",
         F.expr("(n_active * 1000) DIV n_cohort").alias("retention_milli"),
     )
+
+
+def event_gaps(events: DataFrame) -> DataFrame:
+    """(user_id, n_gaps, min_gap_us, max_gap_us, mean_gap_us): per-user
+    inter-arrival census — the burstiness/liveness profile behind
+    session-gap tuning (events.sessionize's gap_seconds is chosen by
+    looking at exactly this distribution). Gaps in integer
+    microseconds (NTZ difference, timezone-free in both engines);
+    mean is the one integer division.
+
+    Scale shape: one per-key lag window (same single exchange + sort
+    the as-of join shares), then a map-side-combinable per-user
+    aggregate. Users with a single event have no gaps and are absent.
+    """
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.expr(
+        "timestampdiff(MICROSECOND, lag(ts) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id), ts)"
+    )
+    gaps = events.select("user_id", gap.alias("gap_us")).filter(
+        F.col("gap_us").isNotNull()
+    )
+    return gaps.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        F.expr("sum(gap_us) DIV count(*)").cast("long").alias("mean_gap_us"),
+    )

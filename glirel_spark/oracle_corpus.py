@@ -1837,3 +1837,23 @@ per_k AS (
 SELECT CAST(p.vocab_k AS BIGINT) AS vocab_k, p.n_covered, t.n_total,
        CAST((p.n_covered * 1000) // t.n_total AS BIGINT) AS coverage_milli
 FROM per_k p CROSS JOIN tot t"""
+
+
+def q_event_gaps() -> str:
+    """Mirror of events.event_gaps: per-user lag gaps in integer
+    microseconds, min/max/count and the integer mean."""
+    return """
+WITH g AS (
+  SELECT user_id,
+         date_diff('microsecond',
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_us) AS BIGINT) AS min_gap_us,
+       CAST(max(gap_us) AS BIGINT) AS max_gap_us,
+       CAST(sum(gap_us) // count(*) AS BIGINT) AS mean_gap_us
+FROM g WHERE gap_us IS NOT NULL
+GROUP BY user_id"""

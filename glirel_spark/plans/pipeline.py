@@ -933,3 +933,9 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import textstats
 
     return textstats.vocab_coverage(_flat_docs(spark, sf_dir))
+
+
+def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import events as ev
+
+    return ev.event_gaps(tables.TableIO(spark, sf_dir).table("events"))

@@ -153,3 +153,22 @@ def test_user_retention_hand_case(spark):
         (0, 1): (1, 2, 500),
         (2, 0): (1, 1, 1000),
     }
+
+
+def test_event_gaps_hand_case(spark):
+    from glirel_spark.operators import events as ev
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00.000000", 1, "view"),
+            (2, "2024-01-01 10:00:01.500000", 1, "view"),   # gap 1.5s
+            (3, "2024-01-01 10:00:02.000000", 1, "view"),   # gap 0.5s
+            (4, "2024-01-01 09:00:00.000000", 2, "view"),   # single: no gaps
+        ],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r["user_id"]: r for r in ev.event_gaps(events).collect()}
+    assert set(out) == {1}
+    r = out[1]
+    assert (r["n_gaps"], r["min_gap_us"], r["max_gap_us"]) == (2, 500000, 1500000)
+    assert r["mean_gap_us"] == 1000000
