@@ -167,6 +167,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_hard_negatives": pipeline.minhash_hard_negatives,
         # EXACT set-similarity join via prefix filtering (no-LSH complement)
         "allpairs_neardups": pipeline.allpairs_neardups,
+        # DIRECTIONAL containment join (quote/excerpt detection)
+        "containment_pairs": pipeline.containment_pairs,
         # sorted-neighborhood ER census (distributed rank + band join)
         "er_sorted_neighborhood": pipeline.er_sorted_neighborhood,
         # benchmark decontamination (shingle overlap vs the eval split)
@@ -342,6 +344,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": oc.q_dedup_clusters(),
         "minhash_hard_negatives": oc.q_minhash_hard_negatives(),
         "allpairs_neardups": oc.q_allpairs_neardups(),
+        "containment_pairs": oc.q_containment_pairs(),
         "er_sorted_neighborhood": oracle.q_er_sorted_neighborhood(),
         "decontaminate": oc.q_decontaminate(),
         "bloom_decontaminate": oc.q_bloom_decontaminate(),

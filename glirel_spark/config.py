@@ -143,6 +143,10 @@ NEARDUP_JACCARD = 0.8
 # rational (integer cross-multiplied test; == NEARDUP_JACCARD)
 ALLPAIRS_T_NUM = 4
 ALLPAIRS_T_DEN = 5
+# containment join (quote detection): |A∩B|/|A| >= 4/5; hot-posting cap
+CONTAIN_T_NUM = 4
+CONTAIN_T_DEN = 5
+CONTAIN_DF_CAP = 64
 
 SIMHASH_BITS = 48  # 12-bit LSH chunks keep candidate blocks selective
 SIMHASH_AB = [(2 * i + 3, 7 * i + 5) for i in range(SIMHASH_BITS)]

@@ -890,3 +890,74 @@ def allpairs_neardups(
     )
     ver = jaccard_verify(cands, sh)
     return ver.filter(F.col("inter") * t_den >= F.col("un") * t_num)
+
+
+def containment_pairs(
+    docs_tokens: DataFrame,
+    t_num: int = config.CONTAIN_T_NUM,
+    t_den: int = config.CONTAIN_T_DEN,
+    df_cap: int = config.CONTAIN_DF_CAP,
+    shingled: DataFrame | None = None,
+) -> DataFrame:
+    """Asymmetric containment join: (doc_sub, doc_super) pairs where
+    ``|A∩B| / |A| >= t`` — quote/excerpt/subset detection, the
+    DIRECTIONAL complement to the symmetric Jaccard dedups (a tweet
+    quoted inside an article has tiny Jaccard but containment ~1).
+
+    Prefix filtering adapts to containment: overlap >= ceil(t·|A|)
+    forces B to hold one of A's first |A| - ceil(t·|A|) + 1 shingles
+    under the global rare-first order, so only the PROBE side is
+    prefix-sliced; the index side must carry full postings — capped at
+    document frequency <= ``df_cap`` (the standard hot-posting cap:
+    boilerplate shingles shared by thousands of docs are dropped from
+    the index, the same deliberate blocking miss er_edit_pairs
+    documents for first-char blocks; the oracle replays the identical
+    cap so the engines agree bit-for-bit).
+
+    Scale shape: probe prefixes are tiny (1-t fraction of each doc);
+    the posting join's per-key fanout is bounded by df_cap BY
+    CONSTRUCTION — no skew left to handle; verify runs on candidates
+    only; the containment test is integer cross-multiplication.
+    """
+    if shingled is None:
+        shingled = with_shingle_array(docs_tokens)
+    sh = shingles_arr(docs_tokens, shingled=shingled)
+    from pyspark.sql import Window as W
+
+    dfreq = sh.groupBy("sh").agg(F.count("*").cast("long").alias("df"))
+    w = W.partitionBy("doc_id").orderBy("df", "sh")
+    ranked = (
+        sh.join(dfreq, "sh")
+        .withColumn("rk", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(W.partitionBy("doc_id")))
+    )
+    pref = ranked.filter(
+        F.col("rk")
+        <= F.col("n") - F.expr(f"({t_num} * n + {t_den} - 1) DIV {t_den}") + 1
+    ).select(F.col("doc_id").alias("doc_sub"), "sh")
+    idx = sh.join(dfreq.filter(F.col("df") <= df_cap), "sh").select(
+        F.col("doc_id").alias("doc_super"), "sh"
+    )
+    cands = (
+        pref.join(idx, "sh")
+        .filter(F.col("doc_sub") != F.col("doc_super"))
+        .select("doc_sub", "doc_super")
+        .distinct()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").cast("long").alias("n"))
+    s1 = sh.toDF("doc_sub", "sh")
+    s2 = sh.toDF("doc_super", "sh")
+    inter = (
+        cands.join(s1, "doc_sub")
+        .join(s2, ["doc_super", "sh"])
+        .groupBy("doc_sub", "doc_super")
+        .agg(F.count("*").cast("long").alias("inter"))
+    )
+    return (
+        inter.join(sizes.toDF("doc_sub", "n_sub"), "doc_sub")
+        .filter(F.col("inter") * t_den >= F.col("n_sub") * t_num)
+        .select(
+            "doc_sub", "doc_super", "inter", "n_sub",
+            F.expr("(inter * 1000) DIV n_sub").alias("containment_milli"),
+        )
+    )

@@ -1857,3 +1857,48 @@ SELECT user_id,
        CAST(sum(gap_us) // count(*) AS BIGINT) AS mean_gap_us
 FROM g WHERE gap_us IS NOT NULL
 GROUP BY user_id"""
+
+
+def q_containment_pairs() -> str:
+    """Mirror of corpus_dedup.containment_pairs: probe-side prefix
+    under the rare-first order, df-capped index postings, exact
+    intersection verify with the integer containment test."""
+    tn, td = c.CONTAIN_T_NUM, c.CONTAIN_T_DEN
+    cap = c.CONTAIN_DF_CAP
+    return (
+        _with(CTE_TOKENS, CTE_THASH, CTE_SHINGLES)
+        + f""",
+dfreq AS (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM shing GROUP BY sh),
+rk AS (
+  SELECT s.doc_id, s.sh,
+         row_number() OVER (PARTITION BY s.doc_id ORDER BY f.df, s.sh) AS rk,
+         count(*) OVER (PARTITION BY s.doc_id) AS n
+  FROM shing s JOIN dfreq f ON f.sh = s.sh
+),
+pref AS (
+  SELECT doc_id AS doc_sub, sh FROM rk
+  WHERE rk <= n - (({tn} * n + {td} - 1) // {td}) + 1
+),
+idx AS (
+  SELECT s.doc_id AS doc_super, s.sh
+  FROM shing s JOIN dfreq f ON f.sh = s.sh AND f.df <= {cap}
+),
+cand AS (
+  SELECT DISTINCT p.doc_sub, i.doc_super
+  FROM pref p JOIN idx i ON i.sh = p.sh AND i.doc_super <> p.doc_sub
+),
+sizes AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shing GROUP BY doc_id
+),
+iv AS (
+  SELECT cd.doc_sub, cd.doc_super, CAST(count(*) AS BIGINT) AS inter
+  FROM cand cd
+  JOIN shing s1 ON s1.doc_id = cd.doc_sub
+  JOIN shing s2 ON s2.doc_id = cd.doc_super AND s2.sh = s1.sh
+  GROUP BY cd.doc_sub, cd.doc_super
+)
+SELECT i.doc_sub, i.doc_super, i.inter, z.n AS n_sub,
+       CAST((i.inter * 1000) // z.n AS BIGINT) AS containment_milli
+FROM iv i JOIN sizes z ON z.doc_id = i.doc_sub
+WHERE i.inter * {td} >= z.n * {tn}"""
+    )

@@ -939,3 +939,11 @@ def event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import events as ev
 
     return ev.event_gaps(tables.TableIO(spark, sf_dir).table("events"))
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import corpus_dedup as cd
+
+    return cd.containment_pairs(
+        docs_tokens(spark, sf_dir), shingled=docs_shingled(spark, sf_dir)
+    )

@@ -290,3 +290,48 @@ def test_allpairs_matches_bruteforce_and_minhash_recall(spark):
                 expect[(a, b)] = (inter, un)
     assert got == expect
     assert len(got) > 0  # the planted near-dups were found
+
+
+def test_containment_matches_bruteforce(spark):
+    """Directional containment join == brute-force |A∩B|/|A| >= 4/5 on
+    a corpus with a planted quote (short doc embedded in a long one) —
+    the pair the symmetric Jaccard operators deliberately miss."""
+    from glirel_spark.operators import corpus_dedup as cd
+
+    article = ["w%d" % i for i in range(40)]
+    quote = article[10:18]            # 8 tokens fully inside the article
+    near_quote = quote[:-1] + ["odd"]  # trailing token differs
+    rows = [
+        ("art", article),
+        ("qt", quote),
+        ("nq", near_quote),
+        ("other", ["x%d" % i for i in range(20)]),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, tokens array<string>")
+
+    got = {
+        (r["doc_sub"], r["doc_super"]): (r["inter"], r["n_sub"], r["containment_milli"])
+        for r in cd.containment_pairs(docs).collect()
+    }
+
+    sh = cd.shingles_arr(docs)
+    sets = {}
+    for r in sh.collect():
+        sets.setdefault(r["doc_id"], set()).add(r["sh"])
+    expect = {}
+    for a in sets:
+        for b in sets:
+            if a == b:
+                continue
+            inter = len(sets[a] & sets[b])
+            n_sub = len(sets[a])
+            if inter * 5 >= n_sub * 4:
+                expect[(a, b)] = (inter, n_sub, inter * 1000 // n_sub)
+    assert got == expect
+    # the planted quote is found in the sub->super direction only
+    assert ("qt", "art") in got
+    assert ("art", "qt") not in got
+    # jaccard of the quote pair is small: symmetric dedup would miss it
+    inter = len(sets["qt"] & sets["art"])
+    un = len(sets["qt"] | sets["art"])
+    assert inter * 5 < un * 4
