@@ -211,6 +211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_canonicalized": pipeline.kg_canonicalized,
         # sharded inverted-index build (posting lists + df/tf)
         "inverted_index": pipeline.inverted_index,
+        # BM25 more-like-this retrieval (integer-exact Okapi, two-phase top-k)
+        "bm25_topk": pipeline.bm25_topk,
         # bigram LM count table with exact MLE conditionals
         "ngram_lm": pipeline.ngram_lm,
         # deterministic hash-based stratified downsampling per language
@@ -367,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
         "er_clusters": oracle.q_er_clusters(),
         "kg_canonicalized": oracle.q_kg_canonicalized(),
         "inverted_index": oc.q_inverted_index(),
+        "bm25_topk": oc.q_bm25_topk(),
         "ngram_lm": oc.q_ngram_lm(),
         "corpus_sample": oc.q_corpus_sample(),
         "corpus_stats": oc.q_corpus_stats(),

@@ -148,6 +148,14 @@ CONTAIN_T_NUM = 4
 CONTAIN_T_DEN = 5
 CONTAIN_DF_CAP = 64
 
+# BM25 more-like-this retrieval: query sample, result depth, and the
+# per-query term budget (the R rarest terms of each query doc carry
+# essentially all of its BM25 mass; bounds broadcast size and posting
+# fanout BY CONSTRUCTION)
+BM25_QUERY_MOD = 50
+BM25_TOPK = 10
+BM25_QUERY_TERMS = 8
+
 SIMHASH_BITS = 48  # 12-bit LSH chunks keep candidate blocks selective
 SIMHASH_AB = [(2 * i + 3, 7 * i + 5) for i in range(SIMHASH_BITS)]
 SIMHASH_MAX_HAMMING = 3

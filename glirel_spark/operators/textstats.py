@@ -785,3 +785,111 @@ def vocab_coverage(
         "n_total",
         F.expr("(n_covered * 1000) DIV n_total").alias("coverage_milli"),
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    k: int = config.BM25_TOPK,
+    query_mod: int = config.BM25_QUERY_MOD,
+) -> DataFrame:
+    """BM25 more-like-this retrieval: for each sampled query document
+    (``doc_id % query_mod == 0``), the top-k lexically-closest other
+    documents under Okapi BM25 (k1=1.2, b=0.75) — the retrieval side of
+    a curation pipeline (lexical near-dup triage, seed-document corpus
+    expansion, retrieval-augmented filtering a la DSIR's target-domain
+    matching).
+
+    Exactness discipline: BM25's per-term score
+    ``idf * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl))`` is cross-multiplied
+    into pure int64 arithmetic — with k1=6/5, b=3/4 and both sides
+    scaled by ``10*avgdl`` the term becomes
+    ``idf_bits * 22*tf*avgdl*1000 DIV (10*tf*avgdl + 3*avgdl + 9*dl)``
+    (one integer division per term, quantized to milli); idf is the
+    bit-length log2 surrogate ``bitlen(N)-bitlen(df)`` (within 1 bit,
+    the same ``length(bin(x))`` idiom as doc_surprisal), and avgdl is
+    the floored integer mean doc length. Per-pair sums are then exact
+    long sums — order-independent, bit-identical in DuckDB.
+
+    Scale shape: tf aggregates on (doc, term) — skew-free; df and idf
+    attach to the QUERY side, which is tiny (``N/query_mod`` docs ×
+    the ``BM25_QUERY_TERMS`` RAREST terms each, df asc / term asc — the
+    standard query-term-selection cut: rare terms carry essentially all
+    of a query's BM25 mass, and the per-query budget bounds both the
+    broadcast size and the posting-join fanout by construction, where a
+    global df-fraction stopword cut would degenerate on a Zipf-hot
+    vocabulary) and broadcast — the corpus-side tf relation is probed
+    map-side, never shuffled on the hot term key.
+    Top-k is TWO-PHASE: a per-shuffle-partition local top-k
+    under the total order (score desc, cand asc) first — the global
+    top-k is provably inside the union of local winners — then the
+    exact per-query window over k*P survivors, so no single query's
+    full candidate list ever sorts in one task.
+
+    Reference analogue: retrieval-style candidate generation mirrors
+    the reference's use of mention/label similarity for zero-shot label
+    matching (glirel/modules/evaluator.py's ranked predictions); BM25
+    itself is public Robertson/Sparck-Jones.
+    """
+    from pyspark.sql import Window as W
+
+    did = F.col("doc_id").cast("long")
+    tok = docs.select(
+        F.when(
+            F.assert_true(
+                did.isNotNull(),
+                "bm25_topk: doc_id must cast to long (integer-id corpora)",
+            ).isNull(),
+            did,
+        ).alias("doc_id"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    tf = tok.groupBy("doc_id", "token").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    dft = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
+    stats = dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.expr("sum(dl) DIV count(*)").cast("long").alias("avgdl"),
+    )
+    wq = W.partitionBy("q_doc").orderBy(F.asc("df"), F.asc("token"))
+    qside = (
+        tf.filter(F.pmod(F.col("doc_id"), F.lit(query_mod)) == 0)
+        .select(F.col("doc_id").alias("q_doc"), "token")
+        .join(dft, "token")
+        .withColumn("_tr", F.row_number().over(wq))
+        .filter(F.col("_tr") <= config.BM25_QUERY_TERMS)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "q_doc", "token", "avgdl",
+            (F.length(F.bin("n_docs")) - F.length(F.bin("df")))
+            .cast("long").alias("idf_bits"),
+        )
+    )
+    contrib = F.expr(
+        "(idf_bits * 22 * tf * avgdl * 1000)"
+        " DIV (10 * tf * avgdl + 3 * avgdl + 9 * dl)"
+    )
+    pair = (
+        tf.join(F.broadcast(qside), "token")
+        .filter(F.col("doc_id") != F.col("q_doc"))
+        .join(dl, "doc_id")
+        .groupBy("q_doc", F.col("doc_id").alias("cand_doc"))
+        .agg(
+            F.sum(contrib).cast("long").alias("score_milli"),
+            F.count("*").cast("long").alias("n_terms"),
+        )
+    )
+    order = [F.desc("score_milli"), F.asc("cand_doc")]
+    loc = W.partitionBy("q_doc", F.spark_partition_id()).orderBy(*order)
+    pruned = (
+        pair.withColumn("_lr", F.row_number().over(loc))
+        .filter(F.col("_lr") <= k)
+        .drop("_lr")
+    )
+    w = W.partitionBy("q_doc").orderBy(*order)
+    return (
+        pruned.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select("q_doc", "rank", "cand_doc", "score_milli", "n_terms")
+    )

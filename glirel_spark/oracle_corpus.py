@@ -1902,3 +1902,59 @@ SELECT i.doc_sub, i.doc_super, i.inter, z.n AS n_sub,
 FROM iv i JOIN sizes z ON z.doc_id = i.doc_sub
 WHERE i.inter * {td} >= z.n * {tn}"""
     )
+
+
+def q_bm25_topk() -> str:
+    """Mirror of textstats.bm25_topk: integer cross-multiplied Okapi
+    BM25 (k1=6/5, b=3/4 scaled by 10*avgdl), bit-length idf, milli
+    quantization per term, exact long sums, per-query top-k window."""
+    mod, k = c.BM25_QUERY_MOD, c.BM25_TOPK
+    nq = c.BM25_QUERY_TERMS
+    return f"""
+WITH tok AS (
+  SELECT CAST(doc_id AS BIGINT) AS doc_id,
+         unnest(string_split(text, ' ')) AS token
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, token
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+dft AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(dl) // count(*) AS BIGINT) AS avgdl
+  FROM dl
+),
+qrk AS (
+  SELECT t.doc_id AS q_doc, t.token, f.df,
+         row_number() OVER (
+           PARTITION BY t.doc_id ORDER BY f.df ASC, t.token ASC) AS tr
+  FROM tf t JOIN dft f ON f.token = t.token
+  WHERE t.doc_id % {mod} = 0
+),
+q AS (
+  SELECT r.q_doc, r.token, s.avgdl,
+         CAST(length(bin(s.n_docs)) - length(bin(r.df)) AS BIGINT) AS idf_bits
+  FROM qrk r CROSS JOIN stats s
+  WHERE r.tr <= {nq}
+),
+pair AS (
+  SELECT q.q_doc, t.doc_id AS cand_doc,
+         CAST(sum((q.idf_bits * 22 * t.tf * q.avgdl * 1000)
+              // (10 * t.tf * q.avgdl + 3 * q.avgdl + 9 * d.dl))
+              AS BIGINT) AS score_milli,
+         CAST(count(*) AS BIGINT) AS n_terms
+  FROM tf t
+  JOIN q ON q.token = t.token AND t.doc_id <> q.q_doc
+  JOIN dl d ON d.doc_id = t.doc_id
+  GROUP BY q.q_doc, t.doc_id
+),
+rk AS (
+  SELECT *, CAST(row_number() OVER (
+     PARTITION BY q_doc ORDER BY score_milli DESC, cand_doc ASC) AS INT)
+     AS rank
+  FROM pair
+)
+SELECT q_doc, rank, cand_doc, score_milli, n_terms FROM rk WHERE rank <= {k}"""

@@ -947,3 +947,9 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cd.containment_pairs(
         docs_tokens(spark, sf_dir), shingled=docs_shingled(spark, sf_dir)
     )
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import textstats
+
+    return textstats.bm25_topk(_flat_docs(spark, sf_dir))

@@ -154,3 +154,67 @@ def test_vocab_coverage_curve(spark):
         for r in textstats.vocab_coverage(docs, ks=[1, 2, 4]).collect()
     }
     assert out == {1: (4, 8, 500), 2: (6, 8, 750), 4: (8, 8, 1000)}
+
+
+def test_bm25_topk_matches_python_replay(spark):
+    """bm25_topk == an independent python replay of the integer BM25
+    formula (rarest-term selection, bit-length idf, milli-quantized
+    per-term contributions, (score desc, cand asc) ranking)."""
+    from glirel_spark.operators.textstats import bm25_topk
+
+    # doc 0 is the only query (mod 50); docs 1/2 share its rare terms,
+    # doc 3 shares only the ubiquitous filler term
+    rows = [
+        (0, "apple banana cherry common common"),
+        (1, "apple banana common common common"),
+        (2, "cherry common common"),
+        (3, "common common common common"),
+        (50, "apple zebra common"),
+    ]
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = [
+        (r.q_doc, r.rank, r.cand_doc, r.score_milli, r.n_terms)
+        for r in bm25_topk(docs, k=3).collect()
+    ]
+
+    # python replay
+    toks = {i: t.split(" ") for i, t in rows}
+    tf = {i: {} for i in toks}
+    for i, ts in toks.items():
+        for t in ts:
+            tf[i][t] = tf[i].get(t, 0) + 1
+    df = {}
+    for i in tf:
+        for t in tf[i]:
+            df[t] = df.get(t, 0) + 1
+    n_docs = len(toks)
+    avgdl = sum(len(ts) for ts in toks.values()) // n_docs
+    expect = []
+    for q in (0, 50):
+        qterms = sorted(tf[q], key=lambda t: (df[t], t))[:8]
+        scores = {}
+        for cand in tf:
+            if cand == q:
+                continue
+            s, n = 0, 0
+            for t in qterms:
+                if t not in tf[cand]:
+                    continue
+                idf = n_docs.bit_length() - df[t].bit_length()
+                c = tf[cand][t]
+                s += (idf * 22 * c * avgdl * 1000) // (
+                    10 * c * avgdl + 3 * avgdl + 9 * len(toks[cand])
+                )
+                n += 1
+            if n:
+                scores[cand] = (s, n)
+        ranked = sorted(scores, key=lambda d: (-scores[d][0], d))[:3]
+        expect += [
+            (q, r + 1, d, scores[d][0], scores[d][1])
+            for r, d in enumerate(ranked)
+        ]
+    assert sorted(got) == sorted(expect)
+    assert any(q == 0 for q, *_ in got) and any(q == 50 for q, *_ in got)
