@@ -213,6 +213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "inverted_index": pipeline.inverted_index,
         # BM25 more-like-this retrieval (integer-exact Okapi, two-phase top-k)
         "bm25_topk": pipeline.bm25_topk,
+        # BPE tokenizer training over the word-frequency relation
+        "bpe_merges": pipeline.bpe_merges,
         # bigram LM count table with exact MLE conditionals
         "ngram_lm": pipeline.ngram_lm,
         # deterministic hash-based stratified downsampling per language
@@ -370,6 +372,9 @@ def oracle_sql() -> dict[str, str]:
         "kg_canonicalized": oracle.q_kg_canonicalized(),
         "inverted_index": oc.q_inverted_index(),
         "bm25_topk": oc.q_bm25_topk(),
+        # golden-table oracle: committed pure-python BPE replay
+        # (tools/gen_bpe_golden.py), sig-dispatched like triples_neural
+        "bpe_merges": oc.q_bpe_merges(),
         "ngram_lm": oc.q_ngram_lm(),
         "corpus_sample": oc.q_corpus_sample(),
         "corpus_stats": oc.q_corpus_stats(),

@@ -893,3 +893,110 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select("q_doc", "rank", "cand_doc", "score_milli", "n_terms")
     )
+
+
+BPE_ROUNDS = 8
+
+
+def bpe_merges(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016): learn the first
+    ``rounds`` merge rules from the corpus — the artifact every
+    LLM-data pipeline ships next to the data itself. One row per merge:
+    (round, left, right, merged, pair_count), deterministic tie-break
+    (count desc, left asc, right asc).
+
+    Algorithm: words split to symbol sequences (chars + the classic
+    '</w>' end-of-word marker); each round counts adjacent symbol
+    pairs weighted by word frequency, merges the most frequent pair
+    corpus-wide (left-to-right, non-overlapping — 'aaa' under ('a','a')
+    yields ['aa','a']), repeats.
+
+    Scale shape: BPE trains on the WORD-FREQUENCY relation, not the
+    corpus — the corpus is touched exactly once (explode + count); the
+    working set is the vocabulary (millions of rows at web scale, never
+    billions). Per round: ONE map-side-combinable aggregation down to a
+    single argmax row (min(struct(-cnt,l,r)) — partial aggregation does
+    the heavy lifting, the final reduce sees one candidate per
+    partition), then a pure map over the vocab applying the merge via
+    a higher-order fold (no shuffle). The R driver fetches are single
+    rows — the same bounded-action pattern as the threshold grid — and
+    lineage is truncated per round with localCheckpoint so plan depth
+    stays O(1). Inherently sequential across rounds (each merge changes
+    the next round's pair counts): R is small by definition of the op.
+
+    The oracle is a committed golden table from an independent pure-
+    python replay (tools/gen_bpe_golden.py) — iterative argmax with
+    data-dependent loop-carried state is not expressible in one SQL
+    query, the same footing as triples_neural.
+    """
+    spark = docs.sparkSession
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").cast("long").alias("freq"))
+        .select(
+            "freq",
+            F.concat(F.split("w", ""), F.array(F.lit("</w>"))).alias("sym"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out = []
+    for rnd in range(1, rounds + 1):
+        pairs = words.select(
+            "freq",
+            F.explode(
+                F.arrays_zip(
+                    F.expr("slice(sym, 1, size(sym) - 1)").alias("l"),
+                    F.expr("slice(sym, 2, size(sym) - 1)").alias("r"),
+                )
+            ).alias("p"),
+        )
+        best = (
+            pairs.groupBy(
+                F.col("p.l").alias("l"), F.col("p.r").alias("r")
+            )
+            .agg(F.sum("freq").alias("cnt"))
+            .select(
+                F.min(F.struct((-F.col("cnt")).alias("nc"), "l", "r")).alias("b")
+            )
+            .first()
+        )
+        if best is None or best["b"] is None:
+            break  # vocabulary fully merged (degenerate tiny corpus)
+        left, right, cnt = best["b"]["l"], best["b"]["r"], -best["b"]["nc"]
+        merged = left + right
+        sym = F.col("sym")
+        words = words.select(
+            "freq",
+            F.aggregate(
+                F.sequence(F.lit(0), F.size(sym) - 1),
+                F.struct(
+                    F.array().cast("array<string>").alias("out"),
+                    F.lit(False).alias("skip"),
+                ),
+                lambda acc, i: F.when(
+                    acc["skip"],
+                    F.struct(acc["out"].alias("out"), F.lit(False).alias("skip")),
+                )
+                .when(
+                    (F.get(sym, i) == left) & (F.get(sym, i + 1) == right),
+                    F.struct(
+                        F.concat(acc["out"], F.array(F.lit(merged))).alias("out"),
+                        F.lit(True).alias("skip"),
+                    ),
+                )
+                .otherwise(
+                    F.struct(
+                        F.concat(acc["out"], F.array(F.get(sym, i))).alias("out"),
+                        F.lit(False).alias("skip"),
+                    )
+                ),
+                lambda acc: acc["out"],
+            ).alias("sym"),
+        ).localCheckpoint(eager=True)
+        out.append((rnd, left, right, merged, int(cnt)))
+    return spark.createDataFrame(
+        out,
+        "round int, left string, right string, merged string, pair_count long",
+    )

@@ -1958,3 +1958,22 @@ rk AS (
   FROM pair
 )
 SELECT q_doc, rank, cand_doc, score_milli, n_terms FROM rk WHERE rank <= {k}"""
+
+
+def q_bpe_merges() -> str:
+    """Golden-table oracle for textstats.bpe_merges: the committed
+    pure-python BPE replay (tools/gen_bpe_golden.py), dispatched per
+    scale factor by the corpus signature — same footing as
+    q_triples_neural (iterative argmax with loop-carried state is not
+    one SQL query)."""
+    import pathlib
+
+    from glirel_spark.oracle import _GOLDEN_SIGS
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "goldens"
+    arms = "\nUNION ALL\n".join(
+        f"SELECT * FROM read_parquet('{root}/{sf}/bpe_merges.parquet')"
+        f" WHERE (SELECT s FROM sig) = {s}"
+        for sf, s in _GOLDEN_SIGS.items()
+    )
+    return f"WITH sig AS (SELECT sum(length(text)) AS s FROM documents)\n{arms}"

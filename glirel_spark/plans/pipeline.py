@@ -953,3 +953,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import textstats
 
     return textstats.bm25_topk(_flat_docs(spark, sf_dir))
+
+
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import textstats
+
+    return textstats.bpe_merges(_flat_docs(spark, sf_dir))

@@ -218,3 +218,30 @@ def test_bm25_topk_matches_python_replay(spark):
         ]
     assert sorted(got) == sorted(expect)
     assert any(q == 0 for q, *_ in got) and any(q == 50 for q, *_ in got)
+
+
+def test_bpe_merges_overlap_and_tiebreak(spark):
+    """Left-to-right non-overlapping merge ('aaaa' -> ['aa','aa'],
+    'aaa' -> ['aa','a']) and the (count desc, left asc, right asc)
+    tie-break, against a hand-computed trace."""
+    from glirel_spark.operators.textstats import bpe_merges
+
+    # one doc: 'aaaa' x2, 'aaa' x1  -> pair (a,a) dominates
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aaa", "en", "s", 13)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = [
+        (r["round"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in bpe_merges(docs, rounds=3).collect()
+    ]
+    # round 1: (a,a) count = 3*2 (aaaa) + 2*1 (aaa) = 8
+    assert got[0] == (1, "a", "a", "aa", 8)
+    # after: aaaa -> [aa,aa,</w>], aaa -> [aa,a,</w>]
+    # round 2 pairs: (aa,aa)=2, (aa,</w>)=2, (aa,a)=1, (a,</w>)=1
+    # tie at 2 -> left asc: '</w>' < 'aa' is False ('<' char is 0x3c,
+    # 'a' 0x61) -> ('aa','</w>') wins over ('aa','aa') by right asc
+    assert got[1] == (2, "aa", "</w>", "aa</w>", 2)
+    # after: aaaa -> [aa,aa</w>], aaa -> [aa,a,</w>]
+    # round 3: (aa,aa</w>)=2 beats (aa,a)=1,(a,</w>)=1
+    assert got[2] == (3, "aa", "aa</w>", "aaaa</w>", 2)
