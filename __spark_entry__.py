@@ -215,6 +215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": pipeline.bm25_topk,
         # BPE tokenizer training over the word-frequency relation
         "bpe_merges": pipeline.bpe_merges,
+        # training-mixture planner (largest-remainder token apportionment)
+        "corpus_mixture": pipeline.corpus_mixture,
         # bigram LM count table with exact MLE conditionals
         "ngram_lm": pipeline.ngram_lm,
         # deterministic hash-based stratified downsampling per language
@@ -375,6 +377,7 @@ def oracle_sql() -> dict[str, str]:
         # golden-table oracle: committed pure-python BPE replay
         # (tools/gen_bpe_golden.py), sig-dispatched like triples_neural
         "bpe_merges": oc.q_bpe_merges(),
+        "corpus_mixture": oc.q_corpus_mixture(),
         "ngram_lm": oc.q_ngram_lm(),
         "corpus_sample": oc.q_corpus_sample(),
         "corpus_stats": oc.q_corpus_stats(),

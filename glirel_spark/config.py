@@ -156,6 +156,19 @@ BM25_QUERY_MOD = 50
 BM25_TOPK = 10
 BM25_QUERY_TERMS = 8
 
+# training-mixture planner: global token budget + per-domain weights in
+# basis points (must sum to 10000; 'other' is the catch-all bucket).
+# Budget deliberately not a multiple of 10000 so the largest-remainder
+# path is exercised at every scale factor.
+MIXTURE_BUDGET_TOKENS = 33_333
+MIXTURE_WEIGHTS_BPS = {
+    "en": 5000,
+    "de": 2500,
+    "fr": 1500,
+    "es": 300,
+    "other": 700,
+}
+
 SIMHASH_BITS = 48  # 12-bit LSH chunks keep candidate blocks selective
 SIMHASH_AB = [(2 * i + 3, 7 * i + 5) for i in range(SIMHASH_BITS)]
 SIMHASH_MAX_HAMMING = 3

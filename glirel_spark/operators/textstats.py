@@ -1000,3 +1000,87 @@ def bpe_merges(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
         out,
         "round int, left string, right string, merged string, pair_count long",
     )
+
+
+def corpus_mixture(
+    docs: DataFrame,
+    budget: int = config.MIXTURE_BUDGET_TOKENS,
+    weights_bps: dict[str, int] | None = None,
+) -> DataFrame:
+    """Training-mixture planner (the data-mixing step of an LLM data
+    pipeline, the DoReMi/Pile-weights shape): allocate a global token
+    budget across language domains by configured weights, exactly.
+
+    Allocation is LARGEST-REMAINDER apportionment in pure integers:
+    ``base_d = budget*w_d DIV 10000``, the ``budget - sum(base)``
+    leftover tokens (< n_domains by construction) go to the largest
+    ``budget*w_d MOD 10000`` remainders (tie: domain asc) — so targets
+    sum to the budget EXACTLY, no float shares, bit-identical in the
+    oracle. Per domain the plan reports availability, target,
+    ``quota = min(available, target)``, the deficit, and the integer
+    keep-rate (bps) a downstream stratified_sample needs to hit quota.
+
+    Scale shape: the corpus contributes ONE map-side-combined
+    aggregation (domain <- lang via a literal CASE, token counts are
+    split-size arithmetic — scan-bound, no UDF); everything after runs
+    on the DOMAIN relation, whose size is the weight table's (single
+    digits) — its windows are constant-size, not data-size. Domains
+    configured but absent from the corpus still get their row
+    (available=0) so the deficit is visible, via a left join from the
+    weight relation.
+    """
+    if weights_bps is None:
+        weights_bps = config.MIXTURE_WEIGHTS_BPS
+    assert sum(weights_bps.values()) == 10_000, "weights must sum to 10000"
+    spark = docs.sparkSession
+
+    known = [d for d in sorted(weights_bps) if d != "other"]
+    dom = F.when(F.col("lang").isin(known), F.col("lang")).otherwise(
+        F.lit("other")
+    )
+    avail = (
+        docs.select(
+            dom.alias("domain"),
+            F.size(F.split("text", " ")).cast("long").alias("n"),
+        )
+        .groupBy("domain")
+        .agg(F.sum("n").alias("available_tokens"))
+    )
+    wdf = spark.createDataFrame(
+        sorted(weights_bps.items()), "domain string, weight_bps long"
+    )
+    b = F.lit(budget).cast("long")
+    alloc = wdf.select(
+        "domain", "weight_bps",
+        F.expr(f"({budget} * weight_bps) DIV 10000").alias("base"),
+        F.expr(f"({budget} * weight_bps) % 10000").alias("rem"),
+    )
+    # constant-size relation (== weight table): global windows are fine
+    wr = Window.orderBy(F.desc("rem"), F.asc("domain"))
+    alloc = (
+        alloc.withColumn("leftover", b - F.sum("base").over(
+            Window.partitionBy()
+        ))
+        .withColumn("rk", F.row_number().over(wr))
+        .select(
+            "domain", "weight_bps",
+            (F.col("base") + (F.col("rk") <= F.col("leftover")).cast("long"))
+            .alias("target_tokens"),
+        )
+    )
+    av = F.coalesce(F.col("available_tokens"), F.lit(0).cast("long"))
+    quota = F.least(av, F.col("target_tokens"))
+    return (
+        alloc.join(avail, "domain", "left")
+        .select(
+            "domain", "weight_bps",
+            av.alias("available_tokens"),
+            "target_tokens",
+            quota.alias("quota_tokens"),
+            (F.col("target_tokens") - quota).alias("deficit_tokens"),
+            F.when(av > 0, F.expr(
+                "(least(coalesce(available_tokens, 0), target_tokens)"
+                " * 10000) DIV coalesce(available_tokens, 0)"
+            )).otherwise(F.lit(0)).cast("long").alias("keep_bps"),
+        )
+    )

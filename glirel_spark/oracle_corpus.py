@@ -1977,3 +1977,50 @@ def q_bpe_merges() -> str:
         for sf, s in _GOLDEN_SIGS.items()
     )
     return f"WITH sig AS (SELECT sum(length(text)) AS s FROM documents)\n{arms}"
+
+
+def q_corpus_mixture() -> str:
+    """Mirror of textstats.corpus_mixture: largest-remainder integer
+    apportionment of the token budget, recomputed from the raw weight
+    table (base/rem/rank/leftover all re-derived in SQL)."""
+    b = c.MIXTURE_BUDGET_TOKENS
+    w = c.MIXTURE_WEIGHTS_BPS
+    vals = ", ".join(f"('{d}', {w[d]})" for d in sorted(w))
+    known = ", ".join(f"'{d}'" for d in sorted(w) if d != "other")
+    return f"""
+WITH w(domain, weight_bps) AS (VALUES {vals}),
+av AS (
+  SELECT CASE WHEN lang IN ({known}) THEN lang ELSE 'other' END AS domain,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS available_tokens
+  FROM documents GROUP BY 1
+),
+alloc AS (
+  SELECT domain, CAST(weight_bps AS BIGINT) AS weight_bps,
+         ({b} * weight_bps) // 10000 AS base,
+         ({b} * weight_bps) % 10000 AS rem
+  FROM w
+),
+a2 AS (
+  SELECT *, {b} - sum(base) OVER () AS leftover,
+         row_number() OVER (ORDER BY rem DESC, domain ASC) AS rk
+  FROM alloc
+),
+t AS (
+  SELECT domain, weight_bps,
+         CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+           AS target_tokens
+  FROM a2
+)
+SELECT t.domain, t.weight_bps,
+       CAST(coalesce(v.available_tokens, 0) AS BIGINT) AS available_tokens,
+       t.target_tokens,
+       CAST(least(coalesce(v.available_tokens, 0), t.target_tokens)
+            AS BIGINT) AS quota_tokens,
+       CAST(t.target_tokens
+            - least(coalesce(v.available_tokens, 0), t.target_tokens)
+            AS BIGINT) AS deficit_tokens,
+       CAST(CASE WHEN coalesce(v.available_tokens, 0) > 0
+            THEN (least(v.available_tokens, t.target_tokens) * 10000)
+                 // v.available_tokens
+            ELSE 0 END AS BIGINT) AS keep_bps
+FROM t LEFT JOIN av v ON v.domain = t.domain"""

@@ -959,3 +959,9 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import textstats
 
     return textstats.bpe_merges(_flat_docs(spark, sf_dir))
+
+
+def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import textstats
+
+    return textstats.corpus_mixture(_flat_docs(spark, sf_dir))

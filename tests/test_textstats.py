@@ -245,3 +245,32 @@ def test_bpe_merges_overlap_and_tiebreak(spark):
     # after: aaaa -> [aa,aa</w>], aaa -> [aa,a,</w>]
     # round 3: (aa,aa</w>)=2 beats (aa,a)=1,(a,</w>)=1
     assert got[2] == (3, "aa", "aa</w>", "aaaa</w>", 2)
+
+
+def test_corpus_mixture_largest_remainder(spark):
+    """Hand-computed largest-remainder apportionment: targets sum to
+    the budget exactly, absent domains surface their full deficit, and
+    keep_bps is the integer rate hitting the quota."""
+    from glirel_spark.operators.textstats import corpus_mixture
+
+    docs = spark.createDataFrame(
+        [(1, "x y", "a", "s", 3), (2, " ".join(["t"] * 10), "q", "s", 19)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # base = 3/3/3, remainders 3330/3330/3340 -> 'other' takes the +1
+    got = {
+        r["domain"]: (
+            r["available_tokens"], r["target_tokens"], r["quota_tokens"],
+            r["deficit_tokens"], r["keep_bps"],
+        )
+        for r in corpus_mixture(
+            docs, budget=10,
+            weights_bps={"a": 3333, "b": 3333, "other": 3334},
+        ).collect()
+    }
+    assert got == {
+        "a": (2, 3, 2, 1, 10000),
+        "b": (0, 3, 0, 3, 0),
+        "other": (10, 4, 4, 0, 4000),
+    }
+    assert sum(t for _, t, *_ in got.values()) == 10  # targets == budget
