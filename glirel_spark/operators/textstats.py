@@ -843,9 +843,13 @@ def bm25_topk(
         ).alias("doc_id"),
         F.explode(F.split("text", " ")).alias("token"),
     )
+    # tf/dl/dft form the retrieval INDEX: four consumers (dl, dft, the
+    # query side, the probe) share one cached build — at scale these
+    # are persisted tables written once per corpus snapshot, queried
+    # forever (the same stage boundary as the shingled corpus).
     tf = tok.groupBy("doc_id", "token").agg(
         F.count("*").cast("long").alias("tf")
-    )
+    ).cache()
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     dft = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
     stats = dl.agg(

@@ -189,3 +189,38 @@ def test_kg_label_prop_plan_is_window_free(spark):
 
     plan = _plan(pipeline.kg_label_prop(spark, SF))
     assert "Window" not in plan
+
+
+def test_bm25_plan_broadcasts_query_side(spark):
+    """The corpus tf relation must be probed via a BROADCAST of the
+    bounded query side — a shuffle join on the Zipf-hot token key is
+    exactly the regression this guard exists to catch. The only
+    SortMergeJoins allowed are the doc-keyed dl join and query-side
+    prep (token is never a sort-merge key)."""
+    from glirel_spark.plans import pipeline
+
+    plan = _plan(pipeline.bm25_topk(spark, SF))
+    assert "BroadcastExchange" in plan
+    import re
+
+    for m in re.finditer(r"SortMergeJoin \[([^\]]*)\]", plan):
+        assert "token" not in m.group(1), f"tf shuffled on token:\n{plan}"
+
+
+def test_containment_pairs_probe_side_prefix_only(spark):
+    """Containment candidates join prefix(probe) x postings(index):
+    both sides key on the shingle — fine — but the verify stage must
+    aggregate on the candidate pair, never window. No Window at all in
+    this plan."""
+    from glirel_spark.plans import pipeline
+
+    plan = _plan(pipeline.containment_pairs(spark, SF))
+    # the only window is the per-doc rare-first rank: every window spec
+    # in the plan must be partitioned by doc_id — a GLOBAL window
+    # (empty partition spec) would single-partition the shingle stream
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^,]*),", plan)
+    assert specs, f"expected the rare-first rank window:\n{plan}"
+    for s in specs:
+        assert "doc_id" in s, f"non-doc_id window spec {s!r}:\n{plan}"
