@@ -217,6 +217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": pipeline.bpe_merges,
         # training-mixture planner (largest-remainder token apportionment)
         "corpus_mixture": pipeline.corpus_mixture,
+        # trained tokenizer applied: per-doc exact subword counts
+        "bpe_token_counts": pipeline.bpe_token_counts,
         # bigram LM count table with exact MLE conditionals
         "ngram_lm": pipeline.ngram_lm,
         # deterministic hash-based stratified downsampling per language
@@ -378,6 +380,7 @@ def oracle_sql() -> dict[str, str]:
         # (tools/gen_bpe_golden.py), sig-dispatched like triples_neural
         "bpe_merges": oc.q_bpe_merges(),
         "corpus_mixture": oc.q_corpus_mixture(),
+        "bpe_token_counts": oc.q_bpe_token_counts(),
         "ngram_lm": oc.q_ngram_lm(),
         "corpus_sample": oc.q_corpus_sample(),
         "corpus_stats": oc.q_corpus_stats(),

@@ -933,14 +933,23 @@ def bpe_merges(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
     data-dependent loop-carried state is not expressible in one SQL
     query, the same footing as triples_neural.
     """
-    spark = docs.sparkSession
+    _, merges = _bpe_train(docs, rounds)
+    return docs.sparkSession.createDataFrame(
+        merges,
+        "round int, left string, right string, merged string, pair_count long",
+    )
+
+
+def _bpe_train(docs: DataFrame, rounds: int):
+    """Shared BPE trainer: returns (final word->symbols vocab relation
+    (w, freq, sym), merge list [(round, left, right, merged, count)])."""
     words = (
         docs.select(F.explode(F.split("text", " ")).alias("w"))
         .filter(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("freq"))
         .select(
-            "freq",
+            "w", "freq",
             F.concat(F.split("w", ""), F.array(F.lit("</w>"))).alias("sym"),
         )
         .localCheckpoint(eager=True)
@@ -972,7 +981,7 @@ def bpe_merges(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
         merged = left + right
         sym = F.col("sym")
         words = words.select(
-            "freq",
+            "w", "freq",
             F.aggregate(
                 F.sequence(F.lit(0), F.size(sym) - 1),
                 F.struct(
@@ -1000,9 +1009,53 @@ def bpe_merges(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
             ).alias("sym"),
         ).localCheckpoint(eager=True)
         out.append((rnd, left, right, merged, int(cnt)))
-    return spark.createDataFrame(
-        out,
-        "round int, left string, right string, merged string, pair_count long",
+    return words, out
+
+
+def bpe_token_counts(docs: DataFrame, rounds: int = BPE_ROUNDS) -> DataFrame:
+    """Apply the TRAINED BPE tokenizer back to the corpus: per-document
+    exact subword counts under the learned merge table, next to the
+    chars/4 estimate token_counts ships — the real token-budget feed
+    for packing.token_blocks / corpus_mixture once a tokenizer exists.
+    ``fertility_milli`` (subwords per word x1000, integer DIV) is the
+    standard tokenizer-quality metric.
+
+    Scale shape: training cost is bpe_merges (vocabulary-sized, corpus
+    touched once); APPLICATION is a word-keyed join of the exploded
+    corpus against the (word -> n_subwords) relation — vocabulary-sized
+    build side (broadcast-able at most scales; plain shuffle join with
+    AQE skew split otherwise) — then one per-doc sum. Words are
+    segmented once per TYPE, not per token: the classic BPE-serving
+    trick, identical to training on word frequencies. Unseen words
+    cannot occur here (vocab is trained on the same corpus); a serving
+    deployment would add a char-fallback arm for OOV types.
+    """
+    vocab, _ = _bpe_train(docs, rounds)
+    # a STANDALONE '</w>' symbol (end marker not yet merged into its
+    # word's last subword) is a training artifact, not an emitted
+    # token — exclude it from the count
+    seg = vocab.select(
+        "w",
+        F.size(F.filter("sym", lambda s: s != "</w>"))
+        .cast("long").alias("n_sub"),
+    )
+    wtok = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(F.split("text", " ")).alias("w"),
+    ).filter(F.length("w") > 0)
+    est = F.ceil(F.length("w") / F.lit(4.0)).cast("long")
+    return (
+        wtok.join(F.broadcast(seg), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            F.sum("n_sub").cast("long").alias("bpe_tokens"),
+            F.sum(est).cast("long").alias("est_tokens"),
+        )
+        .select(
+            "doc_id", "n_words", "bpe_tokens", "est_tokens",
+            F.expr("(bpe_tokens * 1000) DIV n_words").alias("fertility_milli"),
+        )
     )
 
 

@@ -2024,3 +2024,20 @@ SELECT t.domain, t.weight_bps,
                  // v.available_tokens
             ELSE 0 END AS BIGINT) AS keep_bps
 FROM t LEFT JOIN av v ON v.domain = t.domain"""
+
+
+def q_bpe_token_counts() -> str:
+    """Golden-table oracle for textstats.bpe_token_counts (the trained
+    tokenizer APPLIED): committed pure-python segmentation replay,
+    sig-dispatched like q_bpe_merges."""
+    import pathlib
+
+    from glirel_spark.oracle import _GOLDEN_SIGS
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "goldens"
+    arms = "\nUNION ALL\n".join(
+        f"SELECT * FROM read_parquet('{root}/{sf}/bpe_token_counts.parquet')"
+        f" WHERE (SELECT s FROM sig) = {s}"
+        for sf, s in _GOLDEN_SIGS.items()
+    )
+    return f"WITH sig AS (SELECT sum(length(text)) AS s FROM documents)\n{arms}"

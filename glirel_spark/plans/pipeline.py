@@ -965,3 +965,9 @@ def corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import textstats
 
     return textstats.corpus_mixture(_flat_docs(spark, sf_dir))
+
+
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import textstats
+
+    return textstats.bpe_token_counts(_flat_docs(spark, sf_dir))

@@ -274,3 +274,18 @@ def test_corpus_mixture_largest_remainder(spark):
         "other": (10, 4, 4, 0, 4000),
     }
     assert sum(t for _, t, *_ in got.values()) == 10  # targets == budget
+
+
+def test_bpe_token_counts_marker_exclusion(spark):
+    """Applying the trained merges: fully-merged words count their one
+    subword; a word left with a standalone '</w>' excludes the marker."""
+    from glirel_spark.operators.textstats import bpe_token_counts
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa aaa", "en", "s", 13)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # after 3 rounds: aaaa -> ['aaaa</w>'] (1), aaa -> ['aa','a','</w>'] (2)
+    [r] = bpe_token_counts(docs, rounds=3).collect()
+    assert (r.doc_id, r.n_words, r.bpe_tokens, r.est_tokens) == (1, 3, 4, 3)
+    assert r.fertility_milli == 4000 // 3

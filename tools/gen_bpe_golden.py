@@ -24,7 +24,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from glirel_spark.operators.textstats import BPE_ROUNDS  # noqa: E402
 
 
-def train(words: Counter, rounds: int) -> list[tuple]:
+def train(words: Counter, rounds: int):
     vocab = {w: tuple(w) + ("</w>",) for w in words}
     out = []
     for rnd in range(1, rounds + 1):
@@ -50,7 +50,7 @@ def train(words: Counter, rounds: int) -> list[tuple]:
                     i += 1
             vocab[w] = tuple(ns)
         out.append((rnd, left, right, merged, cnt))
-    return out
+    return out, vocab
 
 
 def main(sfs: list[str]) -> None:
@@ -64,7 +64,7 @@ def main(sfs: list[str]) -> None:
             for w in t.split(" "):
                 if w:
                     words[w] += 1
-        rows = train(words, BPE_ROUNDS)
+        rows, vocab = train(words, BPE_ROUNDS)
         dest = root / "goldens" / sf / "bpe_merges.parquet"
         dest.parent.mkdir(parents=True, exist_ok=True)
         con = duckdb.connect()
@@ -75,6 +75,33 @@ def main(sfs: list[str]) -> None:
         con.executemany("INSERT INTO g VALUES (?,?,?,?,?)", rows)
         con.execute(f"COPY g TO '{dest}' (FORMAT PARQUET)")
         print(sf, rows)
+
+        # per-doc counts under the trained vocab (standalone '</w>'
+        # excluded — same rule as textstats.bpe_token_counts)
+        n_sub = {w: sum(1 for s in v if s != "</w>") for w, v in vocab.items()}
+        docs = duckdb.sql(
+            f"SELECT doc_id, text FROM '/root/testdata/{sf}/documents.parquet'"
+        ).fetchall()
+        crows = []
+        for doc_id, t in docs:
+            ws = [w for w in t.split(" ") if w]
+            if not ws:
+                continue  # no output row, matching the Spark-side join
+            bpe = sum(n_sub[w] for w in ws)
+            est = sum((len(w) + 3) // 4 for w in ws)
+            crows.append(
+                (int(doc_id), len(ws), bpe, est, bpe * 1000 // len(ws))
+            )
+        con.execute(
+            "CREATE TABLE tc (doc_id BIGINT, n_words BIGINT, bpe_tokens"
+            " BIGINT, est_tokens BIGINT, fertility_milli BIGINT)"
+        )
+        con.executemany("INSERT INTO tc VALUES (?,?,?,?,?)", crows)
+        con.execute(
+            f"COPY tc TO '{root}/goldens/{sf}/bpe_token_counts.parquet'"
+            " (FORMAT PARQUET)"
+        )
+        print(sf, "token_counts rows:", len(crows))
 
 
 if __name__ == "__main__":
