@@ -169,6 +169,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allpairs_neardups": pipeline.allpairs_neardups,
         # DIRECTIONAL containment join (quote/excerpt detection)
         "containment_pairs": pipeline.containment_pairs,
+        # leakage-safe content-hash splits + cross-split near-dup audit
+        "split_assign": pipeline.split_assign,
+        "split_leakage": pipeline.split_leakage,
         # sorted-neighborhood ER census (distributed rank + band join)
         "er_sorted_neighborhood": pipeline.er_sorted_neighborhood,
         # benchmark decontamination (shingle overlap vs the eval split)
@@ -353,6 +356,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_hard_negatives": oc.q_minhash_hard_negatives(),
         "allpairs_neardups": oc.q_allpairs_neardups(),
         "containment_pairs": oc.q_containment_pairs(),
+        "split_assign": oc.q_split_assign(),
+        "split_leakage": oc.q_split_leakage(),
         "er_sorted_neighborhood": oracle.q_er_sorted_neighborhood(),
         "decontaminate": oc.q_decontaminate(),
         "bloom_decontaminate": oc.q_bloom_decontaminate(),

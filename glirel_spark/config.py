@@ -156,6 +156,11 @@ BM25_QUERY_MOD = 50
 BM25_TOPK = 10
 BM25_QUERY_TERMS = 8
 
+# leakage-safe corpus splitting: content-hash buckets out of 100
+# (byte-identical docs always co-split by construction)
+SPLIT_TRAIN_PCT = 80
+SPLIT_VAL_PCT = 10  # test = the remainder
+
 # training-mixture planner: global token budget + per-domain weights in
 # basis points (must sum to 10000; 'other' is the catch-all bucket).
 # Budget deliberately not a multiple of 10000 so the largest-remainder

@@ -961,3 +961,55 @@ def containment_pairs(
             F.expr("(inter * 1000) DIV n_sub").alias("containment_milli"),
         )
     )
+
+
+def split_assign(docs_tokens: DataFrame) -> DataFrame:
+    """Leakage-safe train/val/test assignment: the split is a pure
+    function of the CONTENT fingerprint (fingerprint(), the rolling
+    token-stream hash), never of doc_id — so byte-identical documents
+    land in the same split by construction, re-ingestion with new ids
+    cannot move a document across the boundary, and the assignment is
+    resume-safe (same determinism contract as stratified_sample).
+
+    Scale shape: rides the fingerprint pass (one map-side-combined
+    fold per doc); the bucket/split columns are codegen CASE
+    arithmetic — scan-bound, no extra shuffle.
+    """
+    tr, va = config.SPLIT_TRAIN_PCT, config.SPLIT_TRAIN_PCT + config.SPLIT_VAL_PCT
+    b = F.pmod(F.col("fp"), F.lit(100))
+    return fingerprint(docs_tokens).select(
+        "doc_id", "fp",
+        b.cast("long").alias("bucket"),
+        F.when(b < tr, "train").when(b < va, "val").otherwise("test")
+        .alias("split"),
+    )
+
+
+def split_leakage(
+    docs_tokens: DataFrame, shingled: DataFrame | None = None
+) -> DataFrame:
+    """Cross-split leakage audit: near-duplicate pairs (the exact
+    minhash_neardups relation) whose two sides were assigned to
+    DIFFERENT splits — the contamination a content-hash split cannot
+    prevent (near-dups hash differently) and every eval pipeline must
+    measure before trusting validation numbers. One row per leaked
+    pair with both splits and the overlap evidence; a downstream fix
+    either drops the eval-side doc or re-assigns whole near-dup
+    families (dedup_clusters gives the family relation).
+
+    Scale shape: the pair relation is candidate-bounded (LSH band
+    join, never all-pairs); the split relation joins on the pair's doc
+    keys — two plain equi-joins on unique ids against a relation with
+    exactly one row per doc. No new shuffles beyond the dedup path
+    itself; both inputs reuse the shared cached shingle pass.
+    """
+    pairs = minhash_neardups_arr(docs_tokens, shingled=shingled).select(
+        "doc1", "doc2", "inter", "un"
+    )
+    sa = split_assign(docs_tokens).select("doc_id", "split")
+    return (
+        pairs.join(sa.toDF("doc1", "split1"), "doc1")
+        .join(sa.toDF("doc2", "split2"), "doc2")
+        .filter(F.col("split1") != F.col("split2"))
+        .select("doc1", "doc2", "split1", "split2", "inter", "un")
+    )

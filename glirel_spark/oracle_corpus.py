@@ -2041,3 +2041,62 @@ def q_bpe_token_counts() -> str:
         for sf, s in _GOLDEN_SIGS.items()
     )
     return f"WITH sig AS (SELECT sum(length(text)) AS s FROM documents)\n{arms}"
+
+
+def q_split_assign() -> str:
+    """Mirror of corpus_dedup.split_assign: content-fingerprint bucket
+    out of 100, CASE thresholds from the same config."""
+    tr = c.SPLIT_TRAIN_PCT
+    va = c.SPLIT_TRAIN_PCT + c.SPLIT_VAL_PCT
+    return (
+        _with(CTE_TOKENS, CTE_THASH, CTE_FP)
+        + f"""
+SELECT doc_id, fp, CAST(fp % 100 AS BIGINT) AS bucket,
+       CASE WHEN fp % 100 < {tr} THEN 'train'
+            WHEN fp % 100 < {va} THEN 'val'
+            ELSE 'test' END AS split
+FROM fps"""
+    )
+
+
+def q_split_leakage() -> str:
+    """Mirror of corpus_dedup.split_leakage: the exact minhash near-dup
+    relation joined to the content-hash split assignment; pairs whose
+    sides differ."""
+    tr = c.SPLIT_TRAIN_PCT
+    va = c.SPLIT_TRAIN_PCT + c.SPLIT_VAL_PCT
+    return (
+        _with(CTE_TOKENS, CTE_THASH, CTE_SHINGLES, CTE_SIG, CTE_BANDS, CTE_FP)
+        + f"""
+, sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM shing GROUP BY doc_id),
+inters AS (
+  SELECT cd.doc1, cd.doc2, CAST(count(*) AS BIGINT) AS inter
+  FROM cands cd
+  JOIN shing s1 ON s1.doc_id = cd.doc1
+  JOIN shing s2 ON s2.doc_id = cd.doc2 AND s2.sh = s1.sh
+  GROUP BY cd.doc1, cd.doc2
+),
+verified AS (
+  SELECT cd.doc1, cd.doc2,
+         CAST(coalesce(i.inter, 0) AS BIGINT) AS inter,
+         CAST(z1.n + z2.n - coalesce(i.inter, 0) AS BIGINT) AS un
+  FROM cands cd
+  LEFT JOIN inters i ON i.doc1 = cd.doc1 AND i.doc2 = cd.doc2
+  JOIN sizes z1 ON z1.doc_id = cd.doc1
+  JOIN sizes z2 ON z2.doc_id = cd.doc2
+  WHERE CAST(coalesce(i.inter, 0) AS DOUBLE)
+        / (z1.n + z2.n - coalesce(i.inter, 0)) >= {c.NEARDUP_JACCARD}
+),
+sp AS (
+  SELECT doc_id,
+         CASE WHEN fp % 100 < {tr} THEN 'train'
+              WHEN fp % 100 < {va} THEN 'val'
+              ELSE 'test' END AS split
+  FROM fps
+)
+SELECT v.doc1, v.doc2, a.split AS split1, b.split AS split2, v.inter, v.un
+FROM verified v
+JOIN sp a ON a.doc_id = v.doc1
+JOIN sp b ON b.doc_id = v.doc2
+WHERE a.split <> b.split"""
+    )

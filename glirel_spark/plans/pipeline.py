@@ -971,3 +971,17 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import textstats
 
     return textstats.bpe_token_counts(_flat_docs(spark, sf_dir))
+
+
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import corpus_dedup as cd
+
+    return cd.split_assign(docs_tokens(spark, sf_dir))
+
+
+def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import corpus_dedup as cd
+
+    return cd.split_leakage(
+        docs_tokens(spark, sf_dir), shingled=docs_shingled(spark, sf_dir)
+    )

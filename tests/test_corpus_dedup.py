@@ -335,3 +335,37 @@ def test_containment_matches_bruteforce(spark):
     inter = len(sets["qt"] & sets["art"])
     un = len(sets["qt"] | sets["art"])
     assert inter * 5 < un * 4
+
+
+def test_split_assign_content_addressed_and_leakage_consistent(spark):
+    """Identical token streams always co-split (content-addressed, id
+    plays no role); split_leakage == the near-dup relation filtered to
+    differing splits."""
+    from glirel_spark.operators import corpus_dedup as cd
+
+    rows = []
+    for d in range(30):
+        if d % 3 == 0:
+            toks = ["w%d" % (i % 9) for i in range(20)]       # clones
+        elif d % 3 == 1:
+            toks = ["w%d" % (i % 9) for i in range(19)] + ["odd%d" % d]
+        else:
+            toks = ["u%d_%d" % (d, i) for i in range(20)]
+        rows.append((str(d), toks))
+    docs = spark.createDataFrame(rows, "doc_id string, tokens array<string>")
+
+    sa = {r.doc_id: (r.fp, r.split) for r in cd.split_assign(docs).collect()}
+    clone_splits = {sa[str(d)] for d in range(0, 30, 3)}
+    assert len(clone_splits) == 1  # identical content -> identical split
+
+    leaks = {
+        (r.doc1, r.doc2) for r in cd.split_leakage(docs).collect()
+    }
+    pairs = {
+        (r.doc1, r.doc2)
+        for r in cd.minhash_neardups_arr(docs).collect()
+    }
+    expect = {
+        (a, b) for a, b in pairs if sa[a][1] != sa[b][1]
+    }
+    assert leaks == expect
