@@ -172,6 +172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # leakage-safe content-hash splits + cross-split near-dup audit
         "split_assign": pipeline.split_assign,
         "split_leakage": pipeline.split_leakage,
+        # family-level re-assignment: zero cross-split leakage by construction
+        "split_assign_safe": pipeline.split_assign_safe,
         # sorted-neighborhood ER census (distributed rank + band join)
         "er_sorted_neighborhood": pipeline.er_sorted_neighborhood,
         # benchmark decontamination (shingle overlap vs the eval split)
@@ -358,6 +360,7 @@ def oracle_sql() -> dict[str, str]:
         "containment_pairs": oc.q_containment_pairs(),
         "split_assign": oc.q_split_assign(),
         "split_leakage": oc.q_split_leakage(),
+        "split_assign_safe": oc.q_split_assign_safe(),
         "er_sorted_neighborhood": oracle.q_er_sorted_neighborhood(),
         "decontaminate": oc.q_decontaminate(),
         "bloom_decontaminate": oc.q_bloom_decontaminate(),

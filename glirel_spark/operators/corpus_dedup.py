@@ -1013,3 +1013,31 @@ def split_leakage(
         .filter(F.col("split1") != F.col("split2"))
         .select("doc1", "doc2", "split1", "split2", "inter", "un")
     )
+
+
+def split_assign_safe(
+    docs_tokens: DataFrame, shingled: DataFrame | None = None
+) -> DataFrame:
+    """Family-level split assignment — the FIX for what split_leakage
+    measures: every document inherits the split of its near-dup
+    family's canonical doc (neardup_clusters root), computed from the
+    CANONICAL's content fingerprint. Near-dup pairs share a family by
+    the transitive closure, hence a canonical, hence a split — so
+    cross-split near-dup leakage is ZERO BY CONSTRUCTION (asserted in
+    tests by re-running the audit on this assignment). Singletons
+    degrade to plain split_assign (their canonical is themselves).
+
+    Scale shape: clusters iterate only over the edge-node subgraph
+    (neardup_clusters); the fingerprint/split relation joins once on
+    canonical_id — unique keys, ~1 row each side; shared cached
+    shingle pass throughout.
+    """
+    clusters = neardup_clusters(docs_tokens, shingled=shingled).select(
+        "doc_id", "canonical_id"
+    )
+    sa = split_assign(docs_tokens).select(
+        F.col("doc_id").alias("canonical_id"), "split"
+    )
+    return clusters.join(sa, "canonical_id").select(
+        "doc_id", "canonical_id", "split"
+    )

@@ -112,13 +112,11 @@ FROM verified WHERE CAST(inter AS DOUBLE) / un >= {c.NEARDUP_JACCARD}"""
     )
 
 
-def q_dedup_clusters() -> str:
-    """Near-dup family resolution: transitive closure over the verified
-    near-dup pairs via a recursive reachability CTE (min reachable
-    doc_id = the canonical), singletons default to themselves. Mirrors
-    corpus_dedup.neardup_clusters (min-label propagation fixpoint ==
-    min over the connected component)."""
-    neardups = f"""
+def _neardups_comp_cte() -> str:
+    """Shared CTE block: verified near-dup pairs -> symmetric edges ->
+    recursive reachability -> comp(doc_id, canonical). Used by
+    q_dedup_clusters and q_split_assign_safe."""
+    return f"""
 neardups AS (
   SELECT cd.doc1, cd.doc2
   FROM cands cd
@@ -147,7 +145,18 @@ reach(src, node) AS (
 ),
 comp AS (SELECT node AS doc_id, min(src) AS canonical FROM reach GROUP BY node)
 """
-    base = _with(CTE_TOKENS, CTE_THASH, CTE_SHINGLES, CTE_SIG, CTE_BANDS, neardups)
+
+
+def q_dedup_clusters() -> str:
+    """Near-dup family resolution: transitive closure over the verified
+    near-dup pairs via a recursive reachability CTE (min reachable
+    doc_id = the canonical), singletons default to themselves. Mirrors
+    corpus_dedup.neardup_clusters (min-label propagation fixpoint ==
+    min over the connected component)."""
+    base = _with(
+        CTE_TOKENS, CTE_THASH, CTE_SHINGLES, CTE_SIG, CTE_BANDS,
+        _neardups_comp_cte(),
+    )
     return (
         base.replace("WITH ", "WITH RECURSIVE ", 1)
         + """
@@ -2099,4 +2108,32 @@ FROM verified v
 JOIN sp a ON a.doc_id = v.doc1
 JOIN sp b ON b.doc_id = v.doc2
 WHERE a.split <> b.split"""
+    )
+
+
+def q_split_assign_safe() -> str:
+    """Mirror of corpus_dedup.split_assign_safe: recursive family
+    closure + the canonical doc's fingerprint bucket."""
+    tr = c.SPLIT_TRAIN_PCT
+    va = c.SPLIT_TRAIN_PCT + c.SPLIT_VAL_PCT
+    base = _with(
+        CTE_TOKENS, CTE_THASH, CTE_SHINGLES, CTE_SIG, CTE_BANDS,
+        _neardups_comp_cte(), CTE_FP,
+    )
+    return (
+        base.replace("WITH ", "WITH RECURSIVE ", 1)
+        + f""",
+sp AS (
+  SELECT doc_id,
+         CASE WHEN fp % 100 < {tr} THEN 'train'
+              WHEN fp % 100 < {va} THEN 'val'
+              ELSE 'test' END AS split
+  FROM fps
+)
+SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+       coalesce(c2.canonical, CAST(d.doc_id AS VARCHAR)) AS canonical_id,
+       s.split
+FROM documents d
+LEFT JOIN comp c2 ON c2.doc_id = CAST(d.doc_id AS VARCHAR)
+JOIN sp s ON s.doc_id = coalesce(c2.canonical, CAST(d.doc_id AS VARCHAR))"""
     )

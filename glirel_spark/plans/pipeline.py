@@ -985,3 +985,11 @@ def split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cd.split_leakage(
         docs_tokens(spark, sf_dir), shingled=docs_shingled(spark, sf_dir)
     )
+
+
+def split_assign_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import corpus_dedup as cd
+
+    return cd.split_assign_safe(
+        docs_tokens(spark, sf_dir), shingled=docs_shingled(spark, sf_dir)
+    )

@@ -369,3 +369,31 @@ def test_split_assign_content_addressed_and_leakage_consistent(spark):
         (a, b) for a, b in pairs if sa[a][1] != sa[b][1]
     }
     assert leaks == expect
+
+
+def test_split_assign_safe_zero_leakage(spark):
+    """Family-level assignment: re-running the leakage audit against
+    split_assign_safe yields ZERO crossing pairs (the by-construction
+    claim), and singleton docs keep their plain content-hash split."""
+    from glirel_spark.operators import corpus_dedup as cd
+
+    rows = []
+    for d in range(30):
+        if d % 3 == 0:
+            toks = ["w%d" % (i % 9) for i in range(20)]
+        elif d % 3 == 1:
+            toks = ["w%d" % (i % 9) for i in range(19)] + ["odd%d" % d]
+        else:
+            toks = ["u%d_%d" % (d, i) for i in range(20)]
+        rows.append((str(d), toks))
+    docs = spark.createDataFrame(rows, "doc_id string, tokens array<string>")
+
+    safe = {r.doc_id: r.split for r in cd.split_assign_safe(docs).collect()}
+    pairs = {(r.doc1, r.doc2) for r in cd.minhash_neardups_arr(docs).collect()}
+    assert pairs, "fixture must contain near-dup pairs"
+    assert all(safe[a] == safe[b] for a, b in pairs)  # zero leakage
+
+    plain = {r.doc_id: r.split for r in cd.split_assign(docs).collect()}
+    in_pairs = {d for p in pairs for d in p}
+    singles = set(safe) - in_pairs
+    assert singles and all(safe[d] == plain[d] for d in singles)
