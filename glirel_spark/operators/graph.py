@@ -1538,11 +1538,20 @@ def kg_summary(graph: DataFrame) -> DataFrame:
         .join(F.broadcast(recip))
         .select(
             "n_entities", "n_edges_directed", "n_preds", "n_reciprocal",
-            F.expr("(n_reciprocal * 1000) DIV n_edges_directed").alias(
-                "reciprocity_milli"
-            ),
+            # zero-guarded: on an empty / single-entity graph Spark's
+            # DIV yields NULL while the DuckDB oracle's // raises —
+            # both sides pin degenerate input to 0 (oracle mirrors
+            # with CASE WHEN denom > 0)
             F.expr(
-                "(n_edges_directed * 1000000) DIV (n_entities * (n_entities - 1))"
+                "CASE WHEN n_edges_directed > 0"
+                " THEN (n_reciprocal * 1000) DIV n_edges_directed"
+                " ELSE CAST(0 AS BIGINT) END"
+            ).alias("reciprocity_milli"),
+            F.expr(
+                "CASE WHEN n_entities > 1"
+                " THEN (n_edges_directed * 1000000)"
+                " DIV (n_entities * (n_entities - 1))"
+                " ELSE CAST(0 AS BIGINT) END"
             ).alias("density_micro"),
         )
     )

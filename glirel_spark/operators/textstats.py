@@ -787,10 +787,34 @@ def vocab_coverage(
     )
 
 
+def bm25_tf(docs: DataFrame) -> DataFrame:
+    """The BM25 retrieval index relation: (doc_id long, token, tf) —
+    one groupBy over the exploded corpus. Returned UNCACHED: cache
+    ownership belongs to the pipeline layer (plans/pipeline.bm25_index
+    caches it exactly like docs_shingled), because an operator-level
+    cache() with no unpersist leaks a pinned relation per invocation
+    in a long-lived driver."""
+    did = F.col("doc_id").cast("long")
+    tok = docs.select(
+        F.when(
+            F.assert_true(
+                did.isNotNull(),
+                "bm25_topk: doc_id must cast to long (integer-id corpora)",
+            ).isNull(),
+            did,
+        ).alias("doc_id"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    return tok.groupBy("doc_id", "token").agg(
+        F.count("*").cast("long").alias("tf")
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     k: int = config.BM25_TOPK,
     query_mod: int = config.BM25_QUERY_MOD,
+    tf: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 more-like-this retrieval: for each sampled query document
     (``doc_id % query_mod == 0``), the top-k lexically-closest other
@@ -832,24 +856,14 @@ def bm25_topk(
     """
     from pyspark.sql import Window as W
 
-    did = F.col("doc_id").cast("long")
-    tok = docs.select(
-        F.when(
-            F.assert_true(
-                did.isNotNull(),
-                "bm25_topk: doc_id must cast to long (integer-id corpora)",
-            ).isNull(),
-            did,
-        ).alias("doc_id"),
-        F.explode(F.split("text", " ")).alias("token"),
-    )
     # tf/dl/dft form the retrieval INDEX: four consumers (dl, dft, the
-    # query side, the probe) share one cached build — at scale these
-    # are persisted tables written once per corpus snapshot, queried
-    # forever (the same stage boundary as the shingled corpus).
-    tf = tok.groupBy("doc_id", "token").agg(
-        F.count("*").cast("long").alias("tf")
-    ).cache()
+    # query side, the probe) share one build — at scale these are
+    # persisted tables written once per corpus snapshot, queried
+    # forever (the same stage boundary as the shingled corpus). Cache
+    # ownership is the CALLER's: pass tf=pipeline.bm25_index(...) for
+    # the cached form; the default builds it uncached (no leak).
+    if tf is None:
+        tf = bm25_tf(docs)
     dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     dft = tf.groupBy("token").agg(F.count("*").cast("long").alias("df"))
     stats = dl.agg(

@@ -1623,10 +1623,14 @@ nr AS (
   FROM ed l JOIN ed r ON r.a = l.b AND r.b = l.a
 )
 SELECT ne.n_entities, nd.n_edges_directed, np.n_preds, nr.n_reciprocal,
-       CAST((nr.n_reciprocal * 1000) // nd.n_edges_directed AS BIGINT)
+       CAST(CASE WHEN nd.n_edges_directed > 0
+            THEN (nr.n_reciprocal * 1000) // nd.n_edges_directed
+            ELSE 0 END AS BIGINT)
          AS reciprocity_milli,
-       CAST((nd.n_edges_directed * 1000000)
-            // (ne.n_entities * (ne.n_entities - 1)) AS BIGINT)
+       CAST(CASE WHEN ne.n_entities > 1
+            THEN (nd.n_edges_directed * 1000000)
+                 // (ne.n_entities * (ne.n_entities - 1))
+            ELSE 0 END AS BIGINT)
          AS density_micro
 FROM ne CROSS JOIN nd CROSS JOIN np CROSS JOIN nr"""
     )

@@ -949,10 +949,21 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bm25_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cached BM25 tf index, same ownership pattern as docs_shingled:
+    the cache lives at the pipeline layer (plan-keyed, one entry per
+    sf_dir for the whole session), not inside the operator."""
+    from glirel_spark.operators import textstats
+
+    return textstats.bm25_tf(_flat_docs(spark, sf_dir)).cache()
+
+
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import textstats
 
-    return textstats.bm25_topk(_flat_docs(spark, sf_dir))
+    return textstats.bm25_topk(
+        _flat_docs(spark, sf_dir), tf=bm25_index(spark, sf_dir)
+    )
 
 
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -12,10 +12,18 @@ emits EXACTLY ONCE (append mode, no retraction).
 Ordering contract (same as sessions_state.sessionize_stateful): events
 for a user must arrive in event-time order up to in-batch sorting —
 true for the engine's replayed event log, and in production enforced
-upstream by the log's per-key ordering. Under that contract
-"first-qualifying seen" == "min-qualifying", so the stream output
-matches the batch chain of conditional mins exactly — asserted in
-tests/test_streaming.py.
+upstream by the log's per-key ordering. Timestamps need NOT be
+strictly increasing: ties across a micro-batch boundary are handled by
+a bounded boundary buffer. A step-k event at ts == the (future) fill
+time of step k-1 can only tie if its ts equals the max event time seen
+so far for the user (later events are >= it under the ordering
+contract), so the state keeps, per unfilled step, the earliest seen
+event time that equals the running per-user max — O(|steps|) extra
+longs, still constant state — and replays those candidates at the
+start of every batch. With the buffer, "first-qualifying seen" ==
+"min-qualifying" holds even with equal timestamps, so the stream
+output matches the batch chain of conditional mins exactly — asserted
+(including a forced cross-batch tie) in tests/test_streaming.py.
 
 The per-batch update is vectorized: one sort, then one boolean-mask min
 per unfilled step — no per-event python loop.
@@ -33,8 +41,15 @@ from pyspark.sql import DataFrame
 from glirel_spark.operators.events import FUNNEL_STEPS
 
 OUT_SCHEMA = "user_id long, step_idx long, ts timestamp"
-# first-qualifying time per step, epoch ns; -1 = not reached
-STATE_SCHEMA = ", ".join(f"t{i} long" for i in range(len(FUNNEL_STEPS)))
+# per step: first-qualifying time (t{i}) and boundary-buffer candidate
+# time (b{i}) — the earliest seen step-i event at the running max event
+# time (m) that has not yet qualified; -1 = absent. All epoch ns.
+STATE_SCHEMA = (
+    ", ".join(f"t{i} long" for i in range(len(FUNNEL_STEPS)))
+    + ", "
+    + ", ".join(f"b{i} long" for i in range(len(FUNNEL_STEPS)))
+    + ", m long"
+)
 
 
 def funnel_stateful(
@@ -54,7 +69,30 @@ def funnel_stateful(
         )
         types = df["event_type"].to_numpy()
 
-        slots = list(state.get) if state.exists else [-1] * n_steps
+        if state.exists:
+            st = list(state.get)
+            slots = st[:n_steps]
+            bufs = st[n_steps : 2 * n_steps]
+            max_ts = st[2 * n_steps]
+        else:
+            slots = [-1] * n_steps
+            bufs = [-1] * n_steps
+            max_ts = -1
+
+        # replay buffered boundary candidates: under the ordering
+        # contract every new event has ts >= max_ts >= buffered ts, so
+        # prepending keeps the arrays sorted
+        pre_t = [b for b in bufs if b >= 0]
+        if pre_t:
+            pre_y = [steps[i] for i, b in enumerate(bufs) if b >= 0]
+            order = np.argsort(pre_t, kind="stable")
+            ts = np.concatenate(
+                [np.asarray(pre_t, dtype=np.int64)[order], ts]
+            )
+            types = np.concatenate(
+                [np.asarray(pre_y, dtype=object)[order], types]
+            )
+
         emitted: list[tuple[int, int]] = []
         for k in range(n_steps):
             if slots[k] >= 0:
@@ -69,7 +107,19 @@ def funnel_stateful(
                 break
             slots[k] = int(hits[0])  # sorted -> first == min
             emitted.append((k, slots[k]))
-        state.update(tuple(slots))
+
+        # rebuild boundary buffers: only an event at the NEW per-user
+        # max time can still tie a future fill of its predecessor step
+        new_max = int(ts.max()) if len(ts) else max_ts
+        new_bufs = [-1] * n_steps
+        if new_max >= 0:
+            for k in range(n_steps):
+                if slots[k] >= 0:
+                    continue  # exactly-once: filled steps never re-emit
+                cand = ts[(types == steps[k]) & (ts == new_max)]
+                if len(cand):
+                    new_bufs[k] = int(cand[0])
+        state.update(tuple(slots) + tuple(new_bufs) + (new_max,))
         if emitted:
             yield pd.DataFrame(
                 {

@@ -52,6 +52,27 @@ def read_latest_graph(spark: SparkSession, out_dir: str) -> DataFrame | None:
     return spark.read.parquet(path) if path else None
 
 
+def read_prev_graph(
+    spark: SparkSession, out_dir: str, batch_id: int
+) -> DataFrame | None:
+    """Previous snapshot for micro-batch ``batch_id`` — ALWAYS
+    ``v{batch_id-1}``, never the directory max.
+
+    Deriving prev from the highest version dir breaks the replay
+    contract: on a failure-replay of batch N, the failed attempt's
+    (possibly partial) v{N} would become prev, double-folding the
+    batch into itself AND making the overwrite target the same parquet
+    path the plan is lazily reading (Spark: "Cannot overwrite a path
+    that is also being read from"). Keying on batch_id ignores any
+    version >= batch_id left by a failed attempt, so replays are
+    genuinely idempotent.
+    """
+    if batch_id <= 0:
+        return None
+    path = os.path.join(out_dir, f"v{batch_id - 1:05d}")
+    return spark.read.parquet(path) if os.path.isdir(path) else None
+
+
 def run_graph_maintenance_stream(
     docs_stream: DataFrame, out_dir: str, checkpoint: str
 ):
@@ -65,7 +86,7 @@ def run_graph_maintenance_stream(
         linked = linking.link_triples(triples, linking.alias_df(spark)).select(
             "doc_id", "subj", "pred", "obj", "prob"
         )
-        prev = read_latest_graph(spark, out_dir)
+        prev = read_prev_graph(spark, out_dir, batch_id)
         g = (
             graph_ops.materialize_graph(linked)
             if prev is None
@@ -108,7 +129,7 @@ def run_graph_maintenance_with_changelog(
         linked = linking.link_triples(triples, linking.alias_df(spark)).select(
             "doc_id", "subj", "pred", "obj", "prob"
         )
-        prev = read_latest_graph(spark, out_dir)
+        prev = read_prev_graph(spark, out_dir, batch_id)
         g = (
             graph_ops.materialize_graph(linked)
             if prev is None
@@ -116,9 +137,11 @@ def run_graph_maintenance_with_changelog(
         )
         # commit the snapshot first, then its delta (a consumer that
         # sees the changelog can rely on the snapshot existing)
-        g.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"v{batch_id:05d}")
-        )
+        snap_path = os.path.join(out_dir, f"v{batch_id:05d}")
+        g.write.mode("overwrite").parquet(snap_path)
+        # diff over the committed snapshot, not the lazy upsert plan:
+        # avoids re-running extract+link+upsert a second time
+        g = spark.read.parquet(snap_path)
         diff = (
             graph_ops.kg_snapshot_diff(prev, g)
             if prev is not None

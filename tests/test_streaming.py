@@ -435,3 +435,83 @@ def test_graph_changelog_stream_replay_law(spark, tmp_path):
         for r in spark.read.parquet(f"{out}/v00001").collect()
     }
     assert base == final and len(final) > 0
+
+
+def test_funnel_cross_batch_timestamp_tie(spark, tmp_path):
+    """Regression (round-4 ADVICE): a step-k event whose ts exactly
+    equals the step-(k-1) fill time but which arrived in an EARLIER
+    micro-batch must still fill step k — the boundary buffer keeps it
+    re-examinable. Pre-fix the event was discarded on first sight and
+    the stream diverged from the batch twin."""
+    import datetime
+    import time
+
+    from glirel_spark.operators.events import funnel_counts
+    from glirel_spark.streaming.events_stream import EVENTS_SCHEMA
+    from glirel_spark.streaming.funnel_state import funnel_stateful
+
+    T = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows_b0 = [(1, T, 7, "click", 1.0, "{}")]          # step 1 first...
+    rows_b1 = [(2, T, 7, "view", 1.0, "{}"),            # ...step 0 SAME ts later batch
+               (3, T + datetime.timedelta(seconds=5), 7, "purchase", 1.0, "{}")]
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    src = tmp_path / "tie_src"
+    src.mkdir()
+    spark.createDataFrame(rows_b0, cols).coalesce(1).write.parquet(str(src / "b0"))
+    time.sleep(1.1)
+    spark.createDataFrame(rows_b1, cols).coalesce(1).write.parquet(str(src / "b1"))
+
+    stream_in = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        funnel_stateful(stream_in)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("funnel_tie_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.step_idx): r.ts
+        for r in spark.sql("SELECT * FROM funnel_tie_out").collect()
+    }
+    # all three steps fill: view@T, click@T (the tie), purchase@T+5
+    assert got == {
+        (7, 0): T,
+        (7, 1): T,
+        (7, 2): T + datetime.timedelta(seconds=5),
+    }
+    # and the batch twin agrees on counts
+    batch_df = spark.createDataFrame(rows_b0 + rows_b1, cols)
+    batch = {r["step_idx"]: r["n_users"] for r in funnel_counts(batch_df).collect()}
+    assert batch == {0: 1, 1: 1, 2: 1}
+
+
+def test_read_prev_graph_ignores_failed_attempt(spark, tmp_path):
+    """Regression (round-4 ADVICE): prev snapshot for micro-batch N is
+    v{N-1} by construction — a partial v{N} left by a failed attempt
+    must be ignored, or a replay would double-fold the batch and
+    overwrite a path it is lazily reading."""
+    from glirel_spark.streaming.graph_stream import read_prev_graph
+
+    out = str(tmp_path / "g")
+    spark.createDataFrame(
+        [("a", "p", "b", 3)], ["subj", "pred", "obj", "n_mentions"]
+    ).write.parquet(f"{out}/v00000")
+    # a *different* v00001 left behind by a failed attempt
+    spark.createDataFrame(
+        [("x", "p", "y", 99)], ["subj", "pred", "obj", "n_mentions"]
+    ).write.parquet(f"{out}/v00001")
+
+    assert read_prev_graph(spark, out, 0) is None
+    prev1 = read_prev_graph(spark, out, 1)
+    assert [tuple(r) for r in prev1.collect()] == [("a", "p", "b", 3)]
+    # replay of batch 1 ignores the stale v00001
+    prev_replay = read_prev_graph(spark, out, 1)
+    assert prev_replay.collect() == prev1.collect()
+    assert read_prev_graph(spark, out, 5) is None  # gap -> None, not dir max

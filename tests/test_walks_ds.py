@@ -287,6 +287,25 @@ def test_kg_summary_hand_case(spark):
     assert r["density_micro"] == 500000  # 3 / (3*2)
 
 
+def test_kg_summary_degenerate_graphs(spark):
+    """Regression (round-4 ADVICE): empty / single-entity graphs must
+    yield 0 ratios, not NULL (Spark DIV) vs crash (DuckDB //)."""
+    empty = spark.createDataFrame(
+        [], "subj string, pred string, obj string"
+    )
+    (r,) = graph_ops.kg_summary(empty).collect()
+    assert (r["n_entities"], r["n_edges_directed"]) == (0, 0)
+    assert r["reciprocity_milli"] == 0 and r["density_micro"] == 0
+
+    # single entity: only a self-loop, which the edge dedup drops
+    loop = spark.createDataFrame(
+        [("A", "p", "A")], "subj string, pred string, obj string"
+    )
+    (r,) = graph_ops.kg_summary(loop).collect()
+    assert (r["n_entities"], r["n_edges_directed"]) == (0, 0)
+    assert r["reciprocity_milli"] == 0 and r["density_micro"] == 0
+
+
 def test_ktruss_peels_tail_keeps_triangles(spark):
     # triangle x-y-z plus a pendant chain z-w-v: with k=3 the chain
     # peels (no triangle support), the triangle survives with support 1
