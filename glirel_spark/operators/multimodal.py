@@ -5,14 +5,14 @@ gives them a real Spark-side life: a binary payload column, typed
 metadata, and a decode/feature-extract stage with production plumbing
 (schema, partitioning, Arrow batch shape via mapInPandas).
 
-The codec itself is CAPABILITY-GATED: ``decode_media`` runs a real
-PIL decode when PIL is importable, and a schema-identical
-deterministic fallback (``decode_ok=false, err='codec-unavailable'``)
-in this codec-less container — same mapInPandas plan either way, so
-enabling the real path on a cluster is an install, not a rewrite.
-``fake_decode_features`` is the deterministic feature stand-in the
-oracle gate checks (byte histogram + moments computed with numpy over
-Arrow batches).
+The codec is a CAPABILITY DISPATCH, never a stub: ``decode_media``
+runs PIL when importable (every format), else the vendored pure-stdlib
+PNG decoder (functions/png.py — zlib+struct, all five scanline
+filters), so valid PNGs decode for real even in this codec-less
+container; non-PNG payloads are flagged per row, same mapInPandas
+plan either way. ``fake_decode_features`` is the deterministic
+feature stand-in the oracle gate checks (byte histogram + moments
+computed with numpy over Arrow batches).
 
 Payload synthesis is deterministic integer arithmetic
 (byte[i] = (doc_id * 31 + i * 17) mod 256), so the Spark-side plumbing
@@ -55,14 +55,23 @@ def media_table(interleaved: DataFrame) -> DataFrame:
 
 
 def media_codec_available() -> bool:
-    """True iff a real image codec (PIL) is importable — the capability
-    flag decode_media dispatches on."""
+    """True iff the FULL image codec (PIL) is importable. Even without
+    it, decode_media still really decodes PNG via the vendored
+    stdlib decoder (functions/png.py) — see media_codec_tier."""
     try:
         import PIL.Image  # noqa: F401
 
         return True
     except ImportError:
         return False
+
+
+def media_codec_tier() -> str:
+    """Which decode capability decode_media will use: 'pil' (every
+    format PIL supports) or 'png' (the vendored pure-stdlib PNG
+    decoder — always available, so the real decode path is never
+    stubbed)."""
+    return "pil" if media_codec_available() else "png"
 
 
 _DECODE_SCHEMA = (
@@ -72,35 +81,40 @@ _DECODE_SCHEMA = (
 
 
 def decode_media(media: DataFrame, require_codec: bool = False) -> DataFrame:
-    """Image decode behind a capability flag.
+    """Image decode behind a capability dispatch — ALWAYS a real decode.
 
-    When PIL is importable the REAL path runs: mapInPandas, one Arrow
-    batch at a time, ``PIL.Image.open`` per payload (image decode is
-    inherently per-image; the batching, schema, and partitioning are
-    the production shape), emitting (width, height, mode, mean_luma).
-    Undecodable payloads become ``decode_ok=false`` rows with the
-    exception class name — a 10^12-doc crawl always contains corrupt
-    bytes, and a decode stage that throws on them cannot ship.
+    Tier 'pil' (PIL importable): mapInPandas, one Arrow batch at a
+    time, ``PIL.Image.open`` per payload (image decode is inherently
+    per-image; the batching, schema, and partitioning are the
+    production shape), emitting (width, height, mode, mean_luma).
 
-    Without PIL (this sandbox): ``require_codec=True`` raises loudly;
-    otherwise every row comes back ``decode_ok=false,
-    err='codec-unavailable'`` with the SAME schema and batch shape, so
-    the plan stays testable end-to-end and flipping to the real path is
-    an import, not a rewrite. ``fake_decode_features`` remains the
-    oracle-checked feature stand-in either way.
+    Tier 'png' (this sandbox): the vendored pure-stdlib PNG decoder
+    (functions/png.py) runs the same per-payload loop — valid PNGs
+    decode for real (dimensions, mode, PIL-formula mean luma);
+    non-PNG payloads are flagged. ``require_codec=True`` asserts the
+    FULL (PIL) tier and raises loudly on the PNG-only tier.
+
+    Either tier: undecodable payloads become ``decode_ok=false`` rows
+    with the exception class name — a 10^12-doc crawl always contains
+    corrupt bytes, and a decode stage that throws on them cannot ship.
+    ``fake_decode_features`` remains the oracle-checked deterministic
+    feature stand-in.
     """
-    codec = media_codec_available()
-    if not codec and require_codec:
+    tier = media_codec_tier()
+    if tier != "pil" and require_codec:
         raise NotImplementedError(
-            "media codecs are not installed in this environment; "
-            "install PIL or use fake_decode_features (identical plan shape)"
+            "full media codecs (PIL) are not installed: only the vendored "
+            "PNG tier is available; install PIL or use "
+            "fake_decode_features (identical plan shape)"
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if codec:
+        if tier == "pil":
             import io
 
             from PIL import Image
+        else:
+            from glirel_spark.functions.png import decode_png, luma_mean
         for pdf in batches:
             n = len(pdf)
             width = np.full(n, -1, np.int64)
@@ -108,21 +122,25 @@ def decode_media(media: DataFrame, require_codec: bool = False) -> DataFrame:
             mode = ["" for _ in range(n)]
             luma = np.full(n, np.nan)
             ok = np.zeros(n, bool)
-            err = ["codec-unavailable" for _ in range(n)]
-            if codec:
-                for i, payload in enumerate(pdf["payload_bytes"]):
-                    raw = np.asarray(payload, dtype=np.uint8).tobytes()
-                    try:
+            err = ["" for _ in range(n)]
+            for i, payload in enumerate(pdf["payload_bytes"]):
+                raw = np.asarray(payload, dtype=np.uint8).tobytes()
+                try:
+                    if tier == "pil":
                         with Image.open(io.BytesIO(raw)) as im:
                             width[i], height[i] = im.size
                             mode[i] = im.mode
                             luma[i] = float(
                                 np.asarray(im.convert("L"), dtype=np.float64).mean()
                             )
-                            ok[i] = True
-                            err[i] = ""
-                    except Exception as e:  # corrupt bytes: flag, don't throw
-                        err[i] = type(e).__name__
+                    else:
+                        arr, m, palette = decode_png(raw)
+                        height[i], width[i] = arr.shape[0], arr.shape[1]
+                        mode[i] = m
+                        luma[i] = luma_mean(arr, m, palette)
+                    ok[i] = True
+                except Exception as e:  # corrupt bytes: flag, don't throw
+                    err[i] = type(e).__name__
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

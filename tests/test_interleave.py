@@ -98,11 +98,11 @@ def test_media_stats_match_span_structure(spark):
     assert stats.filter(F.col("n_media_spans") > 0).count() > 0
 
 
-def test_decode_media_fallback_schema_and_flagging(spark):
-    """decode_media without a codec: every row flagged
-    decode_ok=false / codec-unavailable, schema identical to the real
-    path — the capability-gated plan is end-to-end testable in the
-    codec-less sandbox."""
+def test_decode_media_corrupt_payload_flagging(spark):
+    """decode_media on non-image payloads: every row flagged
+    decode_ok=false with the exception class (never a throw) on BOTH
+    tiers, schema identical; require_codec=True asserts the full PIL
+    tier and raises loudly when only the vendored PNG tier exists."""
     import pytest
 
     from glirel_spark.operators import multimodal as mm
@@ -118,14 +118,10 @@ def test_decode_media_fallback_schema_and_flagging(spark):
     )
     rows = out.collect()
     assert len(rows) == 8
-    if mm.media_codec_available():
-        # synthetic payloads are not valid images: the REAL path must
-        # flag them (by exception class), never throw
-        assert all(not r.decode_ok and r.err not in ("", "codec-unavailable")
-                   for r in rows)
-    else:
-        assert all(not r.decode_ok and r.err == "codec-unavailable"
-                   for r in rows)
+    # synthetic payloads are not valid images: flag by exception class
+    assert all(not r.decode_ok and r.err != "" for r in rows)
+    if not mm.media_codec_available():
+        assert mm.media_codec_tier() == "png"
         with pytest.raises(NotImplementedError):
             mm.decode_media(media, require_codec=True)
     del tables
@@ -134,13 +130,10 @@ def test_decode_media_fallback_schema_and_flagging(spark):
 def test_decode_media_real_path_decodes_png(spark):
     """The REAL codec path: a hand-built valid PNG (pure zlib+struct,
     no imaging lib needed to WRITE it) decodes to its true dimensions.
-    Runs wherever PIL is installed; skipped in the codec-less sandbox."""
-    import pytest
-
+    Runs on BOTH tiers — PIL where installed, the vendored stdlib PNG
+    decoder otherwise — so this is never skipped."""
     from glirel_spark.operators import multimodal as mm
 
-    if not mm.media_codec_available():
-        pytest.skip("PIL not installed in this container")
     import struct
     import zlib
 
