@@ -9,11 +9,19 @@ kmeans.fit_centroids (the same sample-fit), first-max cell
 assignment, (score desc, cell asc) probe order, cosine ties broken by
 neighbour id.
 
-Usage: python tools/ivf_recall_sweep.py [sf_dir] — prints the
-recall@ANN_TOP_K grid for the driver's query set (first
-ANN_N_QUERIES ids) and for a wider 100-query set, then the chosen
-point. Results are appended to BENCH/BASELINE.md by hand (the table is
-committed prose, not a generated artifact).
+Usage:
+  python tools/ivf_recall_sweep.py [sf_dir]        # driver testdata
+  python tools/ivf_recall_sweep.py --clustered [n_cells]
+    # the deterministic mixture-of-Gaussians fixture
+    # (sources/fixtures.clustered_embeddings_np) written to a temp dir
+    # — the corpus where IVF's selectivity is actually measurable
+    # (round-3 VERDICT #4: the driver embeddings are near-uniform, so
+    # every quantizer there scans most of the corpus for high recall).
+
+Each grid cell prints recall@ANN_TOP_K AND the scanned candidate
+fraction (mean |candidate set| / N over queries) — the cost axis the
+recall is bought with. Results are appended to BENCH/BASELINE.md by
+hand (the table is committed prose, not a generated artifact).
 """
 
 from __future__ import annotations
@@ -46,13 +54,15 @@ def topcells(scores: np.ndarray, a: int) -> np.ndarray:
     return np.argsort(-scores, axis=1, kind="stable")[:, :a]
 
 
-def recall_at_k(vec_ids, emb, cents, n_probe, corpus_probe, n_q, k) -> float:
+def recall_at_k(vec_ids, emb, cents, n_probe, corpus_probe, n_q, k):
+    """-> (recall@k, scanned candidate fraction)."""
     nrm = np.linalg.norm(emb, axis=1)
     scores = emb @ cents.T
     corpus_cells = topcells(scores, corpus_probe)      # [N, A]
     q_idx = np.where(vec_ids < n_q)[0]
     hits = 0
     total = 0
+    scanned = 0
     for qi in q_idx:
         cos = (emb @ emb[qi]) / (nrm * nrm[qi])
         cos[qi] = -np.inf
@@ -63,6 +73,7 @@ def recall_at_k(vec_ids, emb, cents, n_probe, corpus_probe, n_q, k) -> float:
             i for i in range(len(emb))
             if i != qi and not probe.isdisjoint(corpus_cells[i])
         ])
+        scanned += len(cand)
         if len(cand):
             c_cos = cos[cand]
             c_order = cand[np.lexsort((vec_ids[cand], -c_cos))][:k]
@@ -71,26 +82,40 @@ def recall_at_k(vec_ids, emb, cents, n_probe, corpus_probe, n_q, k) -> float:
             got = set()
         hits += len(exact & got)
         total += k
-    return hits / total
+    return hits / total, scanned / (len(q_idx) * len(emb))
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    args = sys.argv[1:]
+    if args and args[0] == "--clustered":
+        import tempfile
+
+        from glirel_spark.sources.fixtures import write_clustered_embeddings
+
+        n_cells = int(args[1]) if len(args) > 1 else 32
+        sf_dir = write_clustered_embeddings(
+            tempfile.mkdtemp(prefix="clustered_emb_")
+        )
+        tag_dir = f"clustered fixture (32 true clusters, cells={n_cells})"
+    else:
+        sf_dir = args[0] if args else "/root/testdata/sf0.1"
+        n_cells = config.IVF_KM_CELLS
+        tag_dir = sf_dir
     vec_ids, emb = load(sf_dir)
-    cents = np.asarray(fit_centroids(sf_dir), dtype=np.float64)
+    cents = np.asarray(fit_centroids(sf_dir, n_cells=n_cells), dtype=np.float64)
     k = config.ANN_TOP_K
-    print(f"{sf_dir}: N={len(emb)} d={emb.shape[1]} cells={len(cents)} "
-          f"recall@{k}")
+    print(f"{tag_dir}: N={len(emb)} d={emb.shape[1]} cells={len(cents)} "
+          f"recall@{k} (frac = scanned candidate fraction)")
     for n_q, tag in ((config.ANN_N_QUERIES, "driver"), (100, "wide")):
         print(f"-- query set: first {n_q} ids ({tag})")
-        print("n_probe\\corpus_probe " + " ".join(f"A={a}" for a in (1, 2, 3)))
-        for np_ in (1, 2, 3, 4):
+        print("n_probe\\corpus_probe " + "  ".join(f"A={a}" for a in (1, 2, 3)))
+        for np_ in (1, 2, 3, 4, 6):
             row = [
                 recall_at_k(vec_ids, emb, cents, np_, a, n_q, k)
                 for a in (1, 2, 3)
             ]
-            print(f"  n_probe={np_}:          "
-                  + " ".join(f"{r:.3f}" for r in row))
+            print(f"  n_probe={np_}:  "
+                  + "  ".join(f"{r:.3f}@{f:.2f}" for r, f in row))
     return 0
 
 
