@@ -141,12 +141,23 @@ def threshold_search(
     grid_df = scored.sparkSession.createDataFrame(
         [(t,) for t in grid], "threshold double"
     )
+    g = gold.select(*_POS, "label").distinct()
+    gold_pos = gold.select(*_POS).distinct()
+    true_n = g.groupBy("label").agg(F.count("*").alias("true_n"))
     if top_k == 1:
-        # Algebraic rewrite: with k=1, the survivor at threshold t is the
-        # global per-pair argmax whenever its prob > t (the filter removes
-        # lower-ranked labels first). Compute the argmax ONCE as an
-        # aggregation (map-side combined; see decode.top_k_per_pair), then
-        # cross with the grid and filter — no per-threshold window work.
+        # Algebraic rewrite, two steps. (1) With k=1 the survivor at
+        # threshold t is the global per-pair argmax whenever its
+        # prob > t — compute the argmax ONCE as an aggregation
+        # (map-side combined; see decode.top_k_per_pair). (2) The
+        # per-threshold counts are a SUFFIX SUM over prob buckets:
+        # with the grid sorted ascending, a pair whose prob exceeds
+        # exactly nb thresholds contributes to thresholds 1..nb, so
+        # one groupBy(label, nb) on the big side + an explode of the
+        # TINY (label x |grid|) relation replaces the old grid
+        # crossJoin + distinct + two semi-joins over |pairs| x |grid|
+        # rows (that chain dominated the query at ~9s warm in the
+        # round-4 bench).
+        gs = sorted(grid)
         best = (
             scored.groupBy(*_POS)
             .agg(
@@ -160,10 +171,51 @@ def threshold_search(
             .select(*_POS, F.col("_b._lab").alias("label"),
                     (-F.col("_b._np")).alias("prob"))
         )
-        preds = (
-            best.crossJoin(F.broadcast(grid_df))
-            .filter(F.col("prob") > F.col("threshold"))
-            .select("threshold", *_POS, "label")
+        # J5 annotated-pairs filter + gold-hit marking as ONE inner
+        # join: gold folded to a per-position label set, the inner
+        # join IS the annotated semi-filter, and the hit flag is an
+        # array membership test — one shuffle instead of two.
+        nb = F.aggregate(
+            F.array(*[F.lit(t) for t in gs]),
+            F.lit(0),
+            lambda a, t: a + F.when(F.col("prob") > t, 1).otherwise(0),
+        )
+        gp = g.groupBy(*_POS).agg(F.collect_set("label").alias("_glabs"))
+        bb = best.join(gp, _POS).select(
+            "label", nb.alias("_nb"),
+            F.array_contains("_glabs", F.col("label")).cast("int").alias("_hit"),
+        )
+        agg = (
+            bb.filter(F.col("_nb") > 0)
+            .groupBy("label", "_nb")
+            .agg(F.count("*").alias("_n"), F.sum("_hit").alias("_tp"))
+        )
+        th_map = scored.sparkSession.createDataFrame(
+            [(i + 1, t) for i, t in enumerate(gs)], "_ti int, threshold double"
+        )
+        pl = (
+            agg.select(
+                "label",
+                F.explode(F.sequence(F.lit(1), F.col("_nb"))).alias("_ti"),
+                "_n", "_tp",
+            )
+            .groupBy("label", "_ti")
+            .agg(F.sum("_n").alias("pred_n"), F.sum("_tp").alias("tp"))
+            .join(F.broadcast(th_map), "_ti")
+            .select("threshold", "label", "tp", "pred_n")
+        )
+        base = grid_df.crossJoin(g.select("label").distinct()).unionByName(
+            pl.select("threshold", "label")
+        ).distinct()
+        counts = (
+            base.join(pl, ["threshold", "label"], "left")
+            .join(true_n, "label", "left")
+            .select(
+                "threshold", "label",
+                F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+                F.coalesce("pred_n", F.lit(0)).cast("long").alias("pred_n"),
+                F.coalesce("true_n", F.lit(0)).cast("long").alias("true_n"),
+            )
         )
     else:
         st = scored.crossJoin(F.broadcast(grid_df)).filter(
@@ -175,30 +227,27 @@ def threshold_search(
             .filter(F.col("_rk") <= top_k)
             .select("threshold", *_POS, "label")
         )
-    gold_pos = gold.select(*_POS).distinct()
-    preds = preds.join(gold_pos, _POS, "left_semi")
-
-    # per-threshold per-label counts, then metrics (same math as above)
-    p = preds.distinct()
-    g = gold.select(*_POS, "label").distinct()
-    tp = p.join(g, _POS + ["label"], "left_semi").groupBy("threshold", "label").agg(
-        F.count("*").alias("tp"))
-    pred_n = p.groupBy("threshold", "label").agg(F.count("*").alias("pred_n"))
-    true_n = g.groupBy("label").agg(F.count("*").alias("true_n"))
-    base = grid_df.crossJoin(g.select("label").distinct()).unionByName(
-        p.select("threshold", "label").distinct()
-    ).distinct()
-    counts = (
-        base.join(tp, ["threshold", "label"], "left")
-        .join(pred_n, ["threshold", "label"], "left")
-        .join(true_n, "label", "left")
-        .select(
-            "threshold", "label",
-            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
-            F.coalesce("pred_n", F.lit(0)).cast("long").alias("pred_n"),
-            F.coalesce("true_n", F.lit(0)).cast("long").alias("true_n"),
+        preds = preds.join(gold_pos, _POS, "left_semi")
+        # per-threshold per-label counts, then metrics (same math)
+        p = preds.distinct()
+        tp = p.join(g, _POS + ["label"], "left_semi").groupBy(
+            "threshold", "label"
+        ).agg(F.count("*").alias("tp"))
+        pred_n = p.groupBy("threshold", "label").agg(F.count("*").alias("pred_n"))
+        base = grid_df.crossJoin(g.select("label").distinct()).unionByName(
+            p.select("threshold", "label").distinct()
+        ).distinct()
+        counts = (
+            base.join(tp, ["threshold", "label"], "left")
+            .join(pred_n, ["threshold", "label"], "left")
+            .join(true_n, "label", "left")
+            .select(
+                "threshold", "label",
+                F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+                F.coalesce("pred_n", F.lit(0)).cast("long").alias("pred_n"),
+                F.coalesce("true_n", F.lit(0)).cast("long").alias("true_n"),
+            )
         )
-    )
     per = counts.select(
         "threshold", "label",
         _safe_div(F.col("tp"), F.col("pred_n")).alias("p"),
