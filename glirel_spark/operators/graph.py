@@ -30,34 +30,36 @@ def materialize_graph(linked: DataFrame, n_salt: int = N_SALT) -> DataFrame:
     n_docs (distinct supporting docs), max_prob, min_doc_id (stable
     sample provenance pointer).
 
-    Plan shape:
-      stage A (salted partial): groupBy(keys, salt) — spreads hot keys
-        over n_salt reducers; map-side combine does most of the work.
-      stage B (final): groupBy(keys) over the tiny partial result.
-      n_docs is made algebraic by deduping (keys, doc_id) first — the
-      standard exact two-stage count-distinct (the dedup shuffle keys on
-      (keys, doc_id), which is NOT skewed even when keys alone are).
+    Plan shape — ONE scan of `linked`, one chain, no join (the round-4
+    rewrite; the earlier form read `linked` twice — a salted-agg branch
+    and a distinct-docs branch — and joined them back):
+      stage A: groupBy(keys, doc_id) — skew-free even when keys alone
+        are hot (doc_id spreads hub triples), map-side combine does
+        most of the work; per-doc count/max make every later stat
+        algebraic, n_docs becomes a row count.
+      stage B (salted partial): groupBy(keys, salt-of-doc) — bounds
+        per-reducer rows for a hub triple supported by billions of
+        docs.
+      stage C (final): groupBy(keys) over <= n_salt rows per key.
     """
-    salted = linked.withColumn("_salt", F.pmod(F.hash("doc_id"), F.lit(n_salt)))
-    partial = salted.groupBy(*_KEYS, "_salt").agg(
+    per_doc = linked.groupBy(*_KEYS, "doc_id").agg(
         F.count("*").alias("_n"),
         F.max("prob").alias("_maxp"),
+    )
+    partial = per_doc.withColumn(
+        "_salt", F.pmod(F.hash("doc_id"), F.lit(n_salt))
+    ).groupBy(*_KEYS, "_salt").agg(
+        F.sum("_n").alias("_n"),
+        F.max("_maxp").alias("_maxp"),
+        F.count("*").alias("_nd"),
         F.min("doc_id").alias("_mind"),
     )
-    final = partial.groupBy(*_KEYS).agg(
+    return partial.groupBy(*_KEYS).agg(
         F.sum("_n").cast("long").alias("n_mentions"),
+        F.sum("_nd").cast("long").alias("n_docs"),
         F.max("_maxp").alias("max_prob"),
         F.min("_mind").alias("min_doc_id"),
-    )
-    docs = (
-        linked.select(*_KEYS, "doc_id")
-        .distinct()  # shuffle on (subj,pred,obj,doc_id): skew-free
-        .groupBy(*_KEYS)
-        .agg(F.count("*").cast("long").alias("n_docs"))
-    )
-    return final.join(docs, _KEYS).select(
-        *_KEYS, "n_mentions", "n_docs", "max_prob", "min_doc_id"
-    )
+    ).select(*_KEYS, "n_mentions", "n_docs", "max_prob", "min_doc_id")
 
 
 def materialize_graph_direct(linked: DataFrame) -> DataFrame:
