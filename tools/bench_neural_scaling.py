@@ -40,7 +40,25 @@ N_EXEC_LO = int(os.environ.get("SPARK_GRAFT_SCALE_N", "1"))
 REPS = int(os.environ.get("SPARK_GRAFT_SCALE_REPS", "3"))
 CORES_PER_EXEC = 4
 EXEC_MEM_MB = 12288
-DRIVER_CORES = 4  # fixed allowance at both levels
+# Driver/daemon allowance per level. Round-4 finding: a FIXED 4-core
+# allowance is itself the asymmetry it was meant to prevent — at N=1
+# (4 executor cores) it doubles the cpuset (2x slack) and the
+# JVM-side work (Arrow IPC, shuffle, daemons) rides the idle cores,
+# while at 4N (16 exec cores) the same work shares a 1.25x cpuset
+# with 16 busy python workers. Measured with the bare-multiprocessing
+# ceiling harness (tools/bench_neural_ceiling.py): raw compute under
+# the fixed-allowance cpusets scales at 0.918 while the Spark stage
+# measured 0.759 — and the Spark hi level runs AT the raw rate
+# (1115 vs 1153 docs/s), i.e. the entire gap is the lo level
+# overperforming its nominal 4 cores. On a real cluster every
+# executor host carries its own proportional OS/daemon slack, so the
+# allowance scales with executor count: 1 core per executor
+# (SPARK_GRAFT_SCALE_FIXED_ALLOWANCE=1 restores the old protocol).
+FIXED_ALLOWANCE = os.environ.get("SPARK_GRAFT_SCALE_FIXED_ALLOWANCE") == "1"
+
+
+def driver_cores(n_exec: int) -> int:
+    return 4 if FIXED_ALLOWANCE else max(1, n_exec)
 
 _JOB = r"""
 import sys, time, json
@@ -124,7 +142,7 @@ def run_level(n_exec: int) -> dict:
         exec_mem=EXEC_MEM_MB, sf_dir=SF_DIR, replicate=REPLICATE,
         reps=REPS,
     )
-    n_cores = n_exec * CORES_PER_EXEC + DRIVER_CORES
+    n_cores = n_exec * CORES_PER_EXEC + driver_cores(n_exec)
     cmd = [sys.executable, "-c", code]
     if os.environ.get("SPARK_GRAFT_NO_TASKSET") != "1":
         cmd = ["taskset", "-c", f"0-{n_cores - 1}"] + cmd
@@ -154,8 +172,8 @@ def main() -> None:
         "n_docs": lo["n_docs"],
         "sf_dir": SF_DIR,
         "replicate": REPLICATE,
-        "cpuset_lo": f"0-{N_EXEC_LO * CORES_PER_EXEC + DRIVER_CORES - 1}",
-        "cpuset_hi": f"0-{N_EXEC_LO * 4 * CORES_PER_EXEC + DRIVER_CORES - 1}",
+        "cpuset_lo": f"0-{N_EXEC_LO * CORES_PER_EXEC + driver_cores(N_EXEC_LO) - 1}",
+        "cpuset_hi": f"0-{N_EXEC_LO * 4 * CORES_PER_EXEC + driver_cores(N_EXEC_LO * 4) - 1}",
     }
     print(json.dumps(result))
     bench_md = REPO / "BENCH" / "BASELINE.md"
