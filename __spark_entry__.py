@@ -216,6 +216,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # OLAP depth
         "tpch_top_orders": relational.top_orders,
         "tpch_nation_activity": relational.nation_activity,
+        # interleaved text+media depth (round 4): caption mining, ref
+        # integrity, media-atomic chunking, multimodal KG grounding
+        "caption_pairs": pipeline.caption_pairs,
+        "media_ref_audit": pipeline.media_ref_audit,
+        "interleaved_chunks": pipeline.interleaved_chunks,
+        "triples_media_evidence": pipeline.triples_media_evidence,
     }
 
 
@@ -352,5 +358,9 @@ def oracle_sql() -> dict[str, str]:
         "event_gaps": oc.q_event_gaps(),
         "events_range_join": oc.q_events_range_join(),
         "events_props": oc.q_events_props(),
+        "caption_pairs": oc.q_caption_pairs(),
+        "media_ref_audit": oc.q_media_ref_audit(),
+        "interleaved_chunks": oc.q_interleaved_chunks(),
+        "triples_media_evidence": oracle.q_triples_media_evidence(),
         **relational.ORACLE,
     }

@@ -234,6 +234,8 @@ NEIGH_HUB_CAP = 64  # stop-node removal: drop neighbors of degree > cap
 # Multimodal (synthetic deterministic media bytes; decode itself is stubbed)
 # --------------------------------------------------------------------------
 MEDIA_N_BYTES = 64
+MEDIA_TOKEN_COST = 16  # token budget a media span occupies when packing
+INTERLEAVED_CHUNK_BUDGET = 48  # media-atomic chunking: tokens per chunk
 
 # --------------------------------------------------------------------------
 # Training-data packing / chunking / quality stratification / KG walks

@@ -218,3 +218,229 @@ def media_stats(interleaved: DataFrame) -> DataFrame:
         n_media.alias("n_media_spans"),
         (n_media.cast("double") / n_spans.cast("double")).alias("media_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interleaved-sequence operators (round 4): caption pairing, ref integrity,
+# media-atomic chunking, and media evidence for extracted triples.
+# ---------------------------------------------------------------------------
+
+def caption_pairs(interleaved: DataFrame) -> DataFrame:
+    """(doc_id, media_ref, media_offset, caption, caption_n_tokens):
+    pair every media span with its preceding text span — the standard
+    caption-mining step that turns an interleaved text+media corpus
+    into (image, caption) training pairs.
+
+    By the interleave construction a media span always follows its
+    chunk's text span, but the operator guards offset 0 anyway (a real
+    corpus can open with media; those rows emit a NULL caption rather
+    than stealing the previous document's trailing text).
+
+    Plan shape: one index-aware ``transform`` + ``filter`` to find
+    media positions, ``element_at`` back into the same array for the
+    neighbor, one ``explode`` (narrow generate). No shuffle, no UDF —
+    a row-local scan at any corpus size.
+    """
+    spans = F.col("spans")
+    med_pos = F.filter(
+        F.transform(
+            spans,
+            lambda s, i: F.when(s["kind"] == F.lit("media"), i).otherwise(F.lit(-1)),
+        ),
+        lambda x: x >= 0,
+    )
+    rows = interleaved.select(
+        "doc_id", F.col("spans").alias("_spans"),
+        F.explode(med_pos).alias("k"),
+    )
+    k = F.col("k")
+    media = F.element_at("_spans", k + 1)  # element_at is 1-based
+    caption = F.when(k > 0, F.element_at("_spans", k)["text"])
+    return rows.select(
+        "doc_id",
+        media["media_ref"].alias("media_ref"),
+        k.cast("int").alias("media_offset"),
+        caption.alias("caption"),
+        F.when(
+            caption.isNotNull(), F.size(F.split(caption, " "))
+        ).otherwise(F.lit(0)).cast("int").alias("caption_n_tokens"),
+    )
+
+
+def media_ref_audit(interleaved: DataFrame) -> DataFrame:
+    """Per-document media_ref integrity accounting: the ingest-time
+    audit a multimodal pipeline runs before fetching payloads.
+
+    (doc_id, n_refs, n_wellformed, n_doc_match, n_distinct, chunk_sum)
+    — well-formed means ``media://<digits>/<digits>``; doc_match means
+    the embedded doc id equals the row's; chunk_sum folds the parsed
+    chunk indices so the value varies per document (a content check,
+    not just counts). All higher-order array expressions inside one
+    whole-stage-codegen projection — zero shuffle, zero explode.
+    """
+    refs = F.transform(
+        F.filter(F.col("spans"), lambda s: s["kind"] == F.lit("media")),
+        lambda s: s["media_ref"],
+    )
+    wellformed = F.filter(refs, lambda r: r.rlike(r"^media://[0-9]+/[0-9]+$"))
+    doc_match = F.filter(
+        wellformed,
+        lambda r: F.element_at(F.split(r, "/"), 3) == F.col("doc_id"),
+    )
+    chunk_sum = F.aggregate(
+        wellformed,
+        F.lit(0).cast("long"),
+        lambda acc, r: acc + F.element_at(F.split(r, "/"), 4).cast("long"),
+    )
+    return interleaved.select(
+        "doc_id",
+        F.size(refs).cast("long").alias("n_refs"),
+        F.size(wellformed).cast("long").alias("n_wellformed"),
+        F.size(doc_match).cast("long").alias("n_doc_match"),
+        F.size(F.array_distinct(refs)).cast("long").alias("n_distinct"),
+        chunk_sum.alias("chunk_sum"),
+    )
+
+
+def interleaved_chunks(
+    interleaved: DataFrame,
+    budget: int = config.INTERLEAVED_CHUNK_BUDGET,
+    media_cost: int = config.MEDIA_TOKEN_COST,
+) -> DataFrame:
+    """Media-atomic token-budget chunking of the interleaved sequence:
+    every span lands in chunk ``floor(tokens_before_it / budget)``, a
+    media span costing a fixed ``media_cost`` tokens (its placeholder
+    budget in a multimodal context window). Spans are never split, so
+    media stays atomic and (kind, text, media_ref, order) is preserved
+    within each chunk — the packing step for multimodal sequence
+    training the input-hint schema exists for.
+
+    (doc_id, chunk_id, n_spans, n_media, n_tokens, first_offset,
+    last_offset).
+
+    Plan shape: per-row prefix sums via ``transform`` over
+    ``slice``+``aggregate`` (quadratic in the per-doc span count, ~40
+    here — cheap against a shuffle), then one narrow ``explode`` of the
+    per-chunk summary structs. Zero exchanges: an embarrassingly
+    parallel scan at 10^12 documents. The ``materialized`` barrier
+    stops CollapseProject re-deriving the cost array once per chunk
+    (the O(n^3) trap documented in functions/barrier.py).
+    """
+    from glirel_spark.functions.barrier import materialized
+
+    span_cost = lambda s: (
+        F.when(s["kind"] == F.lit("media"), F.lit(media_cost))
+        .otherwise(F.size(F.split(s["text"], " ")))
+        .cast("long")
+    )
+    is_media = lambda s: F.when(
+        s["kind"] == F.lit("media"), F.lit(1)
+    ).otherwise(F.lit(0)).cast("long")
+    d = interleaved.filter(F.size("spans") > 0).select(
+        "doc_id",
+        materialized(F.transform("spans", span_cost)).alias("costs"),
+        F.transform("spans", is_media).alias("medias"),
+    )
+    n = F.size("costs")
+    cums = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda k: F.aggregate(
+            F.slice("costs", 1, k), F.lit(0).cast("long"), lambda a, x: a + x
+        ),
+    )
+    cids = F.transform(cums, lambda cb: F.floor(cb / F.lit(budget)))
+    d = d.select("doc_id", "costs", "medias", materialized(cids).alias("cids"))
+    max_cid = F.element_at("cids", -1)
+    idxs = F.sequence(F.lit(1), F.size("cids"))  # 1-based span positions
+    in_chunk = lambda cid: F.filter(
+        idxs, lambda j: F.element_at(F.col("cids"), j) == cid
+    )
+    per_chunk = F.transform(
+        F.sequence(F.lit(0).cast("long"), max_cid),
+        lambda cid: F.struct(
+            cid.alias("chunk_id"),
+            F.size(in_chunk(cid)).cast("long").alias("n_spans"),
+            F.aggregate(
+                in_chunk(cid),
+                F.lit(0).cast("long"),
+                lambda a, j: a + F.element_at(F.col("medias"), j),
+            ).alias("n_media"),
+            F.aggregate(
+                in_chunk(cid),
+                F.lit(0).cast("long"),
+                lambda a, j: a + F.element_at(F.col("costs"), j),
+            ).alias("n_tokens"),
+            (F.array_min(in_chunk(cid)) - 1).cast("int").alias("first_offset"),
+            (F.array_max(in_chunk(cid)) - 1).cast("int").alias("last_offset"),
+        ),
+    )
+    rows = d.select("doc_id", F.explode(per_chunk).alias("c"))
+    return rows.select(
+        "doc_id",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.col("c.n_spans").alias("n_spans"),
+        F.col("c.n_media").alias("n_media_spans"),
+        F.col("c.n_tokens").alias("n_tokens"),
+        F.col("c.first_offset").alias("first_offset"),
+        F.col("c.last_offset").alias("last_offset"),
+    )
+
+
+def media_evidence(triples: DataFrame, docs_tokens: DataFrame) -> DataFrame:
+    """Attach to every extracted triple the media span nearest its head
+    mention — multimodal KG grounding: (subj, pred, obj) plus the
+    image the claim sits next to, the evidence pairing a multimodal KG
+    or a vision-grounded distant-supervision set trains on.
+
+    Nearest is in chunk units (the interleave's 12-token text chunks).
+    Media chunks obey the corpus rule (a media span follows chunk i iff
+    (doc_id*7 + i) % 5 == 0), i.e. exactly the chunks congruent to
+    r = (-7*doc_id) mod 5 — so the nearest one is CLOSED-FORM integer
+    arithmetic (lower/upper congruent neighbor, pick the closer; the
+    two distances sum to 5 so ties are impossible). Documents with no
+    media chunk emit NULL media columns.
+
+    Plan shape: one equi-join of triples against the (doc_id, n_chunks)
+    projection of documents — both sides already keyed by doc_id (the
+    decode agg partitions by the pair key whose prefix is doc_id), so
+    at scale this reuses the existing exchange; everything else is a
+    whole-stage-codegen projection. On a real corpus (media positions
+    not rule-derivable) the same operator shape holds with the media
+    offsets read from the spans column instead of computed.
+    """
+    from glirel_spark.sources.tables import _CHUNK, _MEDIA_EVERY
+
+    nch = docs_tokens.select(
+        "doc_id",
+        F.ceil(F.size("tokens") / F.lit(_CHUNK)).cast("long").alias("n_chunks"),
+    )
+    j = triples.join(nch, "doc_id")
+    did = F.col("doc_id").cast("long")
+    c = (F.col("head_start").cast("long") / F.lit(_CHUNK)).cast("long")
+    m = F.lit(_MEDIA_EVERY)
+    r = F.pmod(F.lit(-7) * did, m)
+    lo = c - F.pmod(c - r, m)  # largest i <= c with i ≡ r (mod 5); may be < 0
+    hi = lo + m                # smallest i > c with i ≡ r (mod 5)
+    n = F.col("n_chunks")
+    best = (
+        F.when((lo >= 0) & (hi < n), F.when((c - lo) <= (hi - c), lo).otherwise(hi))
+        .when(lo >= 0, lo)
+        .when(hi < n, hi)
+    )
+    return j.select(
+        "doc_id",
+        F.col("head_text").alias("subj"),
+        F.col("label").alias("pred"),
+        F.col("tail_text").alias("obj"),
+        "prob",
+        c.alias("head_chunk"),
+        best.alias("media_chunk"),
+        F.abs(best - c).alias("chunk_distance"),
+        F.when(
+            best.isNotNull(),
+            F.concat(
+                F.lit("media://"), F.col("doc_id").cast("string"),
+                F.lit("/"), best.cast("string"),
+            ),
+        ).alias("media_ref"),
+    )

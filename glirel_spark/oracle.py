@@ -1663,3 +1663,49 @@ SELECT e.a, e.b, t.support
 FROM tlvl{unroll} e JOIN t{unroll} t ON t.a = e.a AND t.b = e.b
 WHERE e.a < e.b"""
     )
+
+
+def q_triples_media_evidence() -> str:
+    """Multimodal KG grounding twin: nearest media chunk to each
+    triple's head mention, via the congruence-class arithmetic
+    (media chunks are exactly i ≡ (-7*doc_id) mod 5, i < n_chunks)."""
+    return (
+        with_chain(cte_scored(), cte_triples())
+        + """
+, mev_nch AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(ceil(len(string_split(text, ' ')) / 12.0) AS BIGINT) AS n_chunks
+  FROM documents
+),
+mev_ev AS (
+  SELECT t.doc_id, t.head_text AS subj, t.label AS pred,
+         t.tail_text AS obj, t.prob,
+         CAST(t.head_start // 12 AS BIGINT) AS head_chunk,
+         n.n_chunks,
+         ((-7 * CAST(t.doc_id AS BIGINT)) % 5 + 5) % 5 AS r
+  FROM triples t JOIN mev_nch n USING (doc_id)
+),
+mev_cand AS (
+  SELECT *,
+         head_chunk - (((head_chunk - r) % 5 + 5) % 5) AS lo
+  FROM mev_ev
+),
+mev_pick AS (
+  SELECT *,
+         CASE
+           WHEN lo >= 0 AND lo + 5 < n_chunks THEN
+             CASE WHEN head_chunk - lo <= lo + 5 - head_chunk
+                  THEN lo ELSE lo + 5 END
+           WHEN lo >= 0 THEN lo
+           WHEN lo + 5 < n_chunks THEN lo + 5
+         END AS best
+  FROM mev_cand
+)
+SELECT doc_id, subj, pred, obj, prob, head_chunk,
+       CAST(best AS BIGINT) AS media_chunk,
+       CAST(abs(best - head_chunk) AS BIGINT) AS chunk_distance,
+       CASE WHEN best IS NOT NULL THEN
+         'media://' || CAST(doc_id AS VARCHAR) || '/' || CAST(best AS VARCHAR)
+       END AS media_ref
+FROM mev_pick"""
+    )

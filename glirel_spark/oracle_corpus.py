@@ -2137,3 +2137,97 @@ FROM documents d
 LEFT JOIN comp c2 ON c2.doc_id = CAST(d.doc_id AS VARCHAR)
 JOIN sp s ON s.doc_id = coalesce(c2.canonical, CAST(d.doc_id AS VARCHAR))"""
     )
+
+
+def q_caption_pairs() -> str:
+    """Caption mining twin: re-derives media positions from the
+    interleave rule; the media span's array offset is its chunk index
+    plus the number of media spans before it plus one (each chunk
+    emits its text span first)."""
+    return """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id AS did,
+         string_split(text, ' ') AS toks,
+         CAST(ceil(len(string_split(text, ' ')) / 12.0) AS BIGINT) AS n_chunks
+  FROM documents
+),
+med AS (
+  SELECT doc_id, did, toks,
+         unnest(list_filter(range(n_chunks), i -> (did * 7 + i) % 5 = 0)) AS i
+  FROM base
+)
+SELECT doc_id,
+       'media://' || doc_id || '/' || CAST(i AS VARCHAR) AS media_ref,
+       CAST(i + len(list_filter(range(i), k -> (did * 7 + k) % 5 = 0)) + 1
+            AS INT) AS media_offset,
+       array_to_string(
+         list_slice(toks, i * 12 + 1, least((i + 1) * 12, len(toks))),
+         ' ') AS caption,
+       CAST(least(12, len(toks) - i * 12) AS INT) AS caption_n_tokens
+FROM med"""
+
+
+def q_media_ref_audit() -> str:
+    """Ref-integrity twin: on the rule-derived corpus every ref is
+    well-formed, doc-matching, and distinct; chunk_sum folds the media
+    chunk indices so values vary per document."""
+    return """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id AS did,
+         CAST(ceil(len(string_split(text, ' ')) / 12.0) AS BIGINT) AS n_chunks
+  FROM documents
+),
+agg AS (
+  SELECT doc_id,
+         list_filter(range(n_chunks), i -> (did * 7 + i) % 5 = 0) AS meds
+  FROM base
+)
+SELECT doc_id,
+       CAST(len(meds) AS BIGINT) AS n_refs,
+       CAST(len(meds) AS BIGINT) AS n_wellformed,
+       CAST(len(meds) AS BIGINT) AS n_doc_match,
+       CAST(len(meds) AS BIGINT) AS n_distinct,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), meds),
+                        (a, b) -> a + b) AS BIGINT) AS chunk_sum
+FROM agg"""
+
+
+def q_interleaved_chunks(budget: int = c.INTERLEAVED_CHUNK_BUDGET,
+                         media_cost: int = c.MEDIA_TOKEN_COST) -> str:
+    """Media-atomic chunking twin: rebuild the span sequence (text span
+    per 12-token chunk, media span after chunk i iff (did*7+i)%5=0),
+    window-cumsum the costs, bucket by floor(cum_before / budget)."""
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id AS did,
+         len(string_split(text, ' ')) AS n,
+         CAST(ceil(len(string_split(text, ' ')) / 12.0) AS BIGINT) AS n_chunks
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, did, n, unnest(range(n_chunks)) AS i FROM base
+),
+sp AS (
+  SELECT doc_id, i, 0 AS sub,
+         CAST(least(12, n - i * 12) AS BIGINT) AS cost, 0 AS is_media
+  FROM chunks
+  UNION ALL
+  SELECT doc_id, i, 1, CAST({media_cost} AS BIGINT), 1
+  FROM chunks WHERE (did * 7 + i) % 5 = 0
+),
+ord AS (
+  SELECT doc_id, cost, is_media,
+         row_number() OVER w - 1 AS span_offset,
+         COALESCE(sum(cost) OVER (PARTITION BY doc_id ORDER BY i, sub
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM sp
+  WINDOW w AS (PARTITION BY doc_id ORDER BY i, sub)
+)
+SELECT doc_id,
+       CAST(floor(cum_before / {budget}) AS BIGINT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(is_media) AS BIGINT) AS n_media_spans,
+       CAST(sum(cost) AS BIGINT) AS n_tokens,
+       CAST(min(span_offset) AS INT) AS first_offset,
+       CAST(max(span_offset) AS INT) AS last_offset
+FROM ord GROUP BY 1, 2"""

@@ -564,6 +564,32 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import multimodal
+
+    return multimodal.caption_pairs(interleaved(spark, sf_dir))
+
+
+def media_ref_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import multimodal
+
+    return multimodal.media_ref_audit(interleaved(spark, sf_dir))
+
+
+def interleaved_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import multimodal
+
+    return multimodal.interleaved_chunks(interleaved(spark, sf_dir))
+
+
+def triples_media_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import multimodal
+
+    return multimodal.media_evidence(
+        triples(spark, sf_dir), docs_tokens(spark, sf_dir)
+    )
+
+
 def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import textstats
 

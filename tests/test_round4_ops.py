@@ -1,0 +1,165 @@
+"""Round-4 interleaved-sequence operators: caption mining, media_ref
+integrity, media-atomic chunking, and multimodal KG evidence.
+
+Each test cross-checks the operator against an independent python
+recomputation from the raw parquet (not against the operator's own
+rule constants), so a rule drift on either side fails loudly.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from glirel_spark.operators import multimodal
+from glirel_spark.sources.tables import _CHUNK, _MEDIA_EVERY, interleaved_documents
+
+SF = "/root/testdata/sf0.001/documents.parquet"
+
+
+def _flat(spark):
+    return spark.read.parquet(SF)
+
+
+def _py_docs():
+    rows = duckdb.sql(f"SELECT doc_id, text FROM '{SF}'").fetchall()
+    return {did: text.split(" ") for did, text in rows}
+
+
+def _py_spans(did: int, toks: list[str]):
+    """Independent replay of the interleave: list of (kind, text, ref)."""
+    import math
+
+    out = []
+    n_chunks = math.ceil(len(toks) / _CHUNK)
+    for i in range(n_chunks):
+        out.append(("text", " ".join(toks[i * _CHUNK:(i + 1) * _CHUNK]), None))
+        if (did * 7 + i) % _MEDIA_EVERY == 0:
+            out.append(("media", None, f"media://{did}/{i}"))
+    return out
+
+
+def test_caption_pairs_match_python_replay(spark):
+    inter = interleaved_documents(_flat(spark))
+    got = {
+        (r["doc_id"], r["media_ref"]): (r["media_offset"], r["caption"],
+                                        r["caption_n_tokens"])
+        for r in multimodal.caption_pairs(inter).collect()
+    }
+    want = {}
+    for did, toks in _py_docs().items():
+        spans = _py_spans(did, toks)
+        for k, (kind, text, ref) in enumerate(spans):
+            if kind == "media":
+                cap = spans[k - 1][1]
+                want[(str(did), ref)] = (k, cap, len(cap.split(" ")))
+    assert got == want
+    assert len(want) > 0
+
+
+def test_media_ref_audit_all_green_and_sums(spark):
+    inter = interleaved_documents(_flat(spark))
+    rows = multimodal.media_ref_audit(inter).collect()
+    want_sum = {}
+    for did, toks in _py_docs().items():
+        meds = [int(ref.rsplit("/", 1)[1])
+                for kind, _, ref in _py_spans(did, toks) if kind == "media"]
+        want_sum[str(did)] = (len(meds), sum(meds))
+    assert len(rows) == len(want_sum)
+    for r in rows:
+        n, s = want_sum[r["doc_id"]]
+        assert r["n_refs"] == r["n_wellformed"] == r["n_doc_match"] == n
+        assert r["n_distinct"] == n
+        assert r["chunk_sum"] == s
+
+
+def _py_chunks(did: int, toks: list[str], budget: int, media_cost: int):
+    spans = _py_spans(did, toks)
+    costs = [media_cost if k == "media" else len(t.split(" "))
+             for k, t, _ in spans]
+    out = {}
+    cum = 0
+    for off, (span, cost) in enumerate(zip(spans, costs)):
+        cid = cum // budget
+        e = out.setdefault(cid, [0, 0, 0, off, off])
+        e[0] += 1
+        e[1] += span[0] == "media"
+        e[2] += cost
+        e[4] = off
+        cum += cost
+    return out
+
+
+def test_interleaved_chunks_match_python_replay(spark):
+    from glirel_spark import config
+
+    inter = interleaved_documents(_flat(spark))
+    got = {}
+    for r in multimodal.interleaved_chunks(inter).collect():
+        got[(r["doc_id"], r["chunk_id"])] = (
+            r["n_spans"], r["n_media_spans"], r["n_tokens"],
+            r["first_offset"], r["last_offset"],
+        )
+    want = {}
+    for did, toks in _py_docs().items():
+        for cid, (ns, nm, nt, fo, lo) in _py_chunks(
+            did, toks, config.INTERLEAVED_CHUNK_BUDGET, config.MEDIA_TOKEN_COST
+        ).items():
+            want[(str(did), cid)] = (ns, nm, nt, fo, lo)
+    assert got == want
+    # media atomicity: every chunk's token load is bounded by
+    # budget + (max span cost - 1); spans were never split
+    cap = config.INTERLEAVED_CHUNK_BUDGET + config.MEDIA_TOKEN_COST - 1
+    assert all(v[2] <= cap for v in got.values())
+
+
+@pytest.fixture(scope="module")
+def evidence(spark):
+    from glirel_spark.plans import pipeline
+
+    sf = "/root/testdata/sf0.001"
+    return multimodal.media_evidence(
+        pipeline.triples(spark, sf), pipeline.docs_tokens(spark, sf)
+    ).collect()
+
+
+def test_media_evidence_refs_are_real_spans(spark, evidence):
+    """Every emitted media_ref must be an actual media span of that doc
+    (checked against the interleaved table itself, not the rule)."""
+    inter = interleaved_documents(_flat(spark))
+    real = {
+        (r["doc_id"], r["s"]["media_ref"])
+        for r in inter.select(
+            "doc_id", F.explode("spans").alias("s")
+        ).filter(F.col("s.kind") == "media").collect()
+    }
+    n_with_media = 0
+    for row in evidence:
+        if row["media_ref"] is not None:
+            n_with_media += 1
+            assert (str(int(row["doc_id"])), row["media_ref"]) in real
+    assert n_with_media > 0
+
+
+def test_media_evidence_is_nearest(evidence):
+    """No media chunk of the doc is strictly closer to the head chunk
+    than the chosen one (python replay of chunk geometry)."""
+    import math
+
+    docs = _py_docs()
+    for row in evidence:
+        did = int(row["doc_id"])
+        toks = docs[did]
+        n_chunks = math.ceil(len(toks) / _CHUNK)
+        meds = [i for i in range(n_chunks)
+                if (did * 7 + i) % _MEDIA_EVERY == 0]
+        c = row["head_chunk"]
+        if not meds:
+            assert row["media_chunk"] is None
+            assert row["media_ref"] is None
+            continue
+        best = min(meds, key=lambda i: (abs(i - c), i))
+        assert row["media_chunk"] in meds
+        assert abs(row["media_chunk"] - c) == abs(best - c)
+        assert row["chunk_distance"] == abs(best - c)
