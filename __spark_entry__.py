@@ -222,6 +222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_ref_audit": pipeline.media_ref_audit,
         "interleaved_chunks": pipeline.interleaved_chunks,
         "triples_media_evidence": pipeline.triples_media_evidence,
+        # PII scrubbing (deterministic injected patterns, native regexp)
+        "pii_scrub": pipeline.pii_scrub,
     }
 
 
@@ -362,5 +364,6 @@ def oracle_sql() -> dict[str, str]:
         "media_ref_audit": oc.q_media_ref_audit(),
         "interleaved_chunks": oc.q_interleaved_chunks(),
         "triples_media_evidence": oracle.q_triples_media_evidence(),
+        "pii_scrub": oc.q_pii_scrub(),
         **relational.ORACLE,
     }

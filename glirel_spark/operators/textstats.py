@@ -1155,3 +1155,64 @@ def corpus_mixture(
             )).otherwise(F.lit(0)).cast("long").alias("keep_bps"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (round 4)
+# ---------------------------------------------------------------------------
+
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_HOST_RE = r"host-\d+"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_ipv4, n_hosts, redacted): detect and redact
+    email / IPv4 / hostname patterns — the scrubbing pass every
+    training corpus goes through before packing.
+
+    The synthetic corpus contains no such patterns, so the operator
+    first INJECTS them deterministically from doc_id (``did % 3``
+    emails, ``did % 4`` IPs, ``did % 5`` host ids appended via
+    ``repeat``) — the same synthesize-then-verify pattern the media
+    payloads use — and the oracle twin replays injection + extraction +
+    redaction exactly, so the emitted redacted STRING (not just the
+    counts) is value-checked.
+
+    Plan shape: three ``regexp_extract_all`` + chained
+    ``regexp_replace`` inside one whole-stage-codegen projection. No
+    UDF, no shuffle — an embarrassingly parallel scan; on a real crawl
+    the injection step disappears and the regex set widens (phones,
+    SSNs, secrets), same plan.
+    """
+    did = F.col("doc_id").cast("long")
+    s = lambda x: x.cast("string")
+    email = F.concat(F.lit(" user"), s(did), F.lit("@example.org"))
+    ip = F.concat(
+        F.lit(" 10."), s(did % 256), F.lit("."), s((did * 7) % 256),
+        F.lit("."), s((did * 13) % 256),
+    )
+    host = F.concat(F.lit(" host-"), s(did))
+    aug = F.concat(
+        F.col("text"),
+        F.repeat(email, (did % 3).cast("int")),
+        F.repeat(ip, (did % 4).cast("int")),
+        F.repeat(host, (did % 5).cast("int")),
+    )
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, PII_EMAIL_RE, "<EMAIL>"),
+            PII_IPV4_RE, "<IP>",
+        ),
+        PII_HOST_RE, "<HOST>",
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.size(F.regexp_extract_all(aug, F.lit(PII_EMAIL_RE), F.lit(0)))
+        .cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(PII_IPV4_RE), F.lit(0)))
+        .cast("long").alias("n_ipv4"),
+        F.size(F.regexp_extract_all(aug, F.lit(PII_HOST_RE), F.lit(0)))
+        .cast("long").alias("n_hosts"),
+        redacted.alias("redacted"),
+    )

@@ -2231,3 +2231,36 @@ SELECT doc_id,
        CAST(min(span_offset) AS INT) AS first_offset,
        CAST(max(span_offset) AS INT) AS last_offset
 FROM ord GROUP BY 1, 2"""
+
+
+def q_pii_scrub() -> str:
+    """PII scrub twin: replay injection (repeat-by-doc_id), extraction
+    counts, and the chained global redaction; the redacted string
+    itself is value-compared."""
+    email_re = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    ipv4_re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    host_re = "host-\\d+"
+    return f"""
+WITH aug AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         text
+         || repeat(' user' || CAST(doc_id AS VARCHAR) || '@example.org',
+                   CAST(doc_id % 3 AS INT))
+         || repeat(' 10.' || CAST(doc_id % 256 AS VARCHAR)
+                   || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                   || '.' || CAST((doc_id * 13) % 256 AS VARCHAR),
+                   CAST(doc_id % 4 AS INT))
+         || repeat(' host-' || CAST(doc_id AS VARCHAR),
+                   CAST(doc_id % 5 AS INT)) AS a
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(a, '{email_re}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(a, '{ipv4_re}')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(a, '{host_re}')) AS BIGINT) AS n_hosts,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(a, '{email_re}', '<EMAIL>', 'g'),
+           '{ipv4_re}', '<IP>', 'g'),
+         '{host_re}', '<HOST>', 'g') AS redacted
+FROM aug"""

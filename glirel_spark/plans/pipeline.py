@@ -582,6 +582,12 @@ def interleaved_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.interleaved_chunks(interleaved(spark, sf_dir))
 
 
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import textstats
+
+    return textstats.pii_scrub(_flat_docs(spark, sf_dir))
+
+
 def triples_media_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import multimodal
 

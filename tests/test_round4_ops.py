@@ -163,3 +163,21 @@ def test_media_evidence_is_nearest(evidence):
         assert row["media_chunk"] in meds
         assert abs(row["media_chunk"] - c) == abs(best - c)
         assert row["chunk_distance"] == abs(best - c)
+
+
+def test_pii_scrub_counts_and_redaction(spark):
+    from glirel_spark.operators import textstats
+
+    docs = _flat(spark)
+    rows = textstats.pii_scrub(docs).collect()
+    assert len(rows) == docs.count()
+    for r in rows[:200]:
+        did = int(r["doc_id"])
+        assert r["n_emails"] == did % 3
+        assert r["n_ipv4"] == did % 4
+        assert r["n_hosts"] == did % 5
+        red = r["redacted"]
+        assert red.count("<EMAIL>") == did % 3
+        assert red.count("<IP>") == did % 4
+        assert red.count("<HOST>") == did % 5
+        assert "@" not in red and "host-" not in red
