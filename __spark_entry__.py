@@ -123,7 +123,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semantic_dedup": pipeline.semantic_dedup,
         # multimodal plumbing + interleave accounting
         "media_features": pipeline.media_features,
-        "media_stats": pipeline.media_stats,
+        # multimodal KG grounding (round 4): triples paired with the
+        # nearest media span — the interleaved-payload axis meeting the
+        # flagship extraction chain inside the gate prefix
+        "triples_media_evidence": pipeline.triples_media_evidence,
         # sequence packing / routing cascade
         "token_blocks": pipeline.token_blocks,
         "corpus_routing": pipeline.corpus_routing,
@@ -221,7 +224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_pairs": pipeline.caption_pairs,
         "media_ref_audit": pipeline.media_ref_audit,
         "interleaved_chunks": pipeline.interleaved_chunks,
-        "triples_media_evidence": pipeline.triples_media_evidence,
+        "media_stats": pipeline.media_stats,
         # PII scrubbing (deterministic injected patterns, native regexp)
         "pii_scrub": pipeline.pii_scrub,
     }
