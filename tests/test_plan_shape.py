@@ -224,3 +224,29 @@ def test_containment_pairs_probe_side_prefix_only(spark):
     assert specs, f"expected the rare-first rank window:\n{plan}"
     for s in specs:
         assert "doc_id" in s, f"non-doc_id window spec {s!r}:\n{plan}"
+
+
+def test_round4_interleave_ops_are_zero_exchange_scans(spark):
+    """caption_pairs / media_ref_audit / interleaved_chunks / pii_scrub
+    are row-local projections: no exchange of any kind, no window —
+    embarrassingly parallel at any corpus size."""
+    from glirel_spark.plans import pipeline
+
+    for fn in (pipeline.caption_pairs, pipeline.media_ref_audit,
+               pipeline.interleaved_chunks, pipeline.pii_scrub):
+        plan = _plan(fn(spark, SF))
+        assert "Exchange hashpartitioning" not in plan, fn.__name__
+        assert "Exchange rangepartitioning" not in plan, fn.__name__
+        assert "Window" not in plan, fn.__name__
+
+
+def test_media_evidence_adds_only_a_dimension_join(spark):
+    """triples_media_evidence must not add a shuffle beyond the
+    flagship's single decode-argmax exchange: the n_chunks dimension
+    joins as a broadcast here (AQE picks sort-merge co-partitioned on
+    doc_id at scale); the congruence arithmetic is pure projection."""
+    from glirel_spark.plans import pipeline
+
+    plan = _plan(pipeline.triples_media_evidence(spark, SF))
+    assert plan.count("Exchange hashpartitioning") <= 1, plan
+    assert "Window" not in plan
