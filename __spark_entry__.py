@@ -82,7 +82,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # linking: exact alias, LSH candidates, fuzzy fallback
         "linked_triples": pipeline.linked_triples,
         "link_candidates": pipeline.link_candidates,
-        "linked_triples_fuzzy": pipeline.linked_triples_fuzzy,
+        # north-rule invariant under the gate: hash-matching the full
+        # exploded spans relation against an independent DuckDB
+        # re-derivation IS per-row span-sequence equality
+        "span_sequences": pipeline.span_sequences,
         # graph materialization + incremental upsert
         "graph": pipeline.graph,
         "graph_upsert": pipeline.graph_upsert,
@@ -193,6 +196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_edit_pairs": pipeline.er_edit_pairs,
         "er_clusters": pipeline.er_clusters,
         "kg_canonicalized": pipeline.kg_canonicalized,
+        "linked_triples_fuzzy": pipeline.linked_triples_fuzzy,
         # tokenizer / mixture / LM depth
         "corpus_mixture": pipeline.corpus_mixture,
         "ngram_lm": pipeline.ngram_lm,
@@ -368,5 +372,6 @@ def oracle_sql() -> dict[str, str]:
         "interleaved_chunks": oc.q_interleaved_chunks(),
         "triples_media_evidence": oracle.q_triples_media_evidence(),
         "pii_scrub": oc.q_pii_scrub(),
+        "span_sequences": oc.q_span_sequences(),
         **relational.ORACLE,
     }

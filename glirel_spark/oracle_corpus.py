@@ -2264,3 +2264,35 @@ SELECT doc_id,
            '{ipv4_re}', '<IP>', 'g'),
          '{host_re}', '<HOST>', 'g') AS redacted
 FROM aug"""
+
+
+def q_span_sequences() -> str:
+    """North-rule invariant twin: re-derive EVERY span of EVERY doc
+    (kind, text, media_ref, order) independently from the corpus rule;
+    a value-hash match against Spark's exploded spans relation is
+    per-row span-sequence equality."""
+    return """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id AS did,
+         string_split(text, ' ') AS toks,
+         CAST(ceil(len(string_split(text, ' ')) / 12.0) AS BIGINT) AS n_chunks
+  FROM documents
+),
+ch AS (
+  SELECT doc_id, did, toks, unnest(range(n_chunks)) AS i FROM base
+),
+m_before AS (
+  SELECT *, len(list_filter(range(i), k -> (did * 7 + k) % 5 = 0)) AS m
+  FROM ch
+)
+SELECT doc_id, CAST(i + m AS INT) AS "offset", 'text' AS kind,
+       array_to_string(
+         list_slice(toks, i * 12 + 1, least((i + 1) * 12, len(toks))),
+         ' ') AS text,
+       CAST(NULL AS VARCHAR) AS media_ref
+FROM m_before
+UNION ALL
+SELECT doc_id, CAST(i + m + 1 AS INT) AS "offset", 'media' AS kind,
+       CAST(NULL AS VARCHAR) AS text,
+       'media://' || doc_id || '/' || CAST(i AS VARCHAR) AS media_ref
+FROM m_before WHERE (did * 7 + i) % 5 = 0"""

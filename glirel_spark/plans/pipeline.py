@@ -582,6 +582,10 @@ def interleaved_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.interleaved_chunks(interleaved(spark, sf_dir))
 
 
+def span_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tables.span_sequences(interleaved(spark, sf_dir))
+
+
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import textstats
 

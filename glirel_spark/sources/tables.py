@@ -180,7 +180,9 @@ def span_sequence_signature(interleaved: DataFrame) -> DataFrame:
 
     BASELINE.json input_hint requires span-sequence equality vs the
     reference representation; two tables agree iff the anti-join of their
-    signatures is empty (see operators/validate.check_span_equality).
+    signatures is empty (tests/test_interleave.py asserts both the
+    round-trip and a mutation-detection case; span_sequences below is
+    the driver-gated exploded form).
     """
     sig = F.to_json(
         F.transform(
@@ -193,3 +195,25 @@ def span_sequence_signature(interleaved: DataFrame) -> DataFrame:
         )
     )
     return interleaved.select("doc_id", sig.alias("span_signature"))
+
+
+def span_sequences(interleaved: DataFrame) -> DataFrame:
+    """The full exploded span relation: (doc_id, offset, kind, text,
+    media_ref) for every span of every document.
+
+    This is the north-rule invariant surfaced as a GATED query: the
+    driver value-hashes this relation against a DuckDB twin that
+    re-derives every span independently from the corpus rule, so a
+    hash match IS per-row span-sequence equality ((kind, text,
+    media_ref, order) for all rows). ``span_sequence_signature`` keeps
+    the compact per-doc form for anti-join audits between two engines'
+    outputs.
+    """
+    s = interleaved.select("doc_id", F.explode("spans").alias("s"))
+    return s.select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
