@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "caption_pairs": pipeline.caption_pairs,
         "media_ref_audit": pipeline.media_ref_audit,
         "interleaved_chunks": pipeline.interleaved_chunks,
+        "interleaved_blocks": pipeline.interleaved_blocks,
         "media_stats": pipeline.media_stats,
         # PII scrubbing (deterministic injected patterns, native regexp)
         "pii_scrub": pipeline.pii_scrub,
@@ -373,5 +374,6 @@ def oracle_sql() -> dict[str, str]:
         "triples_media_evidence": oracle.q_triples_media_evidence(),
         "pii_scrub": oc.q_pii_scrub(),
         "span_sequences": oc.q_span_sequences(),
+        "interleaved_blocks": oc.q_interleaved_blocks(),
         **relational.ORACLE,
     }

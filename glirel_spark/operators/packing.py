@@ -177,3 +177,91 @@ def packing_stats(
     return spans.groupBy("n_blocks_spanned").agg(
         F.count("*").cast("long").alias("n_docs")
     )
+
+
+def interleaved_blocks(
+    interleaved: DataFrame,
+    block: int = config.PACK_BLOCK,
+    media_cost: int = config.MEDIA_TOKEN_COST,
+) -> DataFrame:
+    """Multimodal sequence packing: concatenate the interleaved corpus
+    in doc_id order — every text token one position, every media span
+    ``media_cost`` placeholder positions, one trailing EOS per doc —
+    and cut fixed ``block``-position pretraining windows.
+
+    (block_id, n_positions, n_docs, n_media_spans, first_doc,
+    last_doc): n_media_spans counts media spans whose placeholder run
+    STARTS inside the block, so a data loader knows how many images
+    each window fetches.
+
+    Plan shape: per-doc totals and media start offsets are row-local
+    array folds; the global layout is the same two-phase distributed
+    prefix sum token_blocks uses (_with_global_offset — one range
+    repartition + a P-row window); block attribution is arithmetic
+    (explode over the spanned block range), then ONE aggregation.
+    Deterministic under any input partitioning.
+    """
+    span_cost = lambda s: (
+        F.when(s["kind"] == F.lit("media"), F.lit(media_cost))
+        .otherwise(F.size(F.split(s["text"], " ")))
+        .cast("long")
+    )
+    d = interleaved.select(
+        "doc_id",
+        materialized(F.transform("spans", span_cost)).alias("costs"),
+        F.transform(
+            "spans",
+            lambda s: F.when(s["kind"] == F.lit("media"), F.lit(1))
+            .otherwise(F.lit(0)).cast("int"),
+        ).alias("medias"),
+    )
+    idx = F.sequence(F.lit(1), F.size("costs"))
+    cum_before = lambda j: F.aggregate(
+        F.slice("costs", 1, j - 1), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    medstarts = F.filter(
+        F.transform(
+            idx,
+            lambda j: F.when(
+                F.element_at("medias", j) == 1, cum_before(j)
+            ).otherwise(F.lit(-1).cast("long")),
+        ),
+        lambda x: x >= 0,
+    )
+    d = d.select(
+        "doc_id",
+        (F.aggregate("costs", F.lit(0).cast("long"), lambda a, x: a + x) + 1)
+        .alias("sl"),
+        materialized(medstarts).alias("medstarts"),
+    )
+    g = _with_global_offset(d, "doc_id", "sl")
+    rows = g.select(
+        "doc_id", "s", (F.col("s") + F.col("sl")).alias("e"), "medstarts",
+    ).select(
+        "doc_id", "s", "e", "medstarts",
+        F.explode(
+            F.sequence(F.expr(f"s DIV {block}"), F.expr(f"(e - 1) DIV {block}"))
+        ).alias("block_id"),
+    )
+    lo = F.col("block_id") * block
+    contrib = F.least(F.col("e"), lo + block) - F.greatest(F.col("s"), lo)
+    # integer range test (never float division): media start position
+    # s + m lies in [block_id*block, (block_id+1)*block)
+    n_med = F.size(
+        F.filter(
+            F.col("medstarts"),
+            lambda m: ((F.col("s") + m) >= lo) & ((F.col("s") + m) < lo + block),
+        )
+    )
+    return (
+        rows.withColumn("_n", contrib.cast("long"))
+        .withColumn("_m", n_med.cast("long"))
+        .groupBy("block_id")
+        .agg(
+            F.sum("_n").cast("long").alias("n_positions"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("_m").cast("long").alias("n_media_spans"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

@@ -2296,3 +2296,71 @@ SELECT doc_id, CAST(i + m + 1 AS INT) AS "offset", 'media' AS kind,
        CAST(NULL AS VARCHAR) AS text,
        'media://' || doc_id || '/' || CAST(i AS VARCHAR) AS media_ref
 FROM m_before WHERE (did * 7 + i) % 5 = 0"""
+
+
+def q_interleaved_blocks(block: int = c.PACK_BLOCK,
+                         media_cost: int = c.MEDIA_TOKEN_COST) -> str:
+    """Multimodal packing twin: rebuild the per-span cost stream from
+    the interleave rule, global exclusive prefix sum in doc_id order
+    (one window — fine at oracle scale), arithmetic block membership,
+    media spans attributed to the block their placeholder run starts
+    in."""
+    return f"""
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id AS did,
+         len(string_split(text, ' ')) AS n,
+         CAST(ceil(len(string_split(text, ' ')) / 12.0) AS BIGINT) AS n_chunks
+  FROM documents
+),
+chunks AS (
+  SELECT doc_id, did, n, unnest(range(n_chunks)) AS i FROM base
+),
+sp AS (
+  SELECT doc_id, i, 0 AS sub,
+         CAST(least(12, n - i * 12) AS BIGINT) AS cost, 0 AS is_media
+  FROM chunks
+  UNION ALL
+  SELECT doc_id, i, 1, CAST({media_cost} AS BIGINT), 1
+  FROM chunks WHERE (did * 7 + i) % 5 = 0
+),
+ord AS (
+  SELECT doc_id, cost, is_media,
+         COALESCE(sum(cost) OVER (PARTITION BY doc_id ORDER BY i, sub
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+  FROM sp
+),
+dlen AS (
+  SELECT doc_id, CAST(sum(cost) + 1 AS BIGINT) AS sl FROM sp GROUP BY doc_id
+),
+offs AS (
+  SELECT doc_id, sl,
+         sum(sl) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - sl AS s
+  FROM dlen
+),
+blk AS (
+  SELECT doc_id, s, s + sl AS e,
+         unnest(range(CAST(s // {block} AS BIGINT),
+                      CAST((s + sl - 1) // {block} + 1 AS BIGINT))) AS block_id
+  FROM offs
+),
+agg AS (
+  SELECT block_id,
+         CAST(sum(least(e, (block_id + 1) * {block})
+              - greatest(s, block_id * {block})) AS BIGINT) AS n_positions,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         min(doc_id) AS first_doc,
+         max(doc_id) AS last_doc
+  FROM blk GROUP BY block_id
+),
+med AS (
+  SELECT CAST((o.s + r.cb) // {block} AS BIGINT) AS block_id,
+         CAST(count(*) AS BIGINT) AS n_media
+  FROM ord r JOIN offs o USING (doc_id)
+  WHERE r.is_media = 1 GROUP BY 1
+)
+SELECT a.block_id, a.n_positions, a.n_docs,
+       CAST(COALESCE(m.n_media, 0) AS BIGINT) AS n_media_spans,
+       a.first_doc, a.last_doc
+FROM agg a LEFT JOIN med m USING (block_id)"""

@@ -582,6 +582,12 @@ def interleaved_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.interleaved_chunks(interleaved(spark, sf_dir))
 
 
+def interleaved_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import packing
+
+    return packing.interleaved_blocks(interleaved(spark, sf_dir))
+
+
 def span_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables.span_sequences(interleaved(spark, sf_dir))
 

@@ -181,3 +181,45 @@ def test_pii_scrub_counts_and_redaction(spark):
         assert red.count("<IP>") == did % 4
         assert red.count("<HOST>") == did % 5
         assert "@" not in red and "host-" not in red
+
+
+def test_interleaved_blocks_match_python_replay(spark):
+    from glirel_spark import config
+    from glirel_spark.operators import packing
+
+    B, MC = config.PACK_BLOCK, config.MEDIA_TOKEN_COST
+    inter = interleaved_documents(_flat(spark))
+    got = {
+        r["block_id"]: (r["n_positions"], r["n_docs"], r["n_media_spans"],
+                        r["first_doc"], r["last_doc"])
+        for r in packing.interleaved_blocks(inter).collect()
+    }
+    # replay: concatenate per-doc cost streams in doc_id STRING order
+    want = {}
+    s = 0
+    for did_str in sorted(str(d) for d in _py_docs()):
+        did = int(did_str)
+        spans = _py_spans(did, _py_docs()[did])
+        costs = [MC if k == "media" else len(t.split(" "))
+                 for k, t, _ in spans]
+        cum = 0
+        for (kind, _, _), cost in zip(spans, costs):
+            if kind == "media":
+                bid = (s + cum) // B
+                e = want.setdefault(bid, [0, set(), 0])
+                e[2] += 1
+            cum += cost
+        sl = sum(costs) + 1
+        for bid in range(s // B, (s + sl - 1) // B + 1):
+            e = want.setdefault(bid, [0, set(), 0])
+            e[0] += min(s + sl, (bid + 1) * B) - max(s, bid * B)
+            e[1].add(did_str)
+        s += sl
+    assert set(got) == set(want)
+    for bid, (npos, docs_in, nmed) in want.items():
+        g = got[bid]
+        assert g[0] == npos and g[1] == len(docs_in) and g[2] == nmed
+        assert g[3] == min(docs_in) and g[4] == max(docs_in)
+    # every block full except the last
+    last = max(want)
+    assert all(got[b][0] == B for b in got if b != last)
