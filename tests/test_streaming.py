@@ -515,3 +515,33 @@ def test_read_prev_graph_ignores_failed_attempt(spark, tmp_path):
     prev_replay = read_prev_graph(spark, out, 1)
     assert prev_replay.collect() == prev1.collect()
     assert read_prev_graph(spark, out, 5) is None  # gap -> None, not dir max
+
+
+def test_media_stream_twins_equal_batch(spark, tmp_path):
+    """Streaming caption mining + media-atomic chunking (foreachBatch,
+    micro-batch == document granularity) produce exactly the batch
+    operators' rows."""
+    from glirel_spark.operators import multimodal
+    from glirel_spark.sources.tables import interleaved_documents
+    from glirel_spark.streaming.media_stream import (
+        caption_pairs_batch,
+        interleaved_chunks_batch,
+        run_media_stream,
+    )
+    from glirel_spark.streaming.triples_stream import read_documents_stream
+
+    batch_inter = interleaved_documents(
+        spark.read.parquet(SF + "/documents.parquet")
+    )
+    for name, tfn, bfn in [
+        ("cap", caption_pairs_batch, multimodal.caption_pairs),
+        ("chunk", interleaved_chunks_batch, multimodal.interleaved_chunks),
+    ]:
+        out = str(tmp_path / f"{name}_out")
+        ckpt = str(tmp_path / f"{name}_ckpt")
+        run_media_stream(read_documents_stream(spark, SF), tfn, out, ckpt)
+        got = spark.read.parquet(out)
+        want = bfn(batch_inter)
+        assert got.count() == want.count() > 0
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
