@@ -232,6 +232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_stats": pipeline.media_stats,
         # PII scrubbing (deterministic injected patterns, native regexp)
         "pii_scrub": pipeline.pii_scrub,
+        # scorer reliability table (per-decile precision vs gold)
+        "calibration": pipeline.calibration,
     }
 
 
@@ -375,5 +377,6 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": oc.q_pii_scrub(),
         "span_sequences": oc.q_span_sequences(),
         "interleaved_blocks": oc.q_interleaved_blocks(),
+        "calibration": oracle.q_calibration(),
         **relational.ORACLE,
     }

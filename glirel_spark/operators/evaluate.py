@@ -284,3 +284,44 @@ def threshold_search(
 def best_threshold(search: DataFrame, metric: str = "macro_f1") -> DataFrame:
     """argmax over the grid (model.py:681-694); tie -> lowest threshold."""
     return search.orderBy(F.desc(metric), F.asc("threshold")).limit(1)
+
+
+def calibration_table(triples: DataFrame, gold: DataFrame,
+                      n_buckets: int = 10) -> DataFrame:
+    """Reliability table: bucket the decoded predictions by probability
+    decile and count how many are gold-correct — the calibration
+    artifact that tells a deployment whether the scorer's probabilities
+    mean what they say (and where to put the production threshold).
+
+    ``triples``: decoded output (exclusive-end coordinates, one row per
+    (pair, label)); ``gold``: same coordinate frame. Output one row per
+    non-empty bucket: (bucket, n_preds, n_correct, precision) —
+    integer counts plus ONE exactly-rounded division, so the oracle is
+    bit-identical.
+
+    Plan shape: a left-semi join on the (position, label) key followed
+    by a tiny groupBy on the bucket id; both sides arrive already
+    partitioned by doc_id-prefixed keys from decode, and the bucket agg
+    is map-side combinable into <= n_buckets rows.
+    """
+    keys = ["doc_id", "head_start", "head_end", "tail_start", "tail_end",
+            "label"]
+    b = F.least(
+        F.floor(F.col("prob") * n_buckets).cast("int"), F.lit(n_buckets - 1)
+    )
+    p = triples.select(*keys, b.alias("bucket"))
+    correct = p.join(gold.select(*keys).distinct(), keys, "left_semi")
+    n_all = p.groupBy("bucket").agg(F.count("*").cast("long").alias("n_preds"))
+    n_ok = correct.groupBy("bucket").agg(
+        F.count("*").cast("long").alias("n_correct")
+    )
+    return (
+        n_all.join(n_ok, "bucket", "left")
+        .select(
+            "bucket",
+            "n_preds",
+            F.coalesce("n_correct", F.lit(0)).cast("long").alias("n_correct"),
+            (F.coalesce("n_correct", F.lit(0)).cast("double")
+             / F.col("n_preds").cast("double")).alias("precision"),
+        )
+    )

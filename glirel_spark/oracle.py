@@ -1709,3 +1709,48 @@ SELECT doc_id, subj, pred, obj, prob, head_chunk,
        END AS media_ref
 FROM mev_pick"""
     )
+
+
+def q_calibration() -> str:
+    """Reliability-table twin for the NEURAL scorer: predictions come
+    from the committed golden table (independently generated by
+    tools/gen_golden.py's pure-python replay — DuckDB cannot run the
+    transformer), gold and all calibration arithmetic (decile
+    bucketing, position+label membership join, integer counts + one
+    exact division) are genuinely cross-engine."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "goldens"
+    arms = "\nUNION ALL\n".join(
+        f"SELECT * FROM read_parquet('{root}/{sf}/triples_neural.parquet')"
+        f" WHERE (SELECT s FROM sig) = {s}"
+        for sf, s in _GOLDEN_SIGS.items()
+    )
+    return (
+        with_chain(cte_scored())
+        + f"""
+, sig AS (SELECT sum(length(text)) AS s FROM documents),
+cal_preds AS ({arms}),
+cal_gold AS (
+  SELECT DISTINCT doc_id, h_start AS head_start, h_end + 1 AS head_end,
+         t_start AS tail_start, t_end + 1 AS tail_end, label
+  FROM scored WHERE raw >= {c.GOLD_RAW_MIN}
+),
+cal_p AS (
+  SELECT doc_id, head_start, head_end, tail_start, tail_end, label,
+         least(CAST(floor(prob * 10) AS INT), 9) AS bucket
+  FROM cal_preds
+),
+cal_c AS (
+  SELECT p.bucket,
+         CASE WHEN g.label IS NOT NULL THEN 1 ELSE 0 END AS ok
+  FROM cal_p p
+  LEFT JOIN cal_gold g USING (doc_id, head_start, head_end,
+                              tail_start, tail_end, label)
+)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n_preds,
+       CAST(sum(ok) AS BIGINT) AS n_correct,
+       CAST(sum(ok) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS precision
+FROM cal_c GROUP BY bucket"""
+    )

@@ -592,6 +592,24 @@ def span_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tables.span_sequences(interleaved(spark, sf_dir))
 
 
+def calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability table of the NEURAL scorer against the deterministic
+    lexical gold — the discriminating pairing (the lexical decode's own
+    prob is monotone in its gold criterion, so self-calibration is
+    vacuously 1.0)."""
+    from glirel_spark.operators import evaluate
+
+    gold = evaluate.gold_triples(scored(spark, sf_dir)).select(
+        "doc_id",
+        F.col("h_start").alias("head_start"),
+        (F.col("h_end") + 1).alias("head_end"),
+        F.col("t_start").alias("tail_start"),
+        (F.col("t_end") + 1).alias("tail_end"),
+        "label",
+    )
+    return evaluate.calibration_table(triples_neural(spark, sf_dir), gold)
+
+
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import textstats
 
