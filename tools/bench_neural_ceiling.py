@@ -77,10 +77,15 @@ def run_level(n_procs: int, cpus: str, n_docs: int) -> float:
 
 def main() -> None:
     mp.set_start_method("spawn")
-    # mirror bench_neural_scaling's cpusets exactly:
-    # lo = 4 exec cores + 4 driver-allowance cores, 4 busy workers
-    # hi = 16 exec cores + 4 driver-allowance cores, 16 busy workers
-    lo = run_level(4, "0-7", DOCS_PER_PROC)
+    # mirror bench_neural_scaling's cpusets exactly (proportional
+    # driver allowance by default, like the scaling harness; set
+    # SPARK_GRAFT_SCALE_FIXED_ALLOWANCE=1 for the old fixed 4-core
+    # protocol):
+    # lo = 4 exec cores + allowance, 4 busy workers
+    # hi = 16 exec cores + 4 allowance cores, 16 busy workers
+    fixed = os.environ.get("SPARK_GRAFT_SCALE_FIXED_ALLOWANCE") == "1"
+    cpuset_lo = "0-7" if fixed else "0-4"
+    lo = run_level(4, cpuset_lo, DOCS_PER_PROC)
     hi = run_level(16, "0-19", DOCS_PER_PROC)
     result = {
         "metric": "neural_ceiling_docs_per_sec_4_vs_16_procs",
@@ -90,7 +95,7 @@ def main() -> None:
         "efficiency": round(hi / lo / 4.0, 3),
         "docs_per_proc": DOCS_PER_PROC,
         "reps": REPS,
-        "cpuset_lo": "0-7",
+        "cpuset_lo": cpuset_lo,
         "cpuset_hi": "0-19",
     }
     print(json.dumps(result))
