@@ -230,6 +230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interleaved_chunks": pipeline.interleaved_chunks,
         "interleaved_blocks": pipeline.interleaved_blocks,
         "media_stats": pipeline.media_stats,
+        "media_reuse": pipeline.media_reuse,
         # PII scrubbing (deterministic injected patterns, native regexp)
         "pii_scrub": pipeline.pii_scrub,
         # scorer reliability table (per-decile precision vs gold)
@@ -361,6 +362,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": oc.q_semantic_dedup(),
         "media_features": oc.q_media_features(),
         "media_stats": oc.q_media_stats(),
+        "media_reuse": oc.q_media_reuse(),
         "events_windowed": oc.q_events_windowed(),
         "events_sessionized": oc.q_events_sessionized(),
         "events_asof": oc.q_events_asof(),

@@ -220,6 +220,44 @@ def media_stats(interleaved: DataFrame) -> DataFrame:
     )
 
 
+def media_reuse(interleaved: DataFrame) -> DataFrame:
+    """Cross-document media deduplication by CONTENT fingerprint:
+    (content_fp, n_copies, n_docs, canonical_ref, bytes_saved) — the
+    storage-dedup pass a multimodal corpus runs before training (the
+    same image embedded by thousands of pages should be fetched,
+    decoded, and stored once).
+
+    Scale shape: the payload never shuffles. The rolling polynomial
+    fingerprint folds the payload bytes to one 8-byte key inside the
+    scan stage (map-side, whole-stage codegen), so the single groupBy
+    exchanges only (fp, doc_id, ref) rows — at petabyte media scale the
+    shuffle is ~30 bytes per media span, not the payloads. Map-side
+    combine applies to the count; canonical pick is min(media_ref)
+    (deterministic). ``bytes_saved = (n_copies - 1) * n_bytes`` is the
+    integer-exact storage-win accounting.
+
+    On this corpus payloads depend on doc_id mod 256 (byte[j] =
+    (doc_id*31 + j*17) mod 256), so genuine cross-doc reuse exists at
+    every SF and the oracle replays the fingerprint byte-for-byte.
+    """
+    media = media_table(interleaved)
+    fp = F.aggregate(
+        F.col("payload_bytes"),
+        F.lit(0).cast("long"),
+        lambda acc, b: (
+            acc * F.lit(config.FINGERPRINT_BASE) + b.cast("long")
+        ) % F.lit(config.HASH_P),
+    )
+    per_ref = media.select("doc_id", "media_ref", fp.alias("content_fp"))
+    n = F.count(F.lit(1))
+    return per_ref.groupBy("content_fp").agg(
+        n.cast("long").alias("n_copies"),
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.min("media_ref").alias("canonical_ref"),
+        ((n - 1) * F.lit(config.MEDIA_N_BYTES)).cast("long").alias("bytes_saved"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Interleaved-sequence operators (round 4): caption pairing, ref integrity,
 # media-atomic chunking, and media evidence for extracted triples.

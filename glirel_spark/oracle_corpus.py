@@ -1050,6 +1050,38 @@ SELECT doc_id, media_ref, n_bytes, byte_sum,
 FROM feat"""
 
 
+def q_media_reuse() -> str:
+    """Content-fingerprint media dedup twin: DuckDB re-synthesizes each
+    payload from the deterministic byte rule and folds the same rolling
+    polynomial hash (base FINGERPRINT_BASE mod HASH_P, seed 0) that the
+    Spark operator computes with F.aggregate over payload_bytes."""
+    n = c.MEDIA_N_BYTES
+    b, p = c.FINGERPRINT_BASE, c.HASH_P
+    return f"""
+WITH chunks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, doc_id AS did,
+         unnest(range(CAST(ceil(len(string_split(text, ' ')) / 12.0) AS BIGINT))) AS i
+  FROM documents
+),
+media AS (
+  SELECT doc_id, did, i FROM chunks WHERE (did * 7 + i) % 5 = 0
+),
+fps AS (
+  SELECT doc_id,
+         'media://' || doc_id || '/' || CAST(i AS VARCHAR) AS media_ref,
+         CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+            list_transform(range({n}), j -> (did * 31 + j * 17) % 256)),
+            (a, x) -> (a * {b} + x) % {p}) AS BIGINT) AS content_fp
+  FROM media
+)
+SELECT content_fp,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       min(media_ref) AS canonical_ref,
+       CAST((count(*) - 1) * {n} AS BIGINT) AS bytes_saved
+FROM fps GROUP BY content_fp"""
+
+
 def q_media_stats() -> str:
     """Interleave accounting twin: DuckDB re-derives span counts from
     the chunking rule (12-token text chunks; a media span follows chunk

@@ -564,6 +564,12 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.operators import multimodal
+
+    return multimodal.media_reuse(interleaved(spark, sf_dir))
+
+
 def caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import multimodal
 

@@ -153,3 +153,49 @@ def test_decode_media_real_path_decodes_png(spark):
     r = mm.decode_media(df).collect()[0]
     assert r.decode_ok and (r.width, r.height) == (2, 2) and r.mode == "L"
     assert r.mean_luma == 15.0  # rows of 10s and 20s
+
+
+def test_media_reuse_fingerprint_law(spark):
+    """media_reuse: identical payloads cluster; payloads here depend only
+    on doc_id mod 256, so two docs in the same residue class must land
+    in the same fingerprint cluster and n_copies counts every media span
+    of every doc in the class."""
+    from glirel_spark.operators import multimodal as mm
+    from glirel_spark.sources.tables import interleaved_documents
+
+    inter = interleaved_documents(_flat(spark))
+    reuse = mm.media_reuse(inter)
+    rows = {r.content_fp: r for r in reuse.collect()}
+
+    media = mm.media_table(inter).select("doc_id", "media_ref").collect()
+    # ground truth: cluster key = doc_id mod 256 (payload law)
+    by_class: dict[int, list] = {}
+    for r in media:
+        by_class.setdefault(int(r.doc_id) % 256, []).append(r)
+    # every fingerprint cluster must be exactly one residue class
+    assert len(rows) == len(by_class)
+    sizes = sorted(len(v) for v in by_class.values())
+    assert sorted(r.n_copies for r in rows.values()) == sizes
+    # real cross-doc reuse exists at sf0.001 (500 docs over 256 classes)
+    assert any(r.n_docs > 1 for r in rows.values())
+    # canonical ref is the lexicographic min of the class's refs
+    mins = sorted(min(x.media_ref for x in v) for v in by_class.values())
+    assert sorted(r.canonical_ref for r in rows.values()) == mins
+    # integer-exact storage accounting
+    for r in rows.values():
+        assert r.bytes_saved == (r.n_copies - 1) * 64
+
+
+def test_media_reuse_single_shuffle_plan(spark):
+    """The payload must never shuffle: exactly one exchange (the fp
+    groupBy), and the aggregate has a map-side partial."""
+    from glirel_spark.operators import multimodal as mm
+    from glirel_spark.sources.tables import interleaved_documents
+
+    plan = mm.media_reuse(
+        interleaved_documents(_flat(spark))
+    )._jdf.queryExecution().executedPlan().toString()
+    # countDistinct rewrites to a two-level agg: 2 exchanges max, and
+    # none of them may carry the payload column
+    assert plan.lower().count("exchange") <= 2
+    assert "payload_bytes" not in plan.split("Exchange", 1)[-1]
