@@ -143,6 +143,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_relations": pipeline.cluster_relations,
         "eval_counts": pipeline.eval_counts,
         "refeval_counts": pipeline.refeval_counts,
+        # reference's own Re-DocRED evaluation data through the engine
+        "docred_mentions": pipeline.docred_mentions,
+        "docred_gold": pipeline.docred_gold,
         # KG schema induction / completion / serving
         "two_hop_paths": pipeline.two_hop_paths,
         "entity_neighbor_sim": pipeline.entity_neighbor_sim,
@@ -258,6 +261,8 @@ def oracle_sql() -> dict[str, str]:
         # SQL recomputation of A1-A3 from those counts (oracle.py)
         "refeval_counts": oracle.q_refeval_counts(),
         "refeval_metrics": oracle.q_refeval_metrics(),
+        "docred_mentions": oracle.q_docred_mentions(),
+        "docred_gold": oracle.q_docred_gold(),
         "linked_triples": oracle.q_linked_triples(),
         "link_candidates": oc.q_link_candidates(),
         "linked_triples_fuzzy": oc.q_linked_triples_fuzzy(),

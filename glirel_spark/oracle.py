@@ -891,6 +891,70 @@ def q_refeval_metrics() -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# Re-DocRED ingestion twins: DuckDB re-reads the reference repo's own
+# evaluation data files (JSON arrays) and independently re-derives the
+# mention/gold-triple relations the Spark source produces — a genuine
+# cross-engine check on real reference data, no goldens involved.
+# --------------------------------------------------------------------------
+
+_DOCRED_DEV = "/root/reference/data/re-docred/data/dev_revised.json"
+_WIKIDATA_PROPS = "/root/reference/data/all_wikidata_properties.json"
+_DOCRED_READ = (
+    f"read_json('{_DOCRED_DEV}', maximum_object_size=104857600)"
+)
+
+
+def q_docred_mentions() -> str:
+    return f"""
+WITH docs AS (
+  SELECT title, sents, vertexSet FROM {_DOCRED_READ}
+),
+ent AS (
+  SELECT title AS doc_title, sents,
+         generate_subscripts(vertexSet, 1) - 1 AS entity_id,
+         unnest(vertexSet) AS ms
+  FROM docs
+),
+men AS (
+  SELECT doc_title, sents, CAST(entity_id AS BIGINT) AS entity_id,
+         CAST(generate_subscripts(ms, 1) - 1 AS BIGINT) AS mention_idx,
+         unnest(ms) AS m
+  FROM ent
+)
+SELECT doc_title, entity_id, mention_idx, m.type AS type, m.name AS name,
+       m.sent_id AS sent_id,
+       CAST(list_reduce(list_prepend(0,
+              list_transform(sents[1:m.sent_id], s -> len(s))),
+            (a,b) -> a + b) + m.pos[1] AS BIGINT) AS start_tok,
+       CAST(list_reduce(list_prepend(0,
+              list_transform(sents[1:m.sent_id], s -> len(s))),
+            (a,b) -> a + b) + m.pos[2] AS BIGINT) AS end_tok
+FROM men"""
+
+
+def q_docred_gold() -> str:
+    return f"""
+WITH docs AS (
+  SELECT title, vertexSet, labels FROM {_DOCRED_READ}
+),
+props AS (
+  SELECT regexp_extract(property, 'P[0-9]+$') AS pid,
+         propertyLabel AS pred_label
+  FROM read_json('{_WIKIDATA_PROPS}')
+),
+lab AS (
+  SELECT title, vertexSet, unnest(labels) AS l FROM docs
+)
+SELECT title AS doc_title,
+       vertexSet[l.h + 1][1].name AS h_name,
+       l.r AS pid,
+       p.pred_label,
+       vertexSet[l.t + 1][1].name AS t_name,
+       CAST(len(l.evidence) AS BIGINT) AS n_evidence
+FROM lab LEFT JOIN props p ON p.pid = l.r"""
+
+
 CTE_GM = """
 gm AS (
   SELECT subj, pred, obj, CAST(count(*) AS BIGINT) AS n_mentions

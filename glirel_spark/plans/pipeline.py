@@ -564,6 +564,23 @@ def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docred_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference's own Re-DocRED dev split -> flattened mention table
+    (global token positions). sf_dir unused: the input is the
+    reference repo's committed evaluation data file."""
+    from glirel_spark.sources import docred
+
+    return docred.docred_mentions(docred.read_docred(spark))
+
+
+def docred_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.sources import docred
+
+    return docred.docred_gold_triples(
+        docred.read_docred(spark), docred.read_wikidata_properties(spark)
+    )
+
+
 def media_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import multimodal
 
