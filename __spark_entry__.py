@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # reference's own Re-DocRED evaluation data through the engine
         "docred_mentions": pipeline.docred_mentions,
         "docred_gold": pipeline.docred_gold,
+        "docred_pairs": pipeline.docred_pairs,
         # KG schema induction / completion / serving
         "two_hop_paths": pipeline.two_hop_paths,
         "entity_neighbor_sim": pipeline.entity_neighbor_sim,
@@ -263,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
         "refeval_metrics": oracle.q_refeval_metrics(),
         "docred_mentions": oracle.q_docred_mentions(),
         "docred_gold": oracle.q_docred_gold(),
+        "docred_pairs": oracle.q_docred_pairs(),
         "linked_triples": oracle.q_linked_triples(),
         "link_candidates": oc.q_link_candidates(),
         "linked_triples_fuzzy": oc.q_linked_triples_fuzzy(),

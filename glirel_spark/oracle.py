@@ -933,6 +933,39 @@ SELECT doc_title, entity_id, mention_idx, m.type AS type, m.name AS name,
 FROM men"""
 
 
+def q_docred_pairs() -> str:
+    return f"""
+WITH docs AS (
+  SELECT title, vertexSet, labels FROM {_DOCRED_READ}
+),
+ent AS (
+  SELECT title, generate_subscripts(vertexSet, 1) - 1 AS eid,
+         unnest(vertexSet) AS ms
+  FROM docs
+),
+e AS (
+  SELECT title, CAST(eid AS BIGINT) AS eid,
+         ms[1].type AS type, ms[1].name AS name
+  FROM ent
+),
+lab AS (
+  SELECT title, l.h AS h, l.t AS t, l.r AS pid
+  FROM (SELECT title, unnest(labels) AS l FROM docs)
+),
+g AS (
+  SELECT title, h, t, list_sort(list(pid)) AS rs,
+         CAST(count(*) AS BIGINT) AS n_gold
+  FROM lab GROUP BY title, h, t
+)
+SELECT a.title AS doc_title, a.eid AS h_id, b.eid AS t_id,
+       a.type AS h_type, b.type AS t_type,
+       a.name AS h_name, b.name AS t_name,
+       coalesce(array_to_string(g.rs, '|'), '') AS gold_pids,
+       coalesce(g.n_gold, 0) AS n_gold
+FROM e a JOIN e b ON a.title = b.title AND a.eid <> b.eid
+LEFT JOIN g ON g.title = a.title AND g.h = a.eid AND g.t = b.eid"""
+
+
 def q_docred_gold() -> str:
     return f"""
 WITH docs AS (

@@ -573,6 +573,12 @@ def docred_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docred.docred_mentions(docred.read_docred(spark))
 
 
+def docred_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.sources import docred
+
+    return docred.docred_pairs(docred.read_docred(spark))
+
+
 def docred_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.sources import docred
 

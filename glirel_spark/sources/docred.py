@@ -103,6 +103,83 @@ def docred_mentions(docs: DataFrame) -> DataFrame:
     )
 
 
+def docred_entities(docs: DataFrame) -> DataFrame:
+    """(doc_title, entity_id, type, name): one row per vertexSet entry,
+    typed and named by its FIRST mention (the reference's convention).
+    Names resolve in-row before any explode output leaves the stage."""
+    ents = docs.select(
+        F.col("title").alias("doc_title"),
+        F.posexplode("vertexSet").alias("entity_id", "ms"),
+    )
+    first = F.element_at("ms", 1)
+    return ents.select(
+        "doc_title",
+        F.col("entity_id").cast("long").alias("entity_id"),
+        first["type"].alias("type"),
+        first["name"].alias("name"),
+    )
+
+
+def docred_pairs(docs: DataFrame) -> DataFrame:
+    """The relation-classification INPUT table the reference's data
+    loader constructs over this file: every ordered entity pair per
+    document (h != t), labeled with its gold relation set ('' = NOTA —
+    the no-relation class; multi-label pairs keep ALL pids, sorted and
+    '|'-joined so the row stays one pair). This is J1 pair generation +
+    J2 gold labeling + SO1's positive/NOTA split signal on the
+    reference's own evaluation data.
+
+    Scale shape: one co-partitioned self-join on doc_title (the
+    canonical pair-gen shuffle — both sides hash on the same key) over
+    the slim (id, type, name) entity projection; gold labels aggregate
+    to one row per (doc, h, t) before a same-key left join, so no row
+    multiplication from multi-label pairs."""
+    e = docred_entities(docs)
+    lab = docs.select(
+        F.col("title").alias("doc_title"), F.explode("labels").alias("l")
+    ).select(
+        "doc_title",
+        F.col("l.h").alias("h"),
+        F.col("l.t").alias("t"),
+        F.col("l.r").alias("pid"),
+    )
+    gold = lab.groupBy("doc_title", "h", "t").agg(
+        F.array_join(F.array_sort(F.collect_list("pid")), "|").alias("gold_pids"),
+        F.count(F.lit(1)).cast("long").alias("n_gold"),
+    )
+    h = e.select(
+        "doc_title",
+        F.col("entity_id").alias("h_id"),
+        F.col("type").alias("h_type"),
+        F.col("name").alias("h_name"),
+    )
+    t = e.select(
+        "doc_title",
+        F.col("entity_id").alias("t_id"),
+        F.col("type").alias("t_type"),
+        F.col("name").alias("t_name"),
+    )
+    pairs = h.join(t, "doc_title").filter(F.col("h_id") != F.col("t_id"))
+    out = pairs.join(
+        gold,
+        (pairs.doc_title == gold.doc_title)
+        & (pairs.h_id == gold.h)
+        & (pairs.t_id == gold.t),
+        "left",
+    )
+    return out.select(
+        pairs.doc_title,
+        "h_id",
+        "t_id",
+        "h_type",
+        "t_type",
+        "h_name",
+        "t_name",
+        F.coalesce("gold_pids", F.lit("")).alias("gold_pids"),
+        F.coalesce("n_gold", F.lit(0).cast("long")).alias("n_gold"),
+    )
+
+
 def docred_gold_triples(docs: DataFrame, properties: DataFrame) -> DataFrame:
     """Gold triples with resolved surface forms + predicate labels:
     (doc_title, h_name, pid, pred_label, t_name, n_evidence).

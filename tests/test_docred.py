@@ -72,3 +72,31 @@ def test_docred_plan_shapes(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in gold_plan
     assert gold_plan.count("BroadcastExchange") == 1
+
+
+def test_docred_pairs_laws(spark):
+    """Pair-generation law: per doc exactly n_e*(n_e-1) ordered pairs;
+    gold labels land on their pair (multi-label joined sorted by '|');
+    everything else is NOTA ('')."""
+    docs = docred.read_docred(spark)
+    pairs = docred.docred_pairs(docs)
+
+    counts = pairs.groupBy("doc_title").count()
+    ents = docred.docred_entities(docs).groupBy("doc_title").count() \
+        .withColumnRenamed("count", "n_e")
+    bad = counts.join(ents, "doc_title").filter(
+        F.col("count") != F.col("n_e") * (F.col("n_e") - 1)
+    )
+    assert bad.count() == 0
+
+    # the gold-labeled subset reproduces the gold triple multiset
+    n_gold_pairs = pairs.filter(F.col("gold_pids") != "").count()
+    total_gold = pairs.agg(F.sum("n_gold")).collect()[0][0]
+    assert total_gold == 17284           # every gold label lands once
+    assert n_gold_pairs < total_gold     # multi-label pairs exist
+    multi = pairs.filter(F.col("n_gold") > 1).limit(1).collect()
+    assert "|" in multi[0].gold_pids
+
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
