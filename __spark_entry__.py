@@ -113,7 +113,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_gopher_rules": pipeline.doc_gopher_rules,
         # BPE tokenizer train + apply
         "bpe_merges": pipeline.bpe_merges,
-        "bpe_token_counts": pipeline.bpe_token_counts,
+        # reference's own Re-DocRED data through the engine (gate prefix
+        # representative of the docred family)
+        "docred_gold": pipeline.docred_gold,
         # retrieval: inverted index + BM25
         "inverted_index": pipeline.inverted_index,
         "bm25_topk": pipeline.bm25_topk,
@@ -143,10 +145,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_relations": pipeline.cluster_relations,
         "eval_counts": pipeline.eval_counts,
         "refeval_counts": pipeline.refeval_counts,
-        # reference's own Re-DocRED evaluation data through the engine
+        # rest of the Re-DocRED family (docred_gold sits in the gate prefix)
         "docred_mentions": pipeline.docred_mentions,
-        "docred_gold": pipeline.docred_gold,
         "docred_pairs": pipeline.docred_pairs,
+        "docred_eval": pipeline.docred_eval,
+        "bpe_token_counts": pipeline.bpe_token_counts,
         # KG schema induction / completion / serving
         "two_hop_paths": pipeline.two_hop_paths,
         "entity_neighbor_sim": pipeline.entity_neighbor_sim,
@@ -265,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         "docred_mentions": oracle.q_docred_mentions(),
         "docred_gold": oracle.q_docred_gold(),
         "docred_pairs": oracle.q_docred_pairs(),
+        "docred_eval": oracle.q_docred_type_prior_eval(),
         "linked_triples": oracle.q_linked_triples(),
         "link_candidates": oc.q_link_candidates(),
         "linked_triples_fuzzy": oc.q_linked_triples_fuzzy(),

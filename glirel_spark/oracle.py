@@ -966,6 +966,64 @@ FROM e a JOIN e b ON a.title = b.title AND a.eid <> b.eid
 LEFT JOIN g ON g.title = a.title AND g.h = a.eid AND g.t = b.eid"""
 
 
+def q_docred_type_prior_eval() -> str:
+    return f"""
+WITH docs AS (
+  SELECT title, vertexSet, labels FROM {_DOCRED_READ}
+),
+ent AS (
+  SELECT title, generate_subscripts(vertexSet, 1) - 1 AS eid,
+         unnest(vertexSet) AS ms
+  FROM docs
+),
+e AS (
+  SELECT title, CAST(eid AS BIGINT) AS eid, ms[1].type AS type FROM ent
+),
+lab AS (
+  SELECT title, l.h AS h, l.t AS t, l.r AS pid
+  FROM (SELECT title, unnest(labels) AS l FROM docs)
+),
+typed AS (
+  SELECT lab.title, lab.h, lab.t, lab.pid,
+         eh.type AS h_type, et.type AS t_type
+  FROM lab
+  JOIN e eh ON eh.title = lab.title AND eh.eid = lab.h
+  JOIN e et ON et.title = lab.title AND et.eid = lab.t
+),
+by_sig AS (
+  SELECT h_type, t_type, pid, count(*) AS cnt
+  FROM typed GROUP BY h_type, t_type, pid
+),
+ranked AS (
+  SELECT h_type, t_type, pid AS pred_pid,
+         row_number() OVER (PARTITION BY h_type, t_type
+                            ORDER BY cnt DESC, pid ASC) AS rk
+  FROM by_sig
+),
+prior AS (SELECT h_type, t_type, pred_pid FROM ranked WHERE rk = 1),
+annotated AS (
+  SELECT title, h, t, h_type, t_type, list(pid) AS gold
+  FROM typed GROUP BY title, h, t, h_type, t_type
+),
+pred AS (
+  SELECT a.gold, p.pred_pid
+  FROM annotated a JOIN prior p
+    ON p.h_type = a.h_type AND p.t_type = a.t_type
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS pred_n,
+         CAST(sum(len(gold)) AS BIGINT) AS true_n,
+         CAST(sum(CASE WHEN list_contains(gold, pred_pid)
+                       THEN 1 ELSE 0 END) AS BIGINT) AS tp
+  FROM pred
+)
+SELECT pred_n, true_n, tp,
+       CAST(tp AS DOUBLE) / CAST(pred_n AS DOUBLE) AS precision_micro,
+       CAST(tp AS DOUBLE) / CAST(true_n AS DOUBLE) AS recall_micro,
+       CAST(2 * tp AS DOUBLE) / CAST(pred_n + true_n AS DOUBLE) AS f1_micro
+FROM agg"""
+
+
 def q_docred_gold() -> str:
     return f"""
 WITH docs AS (

@@ -587,6 +587,12 @@ def docred_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def docred_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.sources import docred
+
+    return docred.docred_type_prior_eval(docred.read_docred(spark))
+
+
 def media_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import multimodal
 

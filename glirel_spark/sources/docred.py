@@ -180,6 +180,68 @@ def docred_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+def docred_type_prior_eval(docs: DataFrame) -> DataFrame:
+    """The reference's evaluation protocol (J2 gold labeling, J5
+    annotated-pairs-only filter, J4 TP matching, A1 micro metrics)
+    replayed END-TO-END on its own Re-DocRED dev data, scored with a
+    deterministic type-prior baseline: predict, for each annotated
+    pair, the modal gold pid of its (h_type, t_type) signature (ties
+    broken by min pid). One row out: (pred_n, true_n, tp,
+    precision_micro, recall_micro, f1_micro) — micro-F1 computed as
+    2*tp/(pred_n+true_n), a single exactly-rounded division so the
+    DuckDB twin is bit-identical.
+
+    This is the in-sandbox stand-in for the real-checkpoint agreement
+    measurement (BASELINE.json P/R target): the entire protocol plane
+    runs on real reference data; only the scorer is the baseline.
+
+    Scale shape: two co-partitioned (doc_title, entity_id) joins to
+    type the gold pairs, one small groupBy for the prior (|type
+    signatures| x |pids| rows), a broadcast join to predict, one
+    final single-row aggregate."""
+    e = docred_entities(docs)
+    lab = docs.select(
+        F.col("title").alias("doc_title"), F.explode("labels").alias("l")
+    ).select(
+        "doc_title",
+        F.col("l.h").alias("h"),
+        F.col("l.t").alias("t"),
+        F.col("l.r").alias("pid"),
+    )
+    h = e.select("doc_title", F.col("entity_id").alias("h"),
+                 F.col("type").alias("h_type"))
+    t = e.select("doc_title", F.col("entity_id").alias("t"),
+                 F.col("type").alias("t_type"))
+    typed = lab.join(h, ["doc_title", "h"]).join(t, ["doc_title", "t"])
+
+    by_sig = typed.groupBy("h_type", "t_type", "pid").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    prior = by_sig.groupBy("h_type", "t_type").agg(
+        F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("pid")))["pid"]
+        .alias("pred_pid")
+    )
+
+    annotated = typed.groupBy("doc_title", "h", "t", "h_type", "t_type").agg(
+        F.collect_list("pid").alias("gold")
+    )
+    pred = annotated.join(broadcast(prior), ["h_type", "t_type"])
+    agg = pred.agg(
+        F.count(F.lit(1)).cast("long").alias("pred_n"),
+        F.sum(F.size("gold")).cast("long").alias("true_n"),
+        F.sum(
+            F.when(F.array_contains("gold", F.col("pred_pid")), 1).otherwise(0)
+        ).cast("long").alias("tp"),
+    )
+    tp, pn, tn = F.col("tp"), F.col("pred_n"), F.col("true_n")
+    return agg.select(
+        "pred_n", "true_n", "tp",
+        (tp.cast("double") / pn.cast("double")).alias("precision_micro"),
+        (tp.cast("double") / tn.cast("double")).alias("recall_micro"),
+        ((2 * tp).cast("double") / (pn + tn).cast("double")).alias("f1_micro"),
+    )
+
+
 def docred_gold_triples(docs: DataFrame, properties: DataFrame) -> DataFrame:
     """Gold triples with resolved surface forms + predicate labels:
     (doc_title, h_name, pid, pred_label, t_name, n_evidence).

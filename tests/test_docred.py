@@ -100,3 +100,18 @@ def test_docred_pairs_laws(spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_docred_type_prior_eval_protocol(spark):
+    """Protocol invariants on the one-row eval: pred_n = distinct
+    annotated pairs, true_n = total gold labels, metrics are the exact
+    single-division micro forms. Values pinned: the input file is
+    fixed reference data."""
+    docs = docred.read_docred(spark)
+    r = docred.docred_type_prior_eval(docs).collect()[0]
+    assert (r.pred_n, r.true_n, r.tp) == (13362, 17284, 7191)
+    assert r.precision_micro == r.tp / r.pred_n
+    assert r.recall_micro == r.tp / r.true_n
+    assert r.f1_micro == 2 * r.tp / (r.pred_n + r.true_n)
+    # the type prior is a real signal: far above the ~0.03 random-pid rate
+    assert r.f1_micro > 0.4
