@@ -966,6 +966,39 @@ FROM e a JOIN e b ON a.title = b.title AND a.eid <> b.eid
 LEFT JOIN g ON g.title = a.title AND g.h = a.eid AND g.t = b.eid"""
 
 
+def q_docred_distant_mentions() -> str:
+    return f"""
+WITH docs AS (
+  SELECT title AS doc_title, flatten(sents) AS toks, vertexSet
+  FROM {_DOCRED_READ}
+),
+men AS (
+  SELECT unnest(flatten(vertexSet)) AS m FROM {_DOCRED_READ}
+),
+gaz AS (
+  SELECT m.name AS surface,
+         CAST(len(string_split(m.name, ' ')) AS BIGINT) AS n,
+         array_to_string(list_sort(list(DISTINCT m.type)), '|') AS types
+  FROM men GROUP BY m.name
+),
+lens AS (SELECT DISTINCT n FROM gaz),
+cand AS (
+  SELECT doc_title, n,
+         CAST(unnest(range(greatest(len(toks) - n + 1, 0))) AS BIGINT)
+           AS start_tok,
+         toks
+  FROM docs CROSS JOIN lens
+),
+surf AS (
+  SELECT doc_title, n, start_tok,
+         array_to_string(toks[start_tok + 1 : start_tok + n], ' ') AS surface
+  FROM cand
+)
+SELECT s.doc_title, s.start_tok, s.start_tok + s.n AS end_tok,
+       s.surface, g.types
+FROM surf s JOIN gaz g ON g.surface = s.surface AND g.n = s.n"""
+
+
 def q_docred_type_prior_eval() -> str:
     return f"""
 WITH docs AS (

@@ -180,6 +180,70 @@ def docred_pairs(docs: DataFrame) -> DataFrame:
     )
 
 
+def docred_gazetteer(docs: DataFrame) -> DataFrame:
+    """(surface, n, types): the distinct mention names of the corpus as
+    a matching dimension — name token count and the sorted '|'-joined
+    set of entity types the name occurs with. 8k rows on the dev
+    split: a classic broadcast dimension."""
+    men = docs.select(F.explode(F.flatten("vertexSet")).alias("m"))
+    return (
+        men.groupBy(F.col("m.name").alias("surface"))
+        .agg(
+            F.array_join(F.array_sort(F.collect_set("m.type")), "|").alias("types")
+        )
+        .withColumn("n", F.size(F.split("surface", " ")).cast("long"))
+    )
+
+
+def docred_distant_mentions(docs: DataFrame) -> DataFrame:
+    """Distant-supervision mention DETECTION over the real text: every
+    occurrence of any corpus entity name in any document —
+    (doc_title, start_tok, end_tok, surface, types), end-exclusive
+    global token positions. This is the stage the engine's synthetic
+    gazetteer mentions stand in for, run on the reference's own
+    documents with a corpus-derived variable-length gazetteer (name
+    lengths 1..14 on the dev split), and it surfaces the cross-document
+    matches (a name annotated in doc A found verbatim in doc B) that
+    distant supervision mines for training pairs.
+
+    Scale shape: candidates are n-grams generated row-locally for each
+    DISTINCT gazetteer length (a 13-row broadcast), then one equi-join
+    against the broadcast name dimension — no shuffle of the corpus at
+    all. The candidate blow-up factor is |distinct lengths|; a
+    production run caps the gazetteer length (or prefix-hashes long
+    names) to bound it."""
+    gaz = docred_gazetteer(docs)
+    lens = gaz.select("n").distinct()
+    toks_df = docs.select(
+        F.col("title").alias("doc_title"), F.flatten("sents").alias("toks")
+    )
+    with_n = toks_df.join(broadcast(lens))
+    size, n = F.size("toks").cast("long"), F.col("n")
+    starts = F.when(
+        size >= n, F.sequence(F.lit(0).cast("long"), size - n)
+    ).otherwise(F.array().cast("array<long>"))
+    cand = with_n.select(
+        "doc_title",
+        "n",
+        "toks",
+        F.explode(starts).alias("start_tok"),
+    ).select(
+        "doc_title",
+        "n",
+        "start_tok",
+        F.array_join(
+            F.slice("toks", F.col("start_tok").cast("int") + 1, n.cast("int")), " "
+        ).alias("surface"),
+    )
+    return cand.join(broadcast(gaz), ["surface", "n"]).select(
+        "doc_title",
+        "start_tok",
+        (F.col("start_tok") + F.col("n")).alias("end_tok"),
+        "surface",
+        "types",
+    )
+
+
 def docred_type_prior_eval(docs: DataFrame) -> DataFrame:
     """The reference's evaluation protocol (J2 gold labeling, J5
     annotated-pairs-only filter, J4 TP matching, A1 micro metrics)

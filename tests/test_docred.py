@@ -115,3 +115,32 @@ def test_docred_type_prior_eval_protocol(spark):
     assert r.f1_micro == 2 * r.tp / (r.pred_n + r.true_n)
     # the type prior is a real signal: far above the ~0.03 random-pid rate
     assert r.f1_micro > 0.4
+
+
+def test_docred_distant_mentions_recall_and_discovery(spark):
+    """Distant matching must (a) recover nearly all gold mentions whose
+    name is a verbatim token slice (~96% of gold), and (b) discover
+    matches beyond the gold annotation (cross-document occurrences —
+    the distant-supervision signal)."""
+    docs = docred.read_docred(spark)
+    distant = docred.docred_distant_mentions(docs) \
+        .select("doc_title", "start_tok", "end_tok").distinct()
+    gold = docred.docred_mentions(docs) \
+        .select("doc_title", "start_tok", "end_tok", "name")
+
+    hit = gold.join(distant, ["doc_title", "start_tok", "end_tok"], "left_semi")
+    n_gold, n_hit = gold.count(), hit.count()
+    assert n_gold == 13189
+    assert n_hit / n_gold > 0.9
+    # discovery: strictly more matches than gold positions
+    assert distant.count() > gold.select(
+        "doc_title", "start_tok", "end_tok").distinct().count()
+
+    # the corpus never shuffles: exchanges exist only to build the
+    # broadcast gazetteer dimension (no `toks` downstream of one)
+    plan = docred.docred_distant_mentions(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    for seg in plan.split("Exchange hashpartitioning")[1:]:
+        head = seg.split("\n", 3)
+        assert "toks" not in head[0]
