@@ -150,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docred_pairs": pipeline.docred_pairs,
         "docred_eval": pipeline.docred_eval,
         "docred_distant_mentions": pipeline.docred_distant_mentions,
+        "docred_distant_triples": pipeline.docred_distant_triples,
         "bpe_token_counts": pipeline.bpe_token_counts,
         # KG schema induction / completion / serving
         "two_hop_paths": pipeline.two_hop_paths,
@@ -271,6 +272,7 @@ def oracle_sql() -> dict[str, str]:
         "docred_pairs": oracle.q_docred_pairs(),
         "docred_eval": oracle.q_docred_type_prior_eval(),
         "docred_distant_mentions": oracle.q_docred_distant_mentions(),
+        "docred_distant_triples": oracle.q_docred_distant_triples(),
         "linked_triples": oracle.q_linked_triples(),
         "link_candidates": oc.q_link_candidates(),
         "linked_triples_fuzzy": oc.q_linked_triples_fuzzy(),

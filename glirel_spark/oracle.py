@@ -999,6 +999,64 @@ SELECT s.doc_title, s.start_tok, s.start_tok + s.n AS end_tok,
 FROM surf s JOIN gaz g ON g.surface = s.surface AND g.n = s.n"""
 
 
+def q_docred_distant_triples() -> str:
+    return f"""
+WITH docs AS (
+  SELECT title, flatten(sents) AS toks, vertexSet, labels
+  FROM {_DOCRED_READ}
+),
+men AS (SELECT unnest(flatten(vertexSet)) AS m FROM docs),
+gaz AS (
+  SELECT m.name AS surface,
+         CAST(len(string_split(m.name, ' ')) AS BIGINT) AS n
+  FROM men GROUP BY m.name
+),
+lens AS (SELECT DISTINCT n FROM gaz),
+cand AS (
+  SELECT title AS doc_title, n,
+         CAST(unnest(range(greatest(len(toks) - n + 1, 0))) AS BIGINT)
+           AS start_tok,
+         toks
+  FROM docs CROSS JOIN lens
+),
+surf AS (
+  SELECT doc_title, n, start_tok,
+         array_to_string(toks[start_tok + 1 : start_tok + n], ' ') AS surface
+  FROM cand
+),
+dm AS (
+  SELECT DISTINCT s.doc_title, s.surface
+  FROM surf s JOIN gaz g ON g.surface = s.surface AND g.n = s.n
+),
+pairs AS (
+  SELECT a.doc_title, a.surface AS h_name, b.surface AS t_name
+  FROM dm a JOIN dm b
+    ON a.doc_title = b.doc_title AND a.surface <> b.surface
+),
+lab AS (
+  SELECT title AS gold_doc,
+         vertexSet[l.h + 1][1].name AS h_name,
+         l.r AS pid,
+         vertexSet[l.t + 1][1].name AS t_name
+  FROM (SELECT title, vertexSet, unnest(labels) AS l FROM docs)
+),
+gold AS (
+  SELECT h_name, pid, t_name, list(DISTINCT gold_doc) AS gold_docs
+  FROM lab WHERE h_name <> t_name GROUP BY h_name, pid, t_name
+),
+sup AS (
+  SELECT p.h_name, g.pid, p.t_name, p.doc_title,
+         NOT list_contains(g.gold_docs, p.doc_title) AS is_new
+  FROM pairs p JOIN gold g
+    ON g.h_name = p.h_name AND g.t_name = p.t_name
+)
+SELECT h_name, pid, t_name,
+       CAST(count(DISTINCT doc_title) AS BIGINT) AS n_support_docs,
+       CAST(count(DISTINCT CASE WHEN is_new THEN doc_title END) AS BIGINT)
+         AS n_new_docs
+FROM sup GROUP BY h_name, pid, t_name"""
+
+
 def q_docred_type_prior_eval() -> str:
     return f"""
 WITH docs AS (

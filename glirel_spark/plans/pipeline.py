@@ -599,6 +599,12 @@ def docred_distant_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docred.docred_distant_mentions(docred.read_docred(spark))
 
 
+def docred_distant_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.sources import docred
+
+    return docred.docred_distant_triples(docred.read_docred(spark))
+
+
 def media_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import multimodal
 

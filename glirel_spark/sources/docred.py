@@ -244,6 +244,67 @@ def docred_distant_mentions(docs: DataFrame) -> DataFrame:
     )
 
 
+def docred_distant_triples(docs: DataFrame) -> DataFrame:
+    """KG construction from raw text by DISTANT SUPERVISION on the
+    reference's own corpus, end to end: detect mentions in the text
+    (docred_distant_mentions), pair names co-occurring in a document,
+    and label a pair with relation r iff (h_name, r, t_name) is a gold
+    triple ANYWHERE in the corpus — the classic distant-supervision
+    assumption. Output one row per name-level triple:
+    (h_name, pid, t_name, n_support_docs, n_new_docs) where
+    n_support_docs counts documents whose text supports the triple and
+    n_new_docs counts supporting documents that are NOT among the
+    triple's own gold-annotation documents — the genuinely NEW
+    evidence distant supervision exists to find. Self-relations
+    (h_name == t_name gold triples, 7 of 17,284) are out of scope of
+    name-level pairing and excluded.
+
+    Scale shape: the mention table pairs through ONE co-partitioned
+    doc_title self-join (names only, the corpus text stays behind);
+    the gold-triple dictionary (16,826 name-level triples + their doc
+    lists) broadcasts; one final groupBy on the triple key."""
+    dm = (
+        docred_distant_mentions(docs)
+        .select("doc_title", "surface")
+        .distinct()
+    )
+    a = dm.select("doc_title", F.col("surface").alias("h_name"))
+    b = dm.select("doc_title", F.col("surface").alias("t_name"))
+    pairs = a.join(b, "doc_title").filter(F.col("h_name") != F.col("t_name"))
+
+    lab = docs.select(
+        F.col("title").alias("gold_doc"),
+        "vertexSet",
+        F.explode("labels").alias("l"),
+    )
+    h_name = F.element_at(
+        F.element_at("vertexSet", F.col("l.h").cast("int") + 1), 1
+    )["name"]
+    t_name = F.element_at(
+        F.element_at("vertexSet", F.col("l.t").cast("int") + 1), 1
+    )["name"]
+    gold = (
+        lab.select(
+            h_name.alias("h_name"),
+            F.col("l.r").alias("pid"),
+            t_name.alias("t_name"),
+            "gold_doc",
+        )
+        .filter(F.col("h_name") != F.col("t_name"))
+        .groupBy("h_name", "pid", "t_name")
+        .agg(F.collect_set("gold_doc").alias("gold_docs"))
+    )
+
+    sup = pairs.join(broadcast(gold), ["h_name", "t_name"])
+    is_new = ~F.array_contains("gold_docs", F.col("doc_title"))
+    return sup.groupBy("h_name", "pid", "t_name").agg(
+        F.countDistinct("doc_title").cast("long").alias("n_support_docs"),
+        F.countDistinct(F.when(is_new, F.col("doc_title")))
+        .cast("long")
+        .alias("n_new_docs"),
+    )
+
+
 def docred_type_prior_eval(docs: DataFrame) -> DataFrame:
     """The reference's evaluation protocol (J2 gold labeling, J5
     annotated-pairs-only filter, J4 TP matching, A1 micro metrics)

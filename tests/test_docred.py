@@ -144,3 +144,29 @@ def test_docred_distant_mentions_recall_and_discovery(spark):
     for seg in plan.split("Exchange hashpartitioning")[1:]:
         head = seg.split("\n", 3)
         assert "toks" not in head[0]
+
+
+def test_docred_distant_triples_semantics(spark):
+    """Every distant triple is a corpus gold triple whose names were
+    detected co-occurring in some document; most gold name-triples are
+    recovered, and genuinely NEW evidence documents exist."""
+    docs = docred.read_docred(spark)
+    dt = docred.docred_distant_triples(docs)
+
+    assert dt.filter(
+        (F.col("n_support_docs") < 1)
+        | (F.col("n_new_docs") > F.col("n_support_docs"))
+    ).count() == 0
+
+    props = docred.read_wikidata_properties(spark)
+    gold_keys = docred.docred_gold_triples(docs, props) \
+        .filter(F.col("h_name") != F.col("t_name")) \
+        .select("h_name", "pid", "t_name").distinct()
+    n_gold = gold_keys.count()
+    n_dt = dt.count()
+    # subset of gold by construction, and high recall of it
+    assert dt.join(gold_keys, ["h_name", "pid", "t_name"], "left_anti") \
+        .count() == 0
+    assert n_dt / n_gold > 0.9
+    # distant supervision finds evidence beyond the annotations
+    assert dt.agg(F.sum("n_new_docs")).collect()[0][0] > 0
