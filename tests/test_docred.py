@@ -170,3 +170,20 @@ def test_docred_distant_triples_semantics(spark):
     assert n_dt / n_gold > 0.9
     # distant supervision finds evidence beyond the annotations
     assert dt.agg(F.sum("n_new_docs")).collect()[0][0] > 0
+
+
+def test_docred_reader_handles_test_split(spark):
+    """The reader is split-agnostic: the test split loads with the same
+    schema and its mention positions satisfy the same in-bounds
+    invariants (guards against dev-split-specific assumptions)."""
+    docs = docred.read_docred(spark, docred.DOCRED_TEST)
+    assert docs.count() == 500
+    men = docred.docred_mentions(docs)
+    flat = docs.select(F.col("title").alias("doc_title"),
+                       F.size(F.flatten("sents")).alias("n_toks"))
+    bad = men.join(flat, "doc_title").filter(
+        (F.col("start_tok") < 0)
+        | (F.col("end_tok") <= F.col("start_tok"))
+        | (F.col("end_tok") > F.col("n_toks"))
+    )
+    assert men.count() > 10000 and bad.count() == 0
