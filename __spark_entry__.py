@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docred_mentions": pipeline.docred_mentions,
         "docred_pairs": pipeline.docred_pairs,
         "docred_eval": pipeline.docred_eval,
+        "docred_eval_xsplit": pipeline.docred_eval_xsplit,
         "docred_distant_mentions": pipeline.docred_distant_mentions,
         "docred_distant_triples": pipeline.docred_distant_triples,
         "bpe_token_counts": pipeline.bpe_token_counts,
@@ -271,6 +272,10 @@ def oracle_sql() -> dict[str, str]:
         "docred_gold": oracle.q_docred_gold(),
         "docred_pairs": oracle.q_docred_pairs(),
         "docred_eval": oracle.q_docred_type_prior_eval(),
+        "docred_eval_xsplit": oracle.q_docred_type_prior_eval(
+            eval_path="/root/reference/data/re-docred/data/test_revised.json",
+            prior_path="/root/reference/data/re-docred/data/dev_revised.json",
+        ),
         "docred_distant_mentions": oracle.q_docred_distant_mentions(),
         "docred_distant_triples": oracle.q_docred_distant_triples(),
         "linked_triples": oracle.q_linked_triples(),

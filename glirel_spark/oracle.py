@@ -1057,33 +1057,58 @@ SELECT h_name, pid, t_name,
 FROM sup GROUP BY h_name, pid, t_name"""
 
 
-def q_docred_type_prior_eval() -> str:
+_DOCRED_TEST_PATH = "/root/reference/data/re-docred/data/test_revised.json"
+
+
+def _docred_typed_sql(alias: str, path: str) -> str:
+    """CTE chain deriving the typed gold-label relation `{alias}` from
+    a DocRED-format file (suffix keeps eval/prior sources distinct)."""
+    read = f"read_json('{path}', maximum_object_size=104857600)"
     return f"""
-WITH docs AS (
-  SELECT title, vertexSet, labels FROM {_DOCRED_READ}
+docs_{alias} AS (
+  SELECT title, vertexSet, labels FROM {read}
 ),
-ent AS (
+ent_{alias} AS (
   SELECT title, generate_subscripts(vertexSet, 1) - 1 AS eid,
          unnest(vertexSet) AS ms
-  FROM docs
+  FROM docs_{alias}
 ),
-e AS (
-  SELECT title, CAST(eid AS BIGINT) AS eid, ms[1].type AS type FROM ent
+e_{alias} AS (
+  SELECT title, CAST(eid AS BIGINT) AS eid, ms[1].type AS type
+  FROM ent_{alias}
 ),
-lab AS (
+lab_{alias} AS (
   SELECT title, l.h AS h, l.t AS t, l.r AS pid
-  FROM (SELECT title, unnest(labels) AS l FROM docs)
+  FROM (SELECT title, unnest(labels) AS l FROM docs_{alias})
 ),
-typed AS (
-  SELECT lab.title, lab.h, lab.t, lab.pid,
+{alias} AS (
+  SELECT lab_{alias}.title, lab_{alias}.h, lab_{alias}.t, lab_{alias}.pid,
          eh.type AS h_type, et.type AS t_type
-  FROM lab
-  JOIN e eh ON eh.title = lab.title AND eh.eid = lab.h
-  JOIN e et ON et.title = lab.title AND et.eid = lab.t
-),
+  FROM lab_{alias}
+  JOIN e_{alias} eh ON eh.title = lab_{alias}.title
+                   AND eh.eid = lab_{alias}.h
+  JOIN e_{alias} et ON et.title = lab_{alias}.title
+                   AND et.eid = lab_{alias}.t
+)"""
+
+
+def q_docred_type_prior_eval(
+    eval_path: str = _DOCRED_DEV, prior_path: str | None = None
+) -> str:
+    """Type-prior eval twin. prior_path=None fits the prior on the eval
+    split itself (in-sample); a distinct path is the held-out form
+    (unseen type signatures predict nothing but keep their gold labels
+    in the recall denominator — LEFT join, like the Spark side)."""
+    ctes = [_docred_typed_sql("typed", eval_path).strip()]
+    if prior_path is None or prior_path == eval_path:
+        prior_src = "typed"
+    else:
+        ctes.append(_docred_typed_sql("ptyped", prior_path).strip())
+        prior_src = "ptyped"
+    body = f"""
 by_sig AS (
   SELECT h_type, t_type, pid, count(*) AS cnt
-  FROM typed GROUP BY h_type, t_type, pid
+  FROM {prior_src} GROUP BY h_type, t_type, pid
 ),
 ranked AS (
   SELECT h_type, t_type, pid AS pred_pid,
@@ -1098,11 +1123,12 @@ annotated AS (
 ),
 pred AS (
   SELECT a.gold, p.pred_pid
-  FROM annotated a JOIN prior p
+  FROM annotated a LEFT JOIN prior p
     ON p.h_type = a.h_type AND p.t_type = a.t_type
 ),
 agg AS (
-  SELECT CAST(count(*) AS BIGINT) AS pred_n,
+  SELECT CAST(sum(CASE WHEN pred_pid IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS pred_n,
          CAST(sum(len(gold)) AS BIGINT) AS true_n,
          CAST(sum(CASE WHEN list_contains(gold, pred_pid)
                        THEN 1 ELSE 0 END) AS BIGINT) AS tp
@@ -1113,6 +1139,7 @@ SELECT pred_n, true_n, tp,
        CAST(tp AS DOUBLE) / CAST(true_n AS DOUBLE) AS recall_micro,
        CAST(2 * tp AS DOUBLE) / CAST(pred_n + true_n AS DOUBLE) AS f1_micro
 FROM agg"""
+    return "WITH " + ",\n".join(ctes) + ",\n" + body.strip()
 
 
 def q_docred_gold() -> str:

@@ -593,6 +593,17 @@ def docred_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docred.docred_type_prior_eval(docred.read_docred(spark))
 
 
+def docred_eval_xsplit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out protocol replay: prior fit on the dev split, metrics on
+    the test split."""
+    from glirel_spark.sources import docred
+
+    return docred.docred_type_prior_eval(
+        docred.read_docred(spark, docred.DOCRED_TEST),
+        prior_docs=docred.read_docred(spark, docred.DOCRED_DEV),
+    )
+
+
 def docred_distant_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.sources import docred
 

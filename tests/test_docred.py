@@ -204,3 +204,16 @@ def test_vendored_decoder_on_reference_image(spark):
     r = mm.decode_media(df).collect()[0]
     assert r.decode_ok and (r.width, r.height) == (1464, 608)
     assert r.mode == "RGBA" and 0.0 < r.mean_luma < 255.0
+
+
+def test_docred_eval_xsplit_held_out(spark):
+    """Held-out protocol replay: the prior fit on dev scores the test
+    split. Values pinned (fixed reference files); the held-out F1 must
+    not collapse vs in-sample — the generalization check."""
+    dev = docred.read_docred(spark, docred.DOCRED_DEV)
+    test = docred.read_docred(spark, docred.DOCRED_TEST)
+    r = docred.docred_type_prior_eval(test, prior_docs=dev).collect()[0]
+    assert (r.pred_n, r.true_n, r.tp) == (13622, 17448, 7415)
+    assert r.f1_micro == 2 * r.tp / (r.pred_n + r.true_n)
+    r_in = docred.docred_type_prior_eval(dev).collect()[0]
+    assert abs(r.f1_micro - r_in.f1_micro) < 0.05
