@@ -157,7 +157,9 @@ def threshold_search(
         # crossJoin + distinct + two semi-joins over |pairs| x |grid|
         # rows (that chain dominated the query at ~9s warm in the
         # round-4 bench).
-        gs = sorted(grid)
+        # set(): a duplicated grid value would otherwise yield two _ti
+        # rows in th_map for the same threshold and duplicate count rows.
+        gs = sorted(set(grid))
         best = (
             scored.groupBy(*_POS)
             .agg(

@@ -412,6 +412,10 @@ def interleaved_chunks(
             (F.array_max(in_chunk(cid)) - 1).cast("int").alias("last_offset"),
         ),
     )
+    # A span whose single cost exceeds `budget` makes floor(cum/budget)
+    # skip chunk ids; drop those empty placeholder chunks so the output
+    # matches the oracle (which only emits non-empty chunks).
+    per_chunk = F.filter(per_chunk, lambda c: c["n_spans"] > 0)
     rows = d.select("doc_id", F.explode(per_chunk).alias("c"))
     return rows.select(
         "doc_id",

@@ -44,6 +44,22 @@ OUT_SCHEMA = "user_id long, step_idx long, ts timestamp"
 # per step: first-qualifying time (t{i}) and boundary-buffer candidate
 # time (b{i}) — the earliest seen step-i event at the running max event
 # time (m) that has not yet qualified; -1 = absent. All epoch ns.
+#
+# CHECKPOINT COMPATIBILITY: this schema widened in round 4 from
+# n_steps longs (t{i} only) to 2*n_steps+1 (boundary buffers + running
+# max). applyInPandasWithState state is positional: resuming a
+# checkpoint written under the v1 schema would misread state, so the
+# checkpoint dir convention is versioned — use a fresh
+# `.../funnel_state_v2` checkpoint dir (see funnel_checkpoint_dir),
+# never resume a pre-round-4 funnel checkpoint against this schema.
+STATE_SCHEMA_VERSION = 2
+
+
+def funnel_checkpoint_dir(base: str) -> str:
+    """Checkpoint dir keyed on the state-schema version so an old
+    (incompatible) positional state layout is never resumed."""
+    return f"{base.rstrip('/')}/funnel_state_v{STATE_SCHEMA_VERSION}"
+
 STATE_SCHEMA = (
     ", ".join(f"t{i} long" for i in range(len(FUNNEL_STEPS)))
     + ", "

@@ -40,19 +40,36 @@ def interleaved_chunks_batch(docs_flat: DataFrame) -> DataFrame:
     )
 
 
+def read_media_out(spark, out_path: str) -> DataFrame:
+    """Read the union of all committed micro-batch outputs under
+    ``out_path`` (each batch lives in its own ``b{batch_id:05d}``
+    subdir; recursiveFileLookup skips partition discovery so no
+    synthetic column appears)."""
+    return (
+        spark.read.option("recursiveFileLookup", "true").parquet(out_path)
+    )
+
+
 def run_media_stream(
     docs_stream: DataFrame,
     transform: Callable[[DataFrame], DataFrame],
     out_path: str,
     checkpoint: str,
 ):
-    """Drive the stream to completion (availableNow), appending each
-    micro-batch's transformed rows to ``out_path`` (parquet); the
-    checkpoint dir makes the ingest resumable at micro-batch
-    granularity."""
+    """Drive the stream to completion (availableNow), writing each
+    micro-batch's transformed rows to a batch-id-keyed subdir of
+    ``out_path`` (parquet); the checkpoint dir makes the ingest
+    resumable at micro-batch granularity. Keying the write on
+    batch_id (overwrite mode) makes replay idempotent: a failure
+    between the write and the checkpoint commit rewrites the SAME
+    subdir on replay instead of double-appending the batch — the
+    contract graph_stream.read_prev_graph documents. Read results
+    back with read_media_out."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        transform(batch_df).write.mode("append").parquet(out_path)
+        transform(batch_df).write.mode("overwrite").parquet(
+            f"{out_path}/b{batch_id:05d}"
+        )
 
     q = (
         docs_stream.writeStream.foreachBatch(sink)

@@ -114,6 +114,45 @@ def test_interleaved_chunks_match_python_replay(spark):
     assert all(v[2] <= cap for v in got.values())
 
 
+def test_interleaved_chunks_oversized_span_skips_no_empty_chunks(spark):
+    """When a single span's cost exceeds the budget, floor(cum/budget)
+    skips chunk ids; the operator must emit only non-empty chunks (no
+    n_spans=0 / NULL-offset placeholder rows) and still match the
+    Python replay, which is empty-chunk-free by construction."""
+    from glirel_spark import config
+
+    budget = config.INTERLEAVED_CHUNK_BUDGET
+    media_cost = 3 * budget  # one media span alone spans 3 budgets
+    inter = interleaved_documents(_flat(spark))
+    rows = multimodal.interleaved_chunks(
+        inter, budget=budget, media_cost=media_cost
+    ).collect()
+    assert all(r["n_spans"] > 0 for r in rows)
+    assert all(
+        r["first_offset"] is not None and r["last_offset"] is not None
+        for r in rows
+    )
+    got = {
+        (r["doc_id"], r["chunk_id"]): (
+            r["n_spans"], r["n_media_spans"], r["n_tokens"],
+            r["first_offset"], r["last_offset"],
+        )
+        for r in rows
+    }
+    want = {}
+    for did, toks in _py_docs().items():
+        for cid, v in _py_chunks(did, toks, budget, media_cost).items():
+            want[(str(did), cid)] = tuple(v)
+    assert got == want
+    # the skip actually occurred somewhere, so the regression is real
+    by_doc: dict[str, list[int]] = {}
+    for (did, cid) in got:
+        by_doc.setdefault(did, []).append(cid)
+    assert any(
+        sorted(cids) != list(range(len(cids))) for cids in by_doc.values()
+    )
+
+
 @pytest.fixture(scope="module")
 def evidence(spark):
     from glirel_spark.plans import pipeline

@@ -526,6 +526,7 @@ def test_media_stream_twins_equal_batch(spark, tmp_path):
     from glirel_spark.streaming.media_stream import (
         caption_pairs_batch,
         interleaved_chunks_batch,
+        read_media_out,
         run_media_stream,
     )
     from glirel_spark.streaming.triples_stream import read_documents_stream
@@ -540,7 +541,7 @@ def test_media_stream_twins_equal_batch(spark, tmp_path):
         out = str(tmp_path / f"{name}_out")
         ckpt = str(tmp_path / f"{name}_ckpt")
         run_media_stream(read_documents_stream(spark, SF), tfn, out, ckpt)
-        got = spark.read.parquet(out)
+        got = read_media_out(spark, out)
         want = bfn(batch_inter)
         assert got.count() == want.count() > 0
         assert got.exceptAll(want).count() == 0
