@@ -152,6 +152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "docred_eval_xsplit": pipeline.docred_eval_xsplit,
         "docred_distant_mentions": pipeline.docred_distant_mentions,
         "docred_distant_triples": pipeline.docred_distant_triples,
+        "docred_neural_counts": pipeline.docred_neural_counts,
+        "docred_eval_neural": pipeline.docred_eval_neural,
         "bpe_token_counts": pipeline.bpe_token_counts,
         # KG schema induction / completion / serving
         "two_hop_paths": pipeline.two_hop_paths,
@@ -278,6 +280,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "docred_distant_mentions": oracle.q_docred_distant_mentions(),
         "docred_distant_triples": oracle.q_docred_distant_triples(),
+        "docred_neural_counts": oracle.q_docred_neural_counts(),
+        "docred_eval_neural": oracle.q_docred_eval_neural(),
         "linked_triples": oracle.q_linked_triples(),
         "link_candidates": oc.q_link_candidates(),
         "linked_triples_fuzzy": oc.q_linked_triples_fuzzy(),

@@ -891,6 +891,33 @@ def q_refeval_metrics() -> str:
     )
 
 
+def q_docred_neural_counts() -> str:
+    """Committed outside-Spark protocol replay of the neural double on
+    the real Re-DocRED dev split (tools/gen_golden.py
+    expected_docred_neural_counts — pure json + numpy, no Spark)."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "goldens"
+    return (
+        "SELECT label, tp, pred_n, true_n "
+        f"FROM read_parquet('{root}/docred_neural_counts.parquet')"
+    )
+
+
+def q_docred_eval_neural() -> str:
+    """Metrics RECOMPUTED in SQL from the committed neural counts with
+    the same A1-A2 arithmetic as q_eval_metrics — the division / macro
+    sorted-fold plane is cross-engine-checked, not golden-read."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parent.parent / "goldens"
+    return (
+        "WITH counts AS (SELECT label, tp, pred_n, true_n "
+        f"FROM read_parquet('{root}/docred_neural_counts.parquet')),\n"
+        + _METRIC_SQL
+    )
+
+
 # --------------------------------------------------------------------------
 # Re-DocRED ingestion twins: DuckDB re-reads the reference repo's own
 # evaluation data files (JSON arrays) and independently re-derives the

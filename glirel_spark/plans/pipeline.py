@@ -616,6 +616,18 @@ def docred_distant_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docred.docred_distant_triples(docred.read_docred(spark))
 
 
+def docred_neural_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.sources import docred
+
+    return docred.docred_neural_counts(docred.read_docred(spark))
+
+
+def docred_eval_neural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from glirel_spark.sources import docred
+
+    return docred.docred_neural_eval(docred.read_docred(spark))
+
+
 def media_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import multimodal
 

@@ -412,3 +412,131 @@ def docred_gold_triples(docs: DataFrame, properties: DataFrame) -> DataFrame:
     return flat.join(broadcast(properties), "pid", "left").select(
         "doc_title", "h_name", "pid", "pred_label", "t_name", "n_evidence"
     )
+
+# --------------------------------------------------------------------------
+# Neural double under the Re-DocRED protocol: the GLiREL-architecture
+# deterministic scorer runs over the real evaluation corpus and is
+# scored through the SAME J5/J4/A1-A3 plane as the type-prior baseline
+# (docred_type_prior_eval) — so prior-vs-model compare on identical
+# real data. Reference protocol: data/re-docred/run_evaluation.py:
+# 124-184 (predictions matched to gold (h, t, r) per document; here
+# entity identity is carried by the entity's FIRST mention span, the
+# reference's own convention when it surfaces entities).
+# --------------------------------------------------------------------------
+
+
+def docred_entity_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, entity_id, start, end): each entity's FIRST mention as
+    a document-GLOBAL, end-INCLUSIVE span — the engine's mention
+    convention (the scorer's span_reps gathers inclusive indices).
+    Row-local prefix sums + one posexplode, zero exchanges."""
+    with_offs = docs.withColumn("_offs", _sent_offsets())
+    ents = with_offs.select(
+        F.col("title").alias("doc_id"),
+        "_offs",
+        F.posexplode("vertexSet").alias("entity_id", "ms"),
+    )
+    first = F.element_at("ms", 1)
+    off = F.element_at("_offs", first["sent_id"].cast("int") + 1)
+    return ents.select(
+        "doc_id",
+        F.col("entity_id").cast("long").alias("entity_id"),
+        (off + F.element_at(first["pos"], 1)).cast("int").alias("start"),
+        (off + F.element_at(first["pos"], 2) - 1).cast("int").alias("end"),
+    )
+
+
+def docred_gold_span_labels(docs: DataFrame) -> DataFrame:
+    """Gold relation instances keyed by first-mention span positions:
+    (doc_id, h_start, h_end, t_start, t_end, label) with label = the
+    Wikidata pid — the shape the engine's J4/J5 evaluation plane
+    (operators/evaluate.py) consumes. Two co-partitioned (doc_id,
+    entity_id) joins against the slim span projection."""
+    sp = docred_entity_spans(docs)
+    lab = docs.select(
+        F.col("title").alias("doc_id"), F.explode("labels").alias("l")
+    ).select(
+        "doc_id",
+        F.col("l.h").alias("h"),
+        F.col("l.t").alias("t"),
+        F.col("l.r").alias("label"),
+    )
+    h = sp.select(
+        "doc_id", F.col("entity_id").alias("h"),
+        F.col("start").alias("h_start"), F.col("end").alias("h_end"),
+    )
+    t = sp.select(
+        "doc_id", F.col("entity_id").alias("t"),
+        F.col("start").alias("t_start"), F.col("end").alias("t_end"),
+    )
+    return (
+        lab.join(h, ["doc_id", "h"]).join(t, ["doc_id", "t"])
+        .select("doc_id", "h_start", "h_end", "t_start", "t_end", "label")
+    )
+
+
+def docred_corpus_pids(docs: DataFrame) -> list[str]:
+    """The corpus relation vocabulary (sorted pids) — the label set the
+    scorer's prompt carries. Bounded collect: 95 rows on the dev split
+    (the same bounded-labels pattern as the zero-shot replay,
+    plans/refeval.py)."""
+    rows = (
+        docs.select(F.explode("labels").alias("l"))
+        .select(F.col("l.r").alias("pid"))
+        .distinct()
+        .collect()
+    )
+    return sorted(r["pid"] for r in rows)
+
+
+def docred_neural_counts(docs: DataFrame) -> DataFrame:
+    """Per-label tp/pred_n/true_n of the GLiREL-architecture
+    deterministic double on the real Re-DocRED corpus, under the
+    reference's evaluation protocol (run_evaluation.py:124-184):
+
+    - the scorer sees each document's real text plus all entity
+      first-mention spans and the full 95-pid corpus vocabulary as its
+      prompt (zero-shot form: the labels travel with the document);
+    - prediction per entity pair = argmax label (top-1 decode,
+      tie-break prob desc / pid asc — decode.top_k_per_pair's k=1
+      map-side-combined aggregation, so the (pair x label) relation
+      collapses to one slim row per pair before any shuffle);
+    - J5 annotated-pairs-only filter, J4 TP matching, A3 per-label
+      counts (operators/evaluate.py — the exact plane the synthetic
+      eval_counts query runs).
+
+    Scale shape: one mapInPandas scorer stage over per-document rows
+    (process-singleton model), one map-side-combined argmax exchange,
+    two semi-joins against the slim gold relation. At production scale
+    nothing here is corpus-cardinality-quadratic: pairs are per-doc.
+    """
+    from glirel_spark.model import udf as model_udf
+    from glirel_spark.operators import decode as decode_ops
+    from glirel_spark.operators import evaluate
+
+    pids = docred_corpus_pids(docs)
+    toks = docs.select(
+        F.col("title").alias("doc_id"), F.flatten("sents").alias("tokens")
+    )
+    spans = docred_entity_spans(docs).select("doc_id", "start", "end")
+    scored = model_udf.score_pairs_neural(
+        toks, spans, labels=pids, max_distance=None
+    )
+    preds = decode_ops.top_k_per_pair(scored, 1).select(
+        "doc_id", "h_start", "h_end", "t_start", "t_end", "label"
+    )
+    gold = docred_gold_span_labels(docs)
+    annotated = evaluate.annotated_pairs_filter(preds, gold)
+    return evaluate.per_label_counts(annotated, gold)
+
+
+def docred_neural_eval(docs: DataFrame) -> DataFrame:
+    """A1/A2 micro+macro metrics of the neural double on Re-DocRED —
+    one row (micro_precision, micro_recall, micro_f1, macro_precision,
+    macro_recall, macro_f1) through the same sorted-fold arithmetic as
+    the synthetic eval_metrics query, so the division/macro plane is
+    cross-engine-checked against DuckDB recomputing the metrics from
+    the committed counts."""
+    from glirel_spark.operators import evaluate
+
+    return evaluate.micro_macro(docred_neural_counts(docs))

@@ -217,3 +217,34 @@ def test_docred_eval_xsplit_held_out(spark):
     assert r.f1_micro == 2 * r.tp / (r.pred_n + r.true_n)
     r_in = docred.docred_type_prior_eval(dev).collect()[0]
     assert abs(r.f1_micro - r_in.f1_micro) < 0.05
+
+
+def test_docred_neural_eval_matches_committed_replay(spark):
+    """The neural double scored under the Re-DocRED protocol must
+    reproduce the committed outside-Spark replay (tools/gen_golden.py
+    expected_docred_neural_counts) bit-for-bit — the same cross-check
+    contract as triples_neural, now on the reference's own data. The
+    untrained double must land near the 1/95 chance floor and far
+    below the type prior (0.469): the protocol discriminates scorers."""
+    import pathlib
+
+    golden_path = (
+        pathlib.Path(docred.__file__).resolve().parents[2]
+        / "goldens/docred_neural_counts.parquet"
+    )
+    docs = docred.read_docred(spark)
+    counts = docred.docred_neural_counts(docs)
+    golden = spark.read.parquet(str(golden_path))
+    assert counts.count() == golden.count() == 95
+    assert counts.exceptAll(golden).count() == 0
+    m = docred.docred_neural_eval(docs).collect()[0]
+    assert 0.5 / 95 < m.micro_f1 < 3.0 / 95  # chance-level, not prior-level
+    tp, pn, tn = (
+        golden.agg(F.sum("tp"), F.sum("pred_n"), F.sum("true_n")).collect()[0]
+    )
+    # micro F1 is the harmonic mean of the micro P/R doubles (the same
+    # arithmetic the DuckDB twin recomputes), not 2tp/(pn+tn) — equal
+    # mathematically but one ulp apart in IEEE doubles here.
+    assert m.micro_precision == tp / pn and m.micro_recall == tp / tn
+    p, r = m.micro_precision, m.micro_recall
+    assert m.micro_f1 == 2 * p * r / (p + r)

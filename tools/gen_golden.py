@@ -196,12 +196,79 @@ def expected_refeval_counts() -> pd.DataFrame:
     return out
 
 
+def expected_docred_neural_counts() -> pd.DataFrame:
+    """Outside-Spark replay of the neural double under the Re-DocRED
+    protocol (glirel_spark/sources/docred.py docred_neural_counts):
+    pure json + numpy — independently re-derives the global
+    first-mention spans, the gold span-keyed relation, the per-pair
+    argmax decode (prob desc / pid asc tie-break), the J5
+    annotated-pairs filter and the A3 per-label counts, sharing only
+    the deterministic numeric kernel with the executors (the same
+    contract as expected_triples_neural). Reference protocol:
+    data/re-docred/run_evaluation.py:124-184."""
+    import json
+
+    d = json.loads(Path("/root/reference/data/re-docred/data/dev_revised.json").read_text())
+    model = DeterministicGLiREL.get()
+    pids = tuple(sorted({l["r"] for doc in d for l in doc["labels"]}))
+
+    gold: set[tuple] = set()
+    preds: set[tuple] = set()
+    for doc in d:
+        title = doc["title"]
+        toks = [t for s in doc["sents"] for t in s]
+        offs = np.cumsum([0] + [len(s) for s in doc["sents"]])
+        # entity -> FIRST mention, global end-INCLUSIVE span
+        sp_by_ent = [
+            (
+                int(offs[e[0]["sent_id"]] + e[0]["pos"][0]),
+                int(offs[e[0]["sent_id"]] + e[0]["pos"][1] - 1),
+            )
+            for e in doc["vertexSet"]
+        ]
+        for l in doc["labels"]:
+            gold.add((title, *sp_by_ent[l["h"]], *sp_by_ent[l["t"]], l["r"]))
+        # duplicates kept: two entities sharing a first-mention span
+        # must pack the span twice, exactly like the Spark collect_list
+        sp = np.asarray(sorted(sp_by_ent), dtype=np.int64).reshape(-1, 2)
+        sp = model.valid_spans(sp, len(toks))
+        pidx, probs = model.score_doc(toks, sp, pids, None)
+        if len(pidx) == 0:
+            continue
+        # pure argmax (no threshold): labels are sorted ascending, so
+        # np.argmax's first-max rule IS the prob-desc/pid-asc tie-break
+        best_ci = np.argmax(probs, axis=1)
+        for pi in range(len(pidx)):
+            hs, he = sp[pidx[pi, 0]]
+            ts, te = sp[pidx[pi, 1]]
+            preds.add((title, int(hs), int(he), int(ts), int(te), pids[best_ci[pi]]))
+
+    gold_pos = {g[:5] for g in gold}
+    annotated = {p for p in preds if p[:5] in gold_pos}  # J5
+    vocab = sorted({p[5] for p in annotated} | {g[5] for g in gold})
+    rows = []
+    for lab in vocab:
+        tp = sum(1 for p in annotated if p[5] == lab and p in gold)
+        pred_n = sum(1 for p in annotated if p[5] == lab)
+        true_n = sum(1 for g in gold if g[5] == lab)
+        rows.append((lab, tp, pred_n, true_n))
+    out = pd.DataFrame(rows, columns=["label", "tp", "pred_n", "true_n"])
+    for c in ("tp", "pred_n", "true_n"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def main() -> int:
     root = Path(__file__).resolve().parent.parent / "goldens"
     ref = expected_refeval_counts()
     ref.to_parquet(root / "refeval_counts.parquet", index=False)
     print(f"refeval: {len(ref)} label rows -> {root / 'refeval_counts.parquet'}")
     print(ref.to_string(index=False))
+    dn = expected_docred_neural_counts()
+    dn.to_parquet(root / "docred_neural_counts.parquet", index=False)
+    tp, pn, tn = dn["tp"].sum(), dn["pred_n"].sum(), dn["true_n"].sum()
+    print(f"docred neural: {len(dn)} label rows, micro-F1 "
+          f"{2 * tp / (pn + tn):.4f} -> {root / 'docred_neural_counts.parquet'}")
     for name, sf_dir in SF_DIRS.items():
         out = expected_triples_neural(sf_dir)
         # byte-stable emission order (DuckDB parallel fetch order varies
