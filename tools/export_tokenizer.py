@@ -44,6 +44,17 @@ def export(model_name: str, dest: str, vocab_limit: int | None = None) -> None:
     # the fast tokenizer serializes its unigram model (piece, log_prob)
     # in tokenizer.json order == id order
     state = json.loads(tok.backend_tokenizer.to_str())
+    export_from_state(state, dest, vocab_limit)
+
+
+def export_from_state(
+    state: dict, dest: str, vocab_limit: int | None = None
+) -> None:
+    """The serialization half of the export: HF fast-tokenizer state
+    dict -> the engine's vocab JSON. Split from export() so the format
+    contract is testable without transformers (the committed
+    fixtures/mini_unigram_tokenizer.json is a miniature real-format
+    state exercised by tests/test_unigram_e2e.py)."""
     model = state["model"]
     if model.get("type") != "Unigram":
         raise SystemExit(f"expected a Unigram model, got {model.get('type')}")

@@ -49,7 +49,11 @@ OUT_COLS = [
 ]
 
 
-def expected_triples_neural(sf_dir: str) -> pd.DataFrame:
+def expected_triples_neural(
+    sf_dir: str, doc_ids: set[str] | None = None
+) -> pd.DataFrame:
+    """``doc_ids`` restricts the replay to a document subset (used by
+    tools/run_unigram_e2e.py to cross-check a small e2e run)."""
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
@@ -75,6 +79,8 @@ def expected_triples_neural(sf_dir: str) -> pd.DataFrame:
 
     rows: list[tuple] = []
     for doc_id, g in mentions.groupby("doc_id", sort=False):
+        if doc_ids is not None and doc_id not in doc_ids:
+            continue
         toks = tokens_by_doc[doc_id]
         sp = np.asarray(
             sorted(zip(g["start"].astype(np.int64), g["end"].astype(np.int64))),
