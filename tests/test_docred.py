@@ -172,6 +172,54 @@ def test_docred_distant_triples_semantics(spark):
     assert dt.agg(F.sum("n_new_docs")).collect()[0][0] > 0
 
 
+def test_distant_mentions_gazetteer_cap(spark):
+    """`max_gazetteer_len` bounds the distant-matching candidate
+    blow-up: (a) emitted matches never exceed the cap and are exactly
+    the uncapped matches restricted to short surfaces, (b) the total
+    candidate count obeys the documented `cap * |toks|` bound
+    (dev split, cap=4: 404,880 <= 4 * 101,970), and (c) the recall
+    trade is the measured one — cap=4 keeps >=94% of gold at ~1/3 the
+    candidates of the uncapped run (0.9804)."""
+    cap = 4
+    docs = docred.read_docred(spark)
+    full = docred.docred_distant_mentions(docs)
+    capped = docred.docred_distant_mentions(docs, max_gazetteer_len=cap)
+
+    span = F.col("end_tok") - F.col("start_tok")
+    assert capped.filter(span > cap).count() == 0
+    short_full = full.filter(span <= cap)
+    assert capped.exceptAll(short_full).count() == 0
+    assert short_full.exceptAll(capped).count() == 0
+
+    # candidate-count bound: sum over capped distinct lengths of
+    # per-doc (|toks| - n + 1)+ is <= cap * total_tokens
+    lens = [
+        r.n
+        for r in docred.docred_gazetteer(docs)
+        .filter(F.col("n") <= cap).select("n").distinct().collect()
+    ]
+    assert len(lens) <= cap
+    sz = docs.select(F.size(F.flatten("sents")).alias("sz"))
+    n_cand = sum(
+        sz.select(
+            F.sum(F.greatest(F.lit(0), F.col("sz") - int(n) + 1))
+        ).collect()[0][0]
+        for n in lens
+    )
+    total_toks = sz.select(F.sum("sz")).collect()[0][0]
+    assert n_cand == 404880 and total_toks == 101970
+    assert n_cand <= cap * total_toks
+
+    # recall trade (measured: 0.9496 capped vs 0.9804 uncapped)
+    gold = docred.docred_mentions(docs).select(
+        "doc_title", "start_tok", "end_tok")
+    pos = capped.select("doc_title", "start_tok", "end_tok").distinct()
+    hit = gold.join(pos, ["doc_title", "start_tok", "end_tok"],
+                    "left_semi").count()
+    n_gold = gold.count()
+    assert 0.94 < hit / n_gold < 0.9804
+
+
 def test_docred_reader_handles_test_split(spark):
     """The reader is split-agnostic: the test split loads with the same
     schema and its mention positions satisfy the same in-bounds
