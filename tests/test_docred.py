@@ -220,6 +220,34 @@ def test_distant_mentions_gazetteer_cap(spark):
     assert 0.94 < hit / n_gold < 0.9804
 
 
+def test_docred_to_jsonl_roundtrip(spark, tmp_path):
+    """The production convert-to-JSONL path is lossless and makes the
+    scan splittable: converted corpus == original corpus row-for-row
+    (full nested schema, multiset equality), and the JSONL re-read
+    plans >1 input partition where the JSON-array read is pinned to a
+    single unsplittable task."""
+    out = str(tmp_path / "dev_jsonl")
+    orig = docred.read_docred(spark)
+    back = docred.docred_to_jsonl(spark, docred.DOCRED_DEV, out, num_files=8)
+
+    assert back.schema == orig.schema
+    assert back.count() == 500
+    assert back.exceptAll(orig).count() == 0
+    assert orig.exceptAll(back).count() == 0
+
+    # splittability: the array file reads as ONE partition, the JSONL
+    # directory as many (one per written file here; at real scale also
+    # per maxPartitionBytes byte range within a file)
+    assert orig.rdd.getNumPartitions() == 1
+    assert docred.read_docred_jsonl(spark, out).rdd.getNumPartitions() > 1
+
+    # downstream tables come out identical through the converted path
+    m_orig = docred.docred_mentions(orig)
+    m_back = docred.docred_mentions(back)
+    assert m_back.exceptAll(m_orig).count() == 0
+    assert m_orig.exceptAll(m_back).count() == 0
+
+
 def test_docred_reader_handles_test_split(spark):
     """The reader is split-agnostic: the test split loads with the same
     schema and its mention positions satisfy the same in-bounds
