@@ -68,12 +68,12 @@ STATE_SCHEMA = (
 )
 
 
-def funnel_stateful(
-    events: DataFrame, steps: list[str] | None = None
-) -> DataFrame:
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
-    steps = steps if steps is not None else FUNNEL_STEPS
+def make_update(steps: list[str]):
+    """The per-key state-transition function, factored out so
+    tests/test_funnel_property.py can drive the EXACT production
+    closure through randomized micro-batch splits without a streaming
+    query (same pattern as the tensor-plane property tests: Spark
+    stays out, hypothesis runs hundreds of examples)."""
     n_steps = len(steps)
 
     def update(key: Any, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
@@ -145,6 +145,16 @@ def funnel_stateful(
                 }
             )
 
+    return update
+
+
+def funnel_stateful(
+    events: DataFrame, steps: list[str] | None = None
+) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    steps = steps if steps is not None else FUNNEL_STEPS
     return events.groupBy("user_id").applyInPandasWithState(
-        update, OUT_SCHEMA, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+        make_update(steps), OUT_SCHEMA, STATE_SCHEMA, "append",
+        GroupStateTimeout.NoTimeout,
     )
