@@ -163,7 +163,7 @@ def minhash_neardups_arr(
         shingled = with_shingle_array(docs_tokens)
     sig = minhash_signature_arr(docs_tokens, shingled=shingled)
     cands = candidate_pairs(lsh_bands(sig))
-    return jaccard_verify(cands, shingles_arr(docs_tokens, shingled=shingled)).filter(
+    return jaccard_verify_arr(cands, shingled).filter(
         F.col("jaccard") >= threshold
     )
 
@@ -239,6 +239,37 @@ def jaccard_verify(cands: DataFrame, sh: DataFrame) -> DataFrame:
     return out.withColumn("jaccard", F.col("inter").cast("double") / F.col("un"))
 
 
+def jaccard_verify_arr(cands: DataFrame, shingled: DataFrame) -> DataFrame:
+    """Exact Jaccard for candidate pairs, row-local off the per-doc
+    shingle ARRAYS (round-6 rewrite of ``jaccard_verify`` for callers
+    that hold a ``with_shingle_array`` frame).
+
+    The exploded form shuffles the full (doc, shingle) relation to
+    intersect-join it against the candidates; here the candidate pair
+    joins each side's shingle array (same bytes, |shingles|x fewer
+    rows) and the intersection/union sizes are one ``array_intersect``
+    per pair — no per-shingle shuffle at all (guide §2.3 "shuffle keys
+    and metadata, move heavy bytes once"). Output contract and values
+    identical to ``jaccard_verify`` (arrays are distinct by
+    construction, so |array_intersect| == the join-counted overlap).
+    """
+    s = shingled.select("doc_id", "_sh")
+    return (
+        cands.join(s.toDF("doc1", "_sh1"), "doc1")
+        .join(s.toDF("doc2", "_sh2"), "doc2")
+        .select(
+            "doc1", "doc2",
+            F.size(F.array_intersect("_sh1", "_sh2")).cast("long").alias("inter"),
+            F.size("_sh1").alias("_n1"), F.size("_sh2").alias("_n2"),
+        )
+        .select(
+            "doc1", "doc2", "inter",
+            (F.col("_n1") + F.col("_n2") - F.col("inter")).cast("long").alias("un"),
+        )
+        .withColumn("jaccard", F.col("inter").cast("double") / F.col("un"))
+    )
+
+
 def minhash_neardups(docs_tokens: DataFrame,
                      threshold: float = config.NEARDUP_JACCARD) -> DataFrame:
     """Full pipeline: near-duplicate pairs with verified Jaccard >= t."""
@@ -253,24 +284,27 @@ def minhash_neardups(docs_tokens: DataFrame,
 # ---------------------------------------------------------------------------
 
 def simhash(docs_tokens: DataFrame) -> DataFrame:
-    """(doc_id, simhash): SIMHASH_BITS-bit signature.
+    """(doc_id, simhash): SIMHASH_BITS-bit signature, join-free.
 
-    bit_b(tid) = ((tid * A_b + B_b) mod P) mod 2; each token contributes
-    its multiplicity × (±1) to bit b; signature bit = 1 iff sum > 0.
-    One groupBy(doc) with SIMHASH_BITS conditional sums — single shuffle,
-    tids are map-side char hashes (no vocabulary stage).
+    bit_b(tid) = ((tid * A_b + B_b) mod P) mod 2; each token occurrence
+    contributes ±1 to bit b; signature bit = 1 iff sum > 0. Summing over
+    token POSITIONS equals the (tid, count)-grouped sum, so the whole
+    signature is a per-ROW fold over the token-hash array — zero
+    shuffles, no vocabulary stage, no (doc, tid) aggregation (round-6
+    rewrite; the previous form paid a distinct-vocab aggregation, a
+    broadcast join, and two full (doc, tid) shuffles — guide §2.4). The
+    per-bit sums are bit-identical integers, so the signature (and its
+    DuckDB oracle) is unchanged.
     """
     p = config.HASH_P
-    tid_counts = (
-        doc_token_ids(docs_tokens)
-        .groupBy("doc_id", "tid")
-        .agg(F.count("*").alias("cnt"))
+    toks = docs_tokens.select(
+        "doc_id", F.explode(F.transform(F.col("tokens"), _char_hash)).alias("tid")
     )
     aggs = []
     for bit, (a, b) in enumerate(config.SIMHASH_AB):
         sign = ((F.col("tid") * a + b) % p % 2) * 2 - 1
-        aggs.append(F.sum(F.col("cnt") * sign).alias(f"s{bit}"))
-    sums = tid_counts.groupBy("doc_id").agg(*aggs)
+        aggs.append(F.sum(sign).alias(f"s{bit}"))
+    sums = toks.groupBy("doc_id").agg(*aggs)
     sh = F.lit(0).cast("long")
     for bit in range(config.SIMHASH_BITS):
         sh = sh + F.when(F.col(f"s{bit}") > 0, F.lit(1 << bit)).otherwise(F.lit(0))
@@ -746,7 +780,7 @@ def minhash_hard_negatives(
         shingled = with_shingle_array(docs_tokens)
     sig = minhash_signature_arr(docs_tokens, shingled=shingled)
     cands = candidate_pairs(lsh_bands(sig))
-    return jaccard_verify(cands, shingles_arr(docs_tokens, shingled=shingled)).filter(
+    return jaccard_verify_arr(cands, shingled).filter(
         F.col("jaccard") < max_jaccard
     )
 
@@ -888,7 +922,7 @@ def allpairs_neardups(
         .select("doc1", "doc2")
         .distinct()
     )
-    ver = jaccard_verify(cands, sh)
+    ver = jaccard_verify_arr(cands, shingled)
     return ver.filter(F.col("inter") * t_den >= F.col("un") * t_num)
 
 

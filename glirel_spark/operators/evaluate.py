@@ -123,6 +123,181 @@ def evaluate(preds: DataFrame, gold: DataFrame, annotated_only: bool = True) -> 
     return micro_macro(per_label_counts(p, gold))
 
 
+def _grid_nb(prob: "F.Column", gs: list[float]) -> "F.Column":
+    """How many grid thresholds this prob exceeds (grid sorted asc)."""
+    return F.aggregate(
+        F.array(*[F.lit(t) for t in gs]),
+        F.lit(0),
+        lambda a, t: a + F.when(prob > t, 1).otherwise(0),
+    )
+
+
+def _suffix_sum_counts(bb: DataFrame, g: DataFrame, gs: list[float]) -> DataFrame:
+    """Per-(threshold, label) counts from the per-pair best relation.
+
+    ``bb``: one row per gold-annotated pair — (label = argmax label,
+    _nb = thresholds its prob exceeds, _hit = argmax label in the
+    pair's gold set). ``g``: the gold (pair, label) relation flattened
+    to one row per gold label occurrence (position columns optional —
+    only the label column is consumed here).
+    """
+    true_n = g.groupBy("label").agg(F.count("*").alias("true_n"))
+    agg = (
+        bb.filter(F.col("_nb") > 0)
+        .groupBy("label", "_nb")
+        .agg(F.count("*").alias("_n"), F.sum("_hit").alias("_tp"))
+    )
+    return _suffix_sum_counts_grouped(
+        agg, g.select("label").distinct(), true_n, gs
+    )
+
+
+def _suffix_sum_counts_grouped(
+    agg: DataFrame, gold_labels: DataFrame, true_n: DataFrame, gs: list[float]
+) -> DataFrame:
+    """Counts tail over pre-aggregated inputs: ``agg`` (label, _nb, _n,
+    _tp), ``gold_labels`` (distinct gold label vocabulary), ``true_n``
+    (label, true_n)."""
+    spark = agg.sparkSession
+    grid_df = spark.createDataFrame([(t,) for t in sorted(set(gs))], "threshold double")
+    th_map = spark.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(gs)], "_ti int, threshold double"
+    )
+    pl = (
+        agg.select(
+            "label",
+            F.explode(F.sequence(F.lit(1), F.col("_nb"))).alias("_ti"),
+            "_n", "_tp",
+        )
+        .groupBy("label", "_ti")
+        .agg(F.sum("_n").alias("pred_n"), F.sum("_tp").alias("tp"))
+        .join(F.broadcast(th_map), "_ti")
+        .select("threshold", "label", "tp", "pred_n")
+    )
+    base = grid_df.crossJoin(gold_labels).unionByName(
+        pl.select("threshold", "label")
+    ).distinct()
+    return (
+        base.join(pl, ["threshold", "label"], "left")
+        .join(true_n, "label", "left")
+        .select(
+            "threshold", "label",
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+            F.coalesce("pred_n", F.lit(0)).cast("long").alias("pred_n"),
+            F.coalesce("true_n", F.lit(0)).cast("long").alias("true_n"),
+        )
+    )
+
+
+def threshold_search_lexical(
+    rel_pairs: DataFrame,
+    labels: dict[str, dict[str, list[str]]] | None = None,
+    grid: list[float] = config.THRESHOLD_GRID,
+    raw_min: int = config.GOLD_RAW_MIN,
+) -> DataFrame:
+    """W5 grid search fused to the pair row (round-6 optimization).
+
+    The lexical scorer's label dimension is a literal, so the per-pair
+    argmax (decode k=1), the gold label set (raw >= raw_min), the
+    annotated-pairs filter (gold set non-empty), and the gold-hit flag
+    (argmax label ∈ gold set) are ALL row-local expressions on the pair
+    relation — the 5.4M-row scored cache, the per-pair argmax exchange,
+    and the best⋈gold join of the scored-relation form disappear
+    (guide §2.4). Counts and metric arithmetic run through exactly the
+    same code as ``threshold_search`` (``_suffix_sum_counts`` /
+    ``_grid_metrics``), so the output is bit-identical — asserted by
+    tests/test_fused_decode.py and the unchanged oracle.
+    """
+    from glirel_spark.operators.scoring import lexical_label_raws
+
+    labs = sorted(labels or config.RELATION_LABELS)
+    gs = sorted(set(grid))
+    raws = lexical_label_raws(labs)
+    best_raw = F.greatest(*raws) if len(raws) > 1 else raws[0]
+    best_label = F.when(raws[0] == best_raw, F.lit(labs[0]))
+    for r, lab in zip(raws[1:], labs[1:]):
+        best_label = best_label.when(r == best_raw, F.lit(lab))
+    gold_labs = F.filter(
+        F.array(*[
+            F.when(r >= F.lit(raw_min), F.lit(lab)).otherwise(F.lit(None))
+            for lab, r in zip(labs, raws)
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    pp = rel_pairs.select(
+        best_label.alias("label"),
+        best_raw.cast("int").alias("_braw"),
+        gold_labs.alias("_glabs"),
+    )
+    prob = F.col("_braw").cast("double") / F.lit(float(config.SCORE_MOD - 1))
+    # ONE pass, ONE exchange: the per-pair best row (kind 0: argmax
+    # label, grid bucket, gold-hit flag — only for gold-annotated
+    # pairs, the J5 filter) and the flattened gold labels (kind 1, for
+    # true_n and the label vocabulary) explode out of the same
+    # projection into one map-side-combined aggregation; every
+    # downstream consumer reads that tiny grouped relation through
+    # ReusedExchange, so the pair relation is scanned exactly once
+    # (two separate subtrees would each recompute the narrow pass —
+    # measured 2x the query time at sf0.1).
+    best_item = F.when(
+        F.size("_glabs") > 0,
+        F.array(F.struct(
+            F.lit(0).alias("_k"),
+            F.col("label").alias("_lab"),
+            _grid_nb(prob, gs).alias("_nb"),
+            F.array_contains("_glabs", F.col("label")).cast("int").alias("_hit"),
+        )),
+    ).otherwise(F.array())
+    gold_items = F.transform(
+        F.col("_glabs"),
+        lambda lab: F.struct(
+            F.lit(1).alias("_k"), lab.alias("_lab"),
+            F.lit(0).alias("_nb"), F.lit(0).alias("_hit"),
+        ),
+    )
+    grouped = (
+        pp.select(F.explode(F.concat(best_item, gold_items)).alias("_i"))
+        .select("_i._k", F.col("_i._lab").alias("label"), "_i._nb", "_i._hit")
+        .groupBy("_k", "label", "_nb")
+        .agg(F.count("*").alias("_n"), F.sum("_hit").alias("_tp"))
+    )
+    # grouped MUST have exactly one consumer: a filter on its group keys
+    # would be pushed below the aggregation and below the exchange, so
+    # three filtered readers become three full scans of the pair
+    # relation (no ReusedExchange — measured 3x). Instead the counts
+    # relation derives from ONE expansion of the tiny grouped frame:
+    # kind-0 rows contribute (tp, pred_n) to grid buckets 1.._nb (the
+    # suffix sum), kind-1 rows contribute true_n to EVERY bucket — which
+    # also supplies the (grid x gold-label) base coverage the old
+    # base-union-distinct produced.
+    span = F.when(
+        F.col("_k") == 0,
+        F.when(F.col("_nb") > 0, F.sequence(F.lit(1), F.col("_nb")))
+        .otherwise(F.array().cast("array<int>")),
+    ).otherwise(F.sequence(F.lit(1), F.lit(len(gs))))
+    th_map = rel_pairs.sparkSession.createDataFrame(
+        [(i + 1, t) for i, t in enumerate(gs)], "_ti int, threshold double"
+    )
+    k0 = F.col("_k") == 0
+    counts = (
+        grouped.select("_k", "label", "_n", "_tp", F.explode(span).alias("_ti"))
+        .groupBy("_ti", "label")
+        .agg(
+            F.sum(F.when(k0, F.col("_tp")).otherwise(F.lit(0))).alias("tp"),
+            F.sum(F.when(k0, F.col("_n")).otherwise(F.lit(0))).alias("pred_n"),
+            F.sum(F.when(~k0, F.col("_n")).otherwise(F.lit(0))).alias("true_n"),
+        )
+        .join(F.broadcast(th_map), "_ti")
+        .select(
+            "threshold", "label",
+            F.col("tp").cast("long").alias("tp"),
+            F.col("pred_n").cast("long").alias("pred_n"),
+            F.col("true_n").cast("long").alias("true_n"),
+        )
+    )
+    return _grid_metrics(counts)
+
+
 def threshold_search(
     scored: DataFrame,
     gold: DataFrame,
@@ -177,48 +352,12 @@ def threshold_search(
         # join: gold folded to a per-position label set, the inner
         # join IS the annotated semi-filter, and the hit flag is an
         # array membership test — one shuffle instead of two.
-        nb = F.aggregate(
-            F.array(*[F.lit(t) for t in gs]),
-            F.lit(0),
-            lambda a, t: a + F.when(F.col("prob") > t, 1).otherwise(0),
-        )
         gp = g.groupBy(*_POS).agg(F.collect_set("label").alias("_glabs"))
         bb = best.join(gp, _POS).select(
-            "label", nb.alias("_nb"),
+            "label", _grid_nb(F.col("prob"), gs).alias("_nb"),
             F.array_contains("_glabs", F.col("label")).cast("int").alias("_hit"),
         )
-        agg = (
-            bb.filter(F.col("_nb") > 0)
-            .groupBy("label", "_nb")
-            .agg(F.count("*").alias("_n"), F.sum("_hit").alias("_tp"))
-        )
-        th_map = scored.sparkSession.createDataFrame(
-            [(i + 1, t) for i, t in enumerate(gs)], "_ti int, threshold double"
-        )
-        pl = (
-            agg.select(
-                "label",
-                F.explode(F.sequence(F.lit(1), F.col("_nb"))).alias("_ti"),
-                "_n", "_tp",
-            )
-            .groupBy("label", "_ti")
-            .agg(F.sum("_n").alias("pred_n"), F.sum("_tp").alias("tp"))
-            .join(F.broadcast(th_map), "_ti")
-            .select("threshold", "label", "tp", "pred_n")
-        )
-        base = grid_df.crossJoin(g.select("label").distinct()).unionByName(
-            pl.select("threshold", "label")
-        ).distinct()
-        counts = (
-            base.join(pl, ["threshold", "label"], "left")
-            .join(true_n, "label", "left")
-            .select(
-                "threshold", "label",
-                F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
-                F.coalesce("pred_n", F.lit(0)).cast("long").alias("pred_n"),
-                F.coalesce("true_n", F.lit(0)).cast("long").alias("true_n"),
-            )
-        )
+        counts = _suffix_sum_counts(bb, g, gs)
     else:
         st = scored.crossJoin(F.broadcast(grid_df)).filter(
             F.col("prob") > F.col("threshold")
@@ -250,6 +389,13 @@ def threshold_search(
                 F.coalesce("true_n", F.lit(0)).cast("long").alias("true_n"),
             )
         )
+    return _grid_metrics(counts)
+
+
+def _grid_metrics(counts: DataFrame) -> DataFrame:
+    """Per-threshold micro/macro metrics from per-(threshold, label)
+    counts — shared, unchanged float math (sorted fold for cross-engine
+    bit-stability) for every threshold-search plan."""
     per = counts.select(
         "threshold", "label",
         _safe_div(F.col("tp"), F.col("pred_n")).alias("p"),

@@ -70,3 +70,97 @@ def score_pairs_lexical(rel_pairs: DataFrame, labels: DataFrame) -> DataFrame:
     return scored.withColumn("raw", raw.cast("int")).withColumn(
         "prob", F.col("raw").cast("double") / F.lit(float(config.SCORE_MOD - 1))
     )
+
+
+# --- fused k=1 decode (round-6 optimization) --------------------------------
+#
+# The label dimension is a COMPILE-TIME constant of the lexical scorer
+# (its per-label score contribution is W_LLEN*len(label) +
+# W_LCH*ascii(label) — a literal), so for top_k=1 the whole
+# crossJoin(labels) -> threshold -> per-pair argmax aggregation chain
+# collapses into a per-ROW argmax over |labels| integer expressions:
+# zero shuffles, no |labels|x row expansion, no wide payload struct
+# through an exchange (guide §2.4 "remove shuffles outright" + §2.3
+# "aggregate before you shuffle" taken to its limit). Row-identical to
+# the relational form (tests/test_fused_decode.py): threshold-then-
+# argmax == argmax-then-threshold at k=1, and the when-chain over
+# label-ascending order reproduces the min(struct(-prob, label))
+# tie-break exactly.
+
+
+def lexical_label_raws(labels: list[str]) -> "list[F.Column]":
+    """Per-label raw-score column over a pair row (h_text, t_text, dist).
+
+    Bit-identical to ``lexical_raw`` with the label terms constant-folded
+    in python: integer addition is associative, and F.length/F.ascii of a
+    literal ASCII label are len()/ord() of its first char.
+    """
+    c = config
+    base = (
+        F.lit(c.SCORE_W_HLEN) * F.length("h_text")
+        + F.lit(c.SCORE_W_TLEN) * F.length("t_text")
+        + F.lit(c.SCORE_W_DIST) * F.col("dist")
+        + F.lit(c.SCORE_W_HCH) * F.ascii("h_text")
+        + F.lit(c.SCORE_W_TCH) * F.ascii("t_text")
+    )
+    out = []
+    for lab in labels:
+        if lab == c.COREF_LABEL:
+            out.append(
+                F.when(
+                    F.col("h_text") == F.col("t_text"), F.lit(c.SCORE_MOD - 1)
+                ).otherwise(F.lit(0))
+            )
+        else:
+            k = c.SCORE_W_LLEN * len(lab) + c.SCORE_W_LCH * ord(lab[0])
+            out.append((base + F.lit(k)) % F.lit(c.SCORE_MOD))
+    return out
+
+
+def lexical_topk1_triples(
+    rel_pairs: DataFrame,
+    labels: dict[str, dict[str, list[str]]] | None = None,
+    threshold: float = config.THRESHOLD,
+    apply_constraints: bool = True,
+) -> DataFrame:
+    """Fused k=1 lexical decode: one narrow projection from pairs to
+    formatted triples (see module comment above). Row-identical to
+    ``decode.decode(score_pairs_lexical(rel_pairs, labels_df), threshold,
+    top_k=1)`` — the general relational path remains for top_k > 1 and
+    for scorers whose label scores are not row-local."""
+    from glirel_spark.operators import decode as decode_ops
+
+    if labels is None:
+        labels = config.RELATION_LABELS
+    labs = sorted(labels)
+    if not labs:
+        raise ValueError("lexical_topk1_triples needs a non-empty label set")
+    raws = lexical_label_raws(labs)
+    best_raw = F.greatest(*raws) if len(raws) > 1 else raws[0]
+    # ascending label order + first-match == (prob desc, label asc)
+    best_label = F.when(raws[0] == best_raw, F.lit(labs[0]))
+    for r, lab in zip(raws[1:], labs[1:]):
+        best_label = best_label.when(r == best_raw, F.lit(lab))
+    out = rel_pairs.select(
+        "doc_id", "h_start", "h_end", "t_start", "t_end",
+        "h_type", "t_type", "h_text", "t_text",
+        best_label.alias("label"),
+        best_raw.cast("int").alias("raw"),
+    ).withColumn(
+        "prob", F.col("raw").cast("double") / F.lit(float(config.SCORE_MOD - 1))
+    ).filter(F.col("prob") > F.lit(threshold))
+    if apply_constraints:
+        ok = None
+        for lab in labs:
+            spec = labels.get(lab) or {}
+            ah, at = spec.get("allowed_head"), spec.get("allowed_tail")
+            head_ok = F.col("h_type").isin(*ah) if ah else F.lit(True)
+            tail_ok = F.col("t_type").isin(*at) if at else F.lit(True)
+            cond = head_ok & tail_ok
+            ok = (
+                F.when(F.col("label") == lab, cond)
+                if ok is None
+                else ok.when(F.col("label") == lab, cond)
+            )
+        out = out.filter(ok)
+    return decode_ops.format_output(out)

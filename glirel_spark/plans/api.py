@@ -56,6 +56,10 @@ def extract_triples(
             docs_tokens, fused.mentions_from(dm), threshold, top_k
         )
     rel = fused.pairs_from(dm).filter("is_rel")
+    if top_k == 1:
+        # fused per-row label argmax (round-6): works for ANY label dict
+        # because the lexical label terms are literals — zero exchanges
+        return scoring_ops.lexical_topk1_triples(rel, label_dict, threshold)
     scored = scoring_ops.score_pairs_lexical(rel, ldf)
     return decode_ops.decode(
         scored, threshold, top_k,

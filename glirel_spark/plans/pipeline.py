@@ -95,6 +95,16 @@ def triples(
     threshold: float = config.THRESHOLD,
     top_k: int = config.TOP_K,
 ) -> DataFrame:
+    # k=1 (the shipped config): fused per-row label argmax — the label
+    # dimension is a literal of the lexical scorer, so the crossJoin +
+    # threshold + argmax aggregation collapses into ONE narrow
+    # projection off the cached gazetteer pass: zero exchanges
+    # (round-6; guide §2.4). Row-identical to the relational decode
+    # (tests/test_fused_decode.py + the unchanged triples oracle).
+    if top_k == 1:
+        return scoring_ops.lexical_topk1_triples(
+            pair_ops.relation_pairs(pairs(spark, sf_dir)), threshold=threshold
+        )
     # payload decode: scored (from the fused pair plan) already carries
     # mention surfaces + broadcast-joined constraint arrays, and the
     # map-side-combined argmax collapses each pair to ONE pre-shuffle
@@ -179,9 +189,15 @@ def eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import evaluate
 
-    # scored feeds both preds and gold subtrees: cache to score once
-    s = scored(spark, sf_dir).cache()
-    return evaluate.threshold_search(s, evaluate.gold_triples(s))
+    # round-6: the lexical label dimension is a literal, so the argmax,
+    # the gold label set, the annotated filter, and the gold-hit flag
+    # are all row-local on the pair relation — no scored cache, no
+    # |labels|x expansion, no best⋈gold join (evaluate.py docstring;
+    # bit-identical output, same unchanged oracle). The scored-relation
+    # form (evaluate.threshold_search) remains for external scorers.
+    return evaluate.threshold_search_lexical(
+        pair_ops.relation_pairs(pairs(spark, sf_dir))
+    )
 
 
 # --- linking + graph --------------------------------------------------------
