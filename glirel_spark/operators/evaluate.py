@@ -208,11 +208,16 @@ def threshold_search_lexical(
     ``_grid_metrics``), so the output is bit-identical — asserted by
     tests/test_fused_decode.py and the unchanged oracle.
     """
-    from glirel_spark.operators.scoring import lexical_label_raws
+    from glirel_spark.functions.barrier import materialized
+    from glirel_spark.operators.scoring import lexical_base, lexical_label_raws
 
     labs = sorted(labels or config.RELATION_LABELS)
     gs = sorted(set(grid))
-    raws = lexical_label_raws(labs)
+    # base hoisted behind the barrier, as in lexical_topk1_triples: the
+    # raws are referenced three times each (argmax, when-chain, gold
+    # array) and inlining the base per reference bloats the generated
+    # consume method (see scoring.py).
+    raws = lexical_label_raws(labs, base=F.col("_lexbase"))
     best_raw = F.greatest(*raws) if len(raws) > 1 else raws[0]
     best_label = F.when(raws[0] == best_raw, F.lit(labs[0]))
     for r, lab in zip(raws[1:], labs[1:]):
@@ -224,7 +229,7 @@ def threshold_search_lexical(
         ]),
         lambda x: x.isNotNull(),
     )
-    pp = rel_pairs.select(
+    pp = rel_pairs.withColumn("_lexbase", materialized(lexical_base())).select(
         best_label.alias("label"),
         best_raw.cast("int").alias("_braw"),
         gold_labs.alias("_glabs"),

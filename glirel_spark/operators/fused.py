@@ -195,13 +195,35 @@ def pairs_col(ments: Column, max_distance: int | None = config.MAX_PAIR_DISTANCE
 def pairs_from(
     docs_ments: DataFrame, max_distance: int | None = config.MAX_PAIR_DISTANCE
 ) -> DataFrame:
-    """Exploded pairs table from a (possibly cached) with_mentions frame."""
-    return docs_ments.select(
-        "doc_id", F.explode(pairs_col(F.col("_ments"), max_distance)).alias("p")
-    ).select(
-        "doc_id", "p.head_m_id", "p.tail_m_id", "p.h_start", "p.h_end",
-        "p.t_start", "p.t_end", "p.h_type", "p.t_type", "p.h_text",
-        "p.t_text", "p.dist", "p.is_rel", "p.is_coref",
+    """Exploded pairs table from a (possibly cached) with_mentions frame.
+
+    Round-6 form: TWO chained ``explode``s + a scalar filter/projection
+    instead of the nested transform/filter/flatten array expression.
+    Same rows (J1 masks unchanged), but Generate and the pair predicate
+    run inside whole-stage codegen, whereas higher-order array lambdas
+    are evaluated interpreted per element — on the fused hot path that
+    interpreted k^2-per-doc struct build was the single largest CPU
+    term at sf0.1 (guide §2 step 2: per-task work). ``pairs_col``
+    remains the array-form for per-row consumers."""
+    h, t = F.col("h"), F.col("t")
+    dist = F.abs(h["start"] - t["start"])
+    is_rel = F.lit(True) if max_distance is None else dist <= F.lit(max_distance)
+    is_coref = h["m_id"] < t["m_id"]
+    return (
+        docs_ments.select("doc_id", "_ments", F.explode("_ments").alias("h"))
+        .select("doc_id", "h", F.explode("_ments").alias("t"))
+        .filter((h["m_id"] != t["m_id"]) & (is_rel | is_coref))
+        .select(
+            "doc_id",
+            h["m_id"].alias("head_m_id"), t["m_id"].alias("tail_m_id"),
+            h["start"].alias("h_start"), h["end"].alias("h_end"),
+            t["start"].alias("t_start"), t["end"].alias("t_end"),
+            h["type"].alias("h_type"), t["type"].alias("t_type"),
+            h["text"].alias("h_text"), t["text"].alias("t_text"),
+            dist.cast("int").alias("dist"),
+            is_rel.alias("is_rel"),
+            is_coref.alias("is_coref"),
+        )
     )
 
 

@@ -26,9 +26,31 @@ def alias_df(spark: SparkSession) -> DataFrame:
     return spark.createDataFrame(rows, "alias string, canonical_id string")
 
 
-def canonicalize(df: DataFrame, aliases: DataFrame, text_col: str,
+def canonicalize(df: DataFrame, aliases, text_col: str,
                  out_col: str) -> DataFrame:
-    """Broadcast alias join; fallback id for unmatched surface forms."""
+    """Alias lookup; fallback id for unmatched surface forms.
+
+    ``aliases`` is either the (alias, canonical_id) dimension DataFrame
+    (broadcast left join — the general path for dictionaries that
+    arrive as data, e.g. the 11.7k-row Wikidata property table) or a
+    plain python dict, in which case the lookup compiles to a LITERAL
+    map expression inside the row projection: no join, no broadcast
+    build, zero plan nodes added (round-6; guide §2.4 — the config
+    gazetteer is a compile-time constant exactly like the mention
+    gazetteer in operators/fused.py). Same row semantics either way:
+    lowercase match, miss -> "Q:surface:<lower(text)>".
+    """
+    if isinstance(aliases, dict):
+        items: list = []
+        for a, cid in sorted(aliases.items()):
+            items += [F.lit(a.lower()), F.lit(cid)]
+        lookup = F.create_map(*items)[F.lower(F.col(text_col))]
+        return df.withColumn(
+            out_col,
+            F.coalesce(
+                lookup, F.concat(F.lit("Q:surface:"), F.lower(F.col(text_col)))
+            ),
+        )
     a = aliases.select(
         F.lower(F.col("alias")).alias("_alias"),
         F.col("canonical_id").alias("_canon"),

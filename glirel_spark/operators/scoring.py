@@ -88,21 +88,31 @@ def score_pairs_lexical(rel_pairs: DataFrame, labels: DataFrame) -> DataFrame:
 # tie-break exactly.
 
 
-def lexical_label_raws(labels: list[str]) -> "list[F.Column]":
-    """Per-label raw-score column over a pair row (h_text, t_text, dist).
-
-    Bit-identical to ``lexical_raw`` with the label terms constant-folded
-    in python: integer addition is associative, and F.length/F.ascii of a
-    literal ASCII label are len()/ord() of its first char.
-    """
+def lexical_base() -> "F.Column":
+    """The label-independent part of ``lexical_raw`` over a pair row."""
     c = config
-    base = (
+    return (
         F.lit(c.SCORE_W_HLEN) * F.length("h_text")
         + F.lit(c.SCORE_W_TLEN) * F.length("t_text")
         + F.lit(c.SCORE_W_DIST) * F.col("dist")
         + F.lit(c.SCORE_W_HCH) * F.ascii("h_text")
         + F.lit(c.SCORE_W_TCH) * F.ascii("t_text")
     )
+
+
+def lexical_label_raws(labels: list[str], base: "F.Column | None" = None) -> "list[F.Column]":
+    """Per-label raw-score column over a pair row (h_text, t_text, dist).
+
+    Bit-identical to ``lexical_raw`` with the label terms constant-folded
+    in python: integer addition is associative, and F.length/F.ascii of a
+    literal ASCII label are len()/ord() of its first char. Pass ``base``
+    (e.g. a materialized ``lexical_base()`` column) to keep every raw a
+    3-node expression — callers that reference the raws several times
+    otherwise inline the base per reference.
+    """
+    c = config
+    if base is None:
+        base = lexical_base()
     out = []
     for lab in labels:
         if lab == c.COREF_LABEL:
@@ -130,18 +140,29 @@ def lexical_topk1_triples(
     for scorers whose label scores are not row-local."""
     from glirel_spark.operators import decode as decode_ops
 
+    from glirel_spark.functions.barrier import materialized
+
     if labels is None:
         labels = config.RELATION_LABELS
     labs = sorted(labels)
     if not labs:
         raise ValueError("lexical_topk1_triples needs a non-empty label set")
-    raws = lexical_label_raws(labs)
+    # The shared label-independent base term is materialized ONCE per
+    # row (barrier): without it each of the |labels| raw expressions
+    # inlines the 15-node base at every reference (greatest + the
+    # argmax when-chain), and the resulting projection pushed the
+    # Generate stage's consume method past janino's 64 KB limit —
+    # silently dropping the whole stage out of codegen (the sweep
+    # log's "Code grows beyond 64 KB"). With the base hoisted, every
+    # raw is a 3-node expression and the stage compiles.
+    raws = lexical_label_raws(labs, base=F.col("_lexbase"))
+    base = rel_pairs.withColumn("_lexbase", materialized(lexical_base()))
     best_raw = F.greatest(*raws) if len(raws) > 1 else raws[0]
     # ascending label order + first-match == (prob desc, label asc)
     best_label = F.when(raws[0] == best_raw, F.lit(labs[0]))
     for r, lab in zip(raws[1:], labs[1:]):
         best_label = best_label.when(r == best_raw, F.lit(lab))
-    out = rel_pairs.select(
+    out = base.select(
         "doc_id", "h_start", "h_end", "t_start", "t_end",
         "h_type", "t_type", "h_text", "t_text",
         best_label.alias("label"),

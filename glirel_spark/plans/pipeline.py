@@ -206,7 +206,7 @@ def linked_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import linking
 
     return linking.link_triples(
-        triples(spark, sf_dir), linking.alias_df(spark)
+        triples(spark, sf_dir), config.ALIAS_DICT
     ).select("doc_id", "subj", "pred", "obj", "prob")
 
 
@@ -231,7 +231,7 @@ def graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import graph as graph_ops
     from glirel_spark.operators import linking
 
-    linked = linking.link_triples(triples(spark, sf_dir), linking.alias_df(spark))
+    linked = linking.link_triples(triples(spark, sf_dir), config.ALIAS_DICT)
     return graph_ops.materialize_graph(linked)
 
 
@@ -297,7 +297,7 @@ def graph_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import graph as graph_ops
     from glirel_spark.operators import linking
 
-    linked = linking.link_triples(triples(spark, sf_dir), linking.alias_df(spark))
+    linked = linking.link_triples(triples(spark, sf_dir), config.ALIAS_DICT)
     half = F.pmod(F.hash("doc_id"), F.lit(2)) == 0
     base = graph_ops.materialize_graph(linked.filter(half))
     return graph_ops.upsert_graph(base, linked.filter(~half))
@@ -803,7 +803,7 @@ def kg_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entity_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import linking
 
-    return linking.entity_types(mentions(spark, sf_dir), linking.alias_df(spark))
+    return linking.entity_types(mentions(spark, sf_dir), config.ALIAS_DICT)
 
 
 def doc_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -993,7 +993,7 @@ def entity_salience(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import linking
 
     return linking.entity_salience(
-        mentions(spark, sf_dir), docs_tokens(spark, sf_dir), linking.alias_df(spark)
+        mentions(spark, sf_dir), docs_tokens(spark, sf_dir), config.ALIAS_DICT
     )
 
 
@@ -1050,7 +1050,7 @@ def kg_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import graph as graph_ops
     from glirel_spark.operators import linking
 
-    linked = linking.link_triples(triples(spark, sf_dir), linking.alias_df(spark))
+    linked = linking.link_triples(triples(spark, sf_dir), config.ALIAS_DICT)
     half = F.pmod(F.col("doc_id").cast("long"), F.lit(2)) == 0
     old = graph_ops.materialize_graph(linked.filter(half))
     new = graph_ops.materialize_graph(linked)

@@ -30,6 +30,7 @@ import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from glirel_spark import config
 from glirel_spark.operators import graph as graph_ops
 from glirel_spark.operators import linking
 from glirel_spark.streaming.triples_stream import extract_triples_batch
@@ -83,7 +84,7 @@ def run_graph_maintenance_stream(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         triples = extract_triples_batch(batch_df)
-        linked = linking.link_triples(triples, linking.alias_df(spark)).select(
+        linked = linking.link_triples(triples, config.ALIAS_DICT).select(
             "doc_id", "subj", "pred", "obj", "prob"
         )
         prev = read_prev_graph(spark, out_dir, batch_id)
@@ -126,7 +127,7 @@ def run_graph_maintenance_with_changelog(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         triples = extract_triples_batch(batch_df)
-        linked = linking.link_triples(triples, linking.alias_df(spark)).select(
+        linked = linking.link_triples(triples, config.ALIAS_DICT).select(
             "doc_id", "subj", "pred", "obj", "prob"
         )
         prev = read_prev_graph(spark, out_dir, batch_id)
