@@ -347,18 +347,24 @@ def simhash_neardups(docs_tokens: DataFrame,
 
 def fingerprint(docs_tokens: DataFrame) -> DataFrame:
     """(doc_id, fp): rolling polynomial hash of the full token-id stream
-    (order-sensitive document fingerprint)."""
-    tids = doc_token_ids(docs_tokens)
-    # fold in pos order: fp = ((fp * B) + tid) mod P, via groupBy + sorted fold
-    per_doc = tids.groupBy("doc_id").agg(
-        F.array_sort(F.collect_list(F.struct("pos", "tid"))).alias("seq")
-    )
+    (order-sensitive document fingerprint).
+
+    Round-6: a per-ROW fold over the token-hash array — tid is a pure
+    function of the token and array order IS position order, so the
+    previous plan (posexplode -> groupBy(doc) collect_list ->
+    array_sort -> fold) shuffled the whole (doc, pos, tid) stream and
+    sorted it per doc just to recover the order the row already had
+    (guide §2.4). Zero shuffles now; identical values. Docs with zero
+    tokens are filtered (the exploded form dropped them implicitly).
+    """
     fp = F.aggregate(
-        F.col("seq"),
+        F.transform(F.col("tokens"), _char_hash),
         F.lit(0).cast("long"),
-        lambda acc, x: (acc * config.FINGERPRINT_BASE + x["tid"]) % config.HASH_P,
+        lambda acc, t: (acc * config.FINGERPRINT_BASE + t) % config.HASH_P,
     )
-    return per_doc.select("doc_id", fp.alias("fp"))
+    return docs_tokens.where(F.size("tokens") > 0).select(
+        "doc_id", fp.alias("fp")
+    )
 
 
 def neardup_clusters(

@@ -189,6 +189,106 @@ def _suffix_sum_counts_grouped(
     )
 
 
+def gold_triples_lexical(
+    rel_pairs: DataFrame,
+    labels: dict[str, dict[str, list[str]]] | None = None,
+    raw_min: int = config.GOLD_RAW_MIN,
+) -> DataFrame:
+    """The deterministic gold relation (``gold_triples`` over the
+    lexical scorer), derived row-locally from the pair relation: one
+    narrow explode, no pairs × labels expansion, no distinct (one row
+    per (pair, label) by construction). Same row set as
+    ``gold_triples(score_pairs_lexical(rel_pairs, labels_df))``."""
+    from glirel_spark.functions.barrier import materialized
+    from glirel_spark.operators.scoring import lexical_base, lexical_label_raws
+
+    labs = sorted(labels or config.RELATION_LABELS)
+    raws = lexical_label_raws(labs, base=F.col("_lexbase"))
+    gold_labs = F.filter(
+        F.array(*[
+            F.when(r >= F.lit(raw_min), F.lit(lab)).otherwise(F.lit(None))
+            for lab, r in zip(labs, raws)
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    return rel_pairs.withColumn(
+        "_lexbase", materialized(lexical_base())
+    ).select(*_POS, F.explode(gold_labs).alias("label"))
+
+
+def eval_counts_lexical(
+    rel_pairs: DataFrame,
+    labels: dict[str, dict[str, list[str]]] | None = None,
+    threshold: float = config.THRESHOLD,
+    raw_min: int = config.GOLD_RAW_MIN,
+) -> DataFrame:
+    """A3 per-label counts fused to the pair row (round-6), row-exact to
+    ``per_label_counts(annotated_pairs_filter(_eval_preds, gold), gold)``
+    over the lexical scorer at k=1: the decoded prediction (argmax +
+    threshold + P9 constraint), the J5 annotated filter (gold set
+    non-empty) and the TP test (argmax label ∈ gold set) are all
+    row-local, so the counts need ONE narrow pass + one
+    map-side-combined aggregation — no scored relation, no semi-joins
+    (same derivation discipline as ``threshold_search_lexical``).
+    """
+    from glirel_spark.functions.barrier import materialized
+    from glirel_spark.operators.scoring import (
+        lexical_base,
+        lexical_constraint_ok,
+        lexical_label_raws,
+    )
+
+    label_dict = labels or config.RELATION_LABELS
+    labs = sorted(label_dict)
+    raws = lexical_label_raws(labs, base=F.col("_lexbase"))
+    best_raw = F.greatest(*raws) if len(raws) > 1 else raws[0]
+    best_label = F.when(raws[0] == best_raw, F.lit(labs[0]))
+    for r, lab in zip(raws[1:], labs[1:]):
+        best_label = best_label.when(r == best_raw, F.lit(lab))
+    gold_labs = F.filter(
+        F.array(*[
+            F.when(r >= F.lit(raw_min), F.lit(lab)).otherwise(F.lit(None))
+            for lab, r in zip(labs, raws)
+        ]),
+        lambda x: x.isNotNull(),
+    )
+    prob = best_raw.cast("int").cast("double") / F.lit(float(config.SCORE_MOD - 1))
+    pp = rel_pairs.withColumn("_lexbase", materialized(lexical_base())).select(
+        best_label.alias("label"),
+        (prob > F.lit(threshold)).alias("_pred"),
+        gold_labs.alias("_glabs"),
+        "h_type", "t_type",
+    )
+    is_pred = (
+        F.col("_pred")
+        & (F.size("_glabs") > 0)  # J5 annotated-pairs filter
+        & lexical_constraint_ok(label_dict, F.col("label"))  # P9
+    )
+    pred_item = F.when(
+        is_pred,
+        F.array(F.struct(
+            F.lit(0).alias("_k"), F.col("label").alias("_lab"),
+            F.array_contains("_glabs", F.col("label")).cast("long").alias("_hit"),
+        )),
+    ).otherwise(F.array())
+    gold_items = F.transform(
+        F.col("_glabs"),
+        lambda lab: F.struct(
+            F.lit(1).alias("_k"), lab.alias("_lab"), F.lit(0).cast("long").alias("_hit")
+        ),
+    )
+    k0 = F.col("_i._k") == 0
+    return (
+        pp.select(F.explode(F.concat(pred_item, gold_items)).alias("_i"))
+        .groupBy(F.col("_i._lab").alias("label"))
+        .agg(
+            F.sum(F.when(k0, F.col("_i._hit")).otherwise(F.lit(0))).cast("long").alias("tp"),
+            F.sum(F.when(k0, F.lit(1)).otherwise(F.lit(0))).cast("long").alias("pred_n"),
+            F.sum(F.when(~k0, F.lit(1)).otherwise(F.lit(0))).cast("long").alias("true_n"),
+        )
+    )
+
+
 def threshold_search_lexical(
     rel_pairs: DataFrame,
     labels: dict[str, dict[str, list[str]]] | None = None,

@@ -87,6 +87,35 @@ def _norm_emb(emb_col: Column) -> Column:
     return F.transform(emb_col, lambda x: x.cast("double") / nrm)
 
 
+def with_normalized(emb, col_name: str = "_ne"):
+    """emb + a MATERIALIZED unit-normalized embedding column.
+
+    Round-6 fix: ``_norm_emb`` is a composite expression — the norm
+    fold nested inside a per-element transform — and Catalyst inlines
+    alias references, so every downstream reference (``encode_expr``
+    slices it m*ks times per row) re-evaluated the full normalize, and
+    the norm itself re-folded per ELEMENT: O(m*ks*d^2) interpreted work
+    per corpus row, measured at ~104s per PQ query at sf0.1. The two
+    ``materialized`` barriers (norm scalar, then the normalized array)
+    pin both to one evaluation per row — the same fence
+    with_shingle_array/with_mentions use. Values are bit-identical
+    (same expressions, evaluated once)."""
+    from glirel_spark.functions.barrier import materialized
+
+    nrm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+    )
+    df = emb.withColumn("_pqnrm", materialized(nrm))
+    ne = F.transform(
+        F.col("embedding"), lambda x: x.cast("double") / F.col("_pqnrm")
+    )
+    return df.withColumn(col_name, materialized(ne)).drop("_pqnrm")
+
+
 def _l2(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
@@ -107,14 +136,14 @@ def _flat(books) -> Column:
     return F.lit([float(v) for book in books for row in book for v in row])
 
 
-def encode_expr(emb_col: Column, books) -> Column:
-    """PQ codes as ONE column expression: array of m ints, code j =
-    argmin-L2 codebook entry for subspace j (ties -> smallest code,
-    matching np.argmin). Flat-literal codebook + index arithmetic, per
-    the kmeans.cell_scores codegen lesson."""
+def encode_expr(ne: Column, books) -> Column:
+    """PQ codes as ONE column expression over a PRE-NORMALIZED (and
+    materialized — see with_normalized) embedding column: array of m
+    ints, code j = argmin-L2 codebook entry for subspace j (ties ->
+    smallest code, matching np.argmin). Flat-literal codebook + index
+    arithmetic, per the kmeans.cell_scores codegen lesson."""
     m, ks, ds = len(books), len(books[0]), len(books[0][0])
     flat = _flat(books)
-    ne = _norm_emb(emb_col)
     return F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
         lambda j: F.element_at(
@@ -138,13 +167,13 @@ def encode_expr(emb_col: Column, books) -> Column:
     )
 
 
-def lut_expr(emb_col: Column, books) -> Column:
-    """Per-query ADC lookup table: m*ks inner products of the
-    normalized query subvector against every codebook entry, flattened
-    in (j, c) order so score lookup is lut[j*ks + code + 1]."""
+def lut_expr(qn: Column, books) -> Column:
+    """Per-query ADC lookup table over a PRE-NORMALIZED (materialized)
+    embedding column: m*ks inner products of the normalized query
+    subvector against every codebook entry, flattened in (j, c) order
+    so score lookup is lut[j*ks + code + 1]."""
     m, ks, ds = len(books), len(books[0]), len(books[0][0])
     flat = _flat(books)
-    qn = _norm_emb(emb_col)
     return F.flatten(
         F.transform(
             F.sequence(F.lit(0), F.lit(m - 1)),
@@ -173,12 +202,12 @@ def pq_topk(
 
     m = len(books)
     ks = len(books[0])
-    corpus = emb.select(
-        "vec_id", encode_expr(F.col("embedding"), books).alias("codes")
+    corpus = with_normalized(emb).select(
+        "vec_id", encode_expr(F.col("_ne"), books).alias("codes")
     )
-    q = emb.filter(F.col("vec_id") < n_queries).select(
+    q = with_normalized(emb.filter(F.col("vec_id") < n_queries)).select(
         F.col("vec_id").alias("q_id"),
-        lut_expr(F.col("embedding"), books).alias("lut"),
+        lut_expr(F.col("_ne"), books).alias("lut"),
     )
     pairs = corpus.join(F.broadcast(q), F.col("vec_id") != F.col("q_id"))
     score = F.aggregate(
@@ -218,8 +247,8 @@ def pq_topk_rerank(
 
     m = len(books)
     ks = len(books[0])
-    corpus = emb.select(
-        "vec_id", encode_expr(F.col("embedding"), books).alias("codes")
+    corpus = with_normalized(emb).select(
+        "vec_id", encode_expr(F.col("_ne"), books).alias("codes")
     )
     nrm = F.sqrt(_dot(F.col("embedding"), F.col("embedding")))
     base = emb.select("vec_id", "embedding", nrm.alias("nrm"))
@@ -228,9 +257,9 @@ def pq_topk_rerank(
         F.col("embedding").alias("q_emb"),
         F.col("nrm").alias("q_nrm"),
     )
-    qlut = emb.filter(F.col("vec_id") < n_queries).select(
+    qlut = with_normalized(emb.filter(F.col("vec_id") < n_queries)).select(
         F.col("vec_id").alias("q_id"),
-        lut_expr(F.col("embedding"), books).alias("lut"),
+        lut_expr(F.col("_ne"), books).alias("lut"),
     )
     pairs = corpus.join(F.broadcast(qlut), F.col("vec_id") != F.col("q_id"))
     adc = F.aggregate(
@@ -286,17 +315,17 @@ def ivfpq_topk(
 
     m = len(books)
     ks = len(books[0])
-    corpus = emb.select(
+    corpus = with_normalized(emb).select(
         "vec_id",
         assign_cell_expr(F.col("embedding"), cents).alias("cell"),
-        encode_expr(F.col("embedding"), books).alias("codes"),
+        encode_expr(F.col("_ne"), books).alias("codes"),
     )
-    qside = emb.filter(F.col("vec_id") < n_queries).select(
+    qside = with_normalized(emb.filter(F.col("vec_id") < n_queries)).select(
         F.col("vec_id").alias("q_id"),
         F.explode(
             probe_cells_expr(F.col("embedding"), cents, n_probe)
         ).alias("cell"),
-        lut_expr(F.col("embedding"), books).alias("lut"),
+        lut_expr(F.col("_ne"), books).alias("lut"),
     )
     pairs = corpus.join(
         F.broadcast(qside),

@@ -171,17 +171,26 @@ def lexical_topk1_triples(
         "prob", F.col("raw").cast("double") / F.lit(float(config.SCORE_MOD - 1))
     ).filter(F.col("prob") > F.lit(threshold))
     if apply_constraints:
-        ok = None
-        for lab in labs:
-            spec = labels.get(lab) or {}
-            ah, at = spec.get("allowed_head"), spec.get("allowed_tail")
-            head_ok = F.col("h_type").isin(*ah) if ah else F.lit(True)
-            tail_ok = F.col("t_type").isin(*at) if at else F.lit(True)
-            cond = head_ok & tail_ok
-            ok = (
-                F.when(F.col("label") == lab, cond)
-                if ok is None
-                else ok.when(F.col("label") == lab, cond)
-            )
-        out = out.filter(ok)
+        out = out.filter(lexical_constraint_ok(labels, F.col("label")))
     return decode_ops.format_output(out)
+
+
+def lexical_constraint_ok(
+    labels: dict[str, dict[str, list[str]]], label_col: "F.Column"
+) -> "F.Column":
+    """P9 constraint predicate as a label when-chain of ``isin`` tests —
+    same truth table as the NULL-semantics array_contains form over the
+    broadcast label dimension (types are non-null by construction)."""
+    ok = None
+    for lab in sorted(labels):
+        spec = labels.get(lab) or {}
+        ah, at = spec.get("allowed_head"), spec.get("allowed_tail")
+        head_ok = F.col("h_type").isin(*ah) if ah else F.lit(True)
+        tail_ok = F.col("t_type").isin(*at) if at else F.lit(True)
+        cond = head_ok & tail_ok
+        ok = (
+            F.when(label_col == lab, cond)
+            if ok is None
+            else ok.when(label_col == lab, cond)
+        )
+    return ok if ok is not None else F.lit(True)

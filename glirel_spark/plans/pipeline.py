@@ -174,10 +174,12 @@ def _eval_preds(spark: SparkSession, sf_dir: str) -> DataFrame:
 def eval_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import evaluate
 
-    s = scored(spark, sf_dir)
-    gold = evaluate.gold_triples(s)
-    preds = evaluate.annotated_pairs_filter(_eval_preds(spark, sf_dir), gold)
-    return evaluate.per_label_counts(preds, gold)
+    # round-6: decode + J5 filter + TP test are row-local on the pair
+    # relation for the lexical scorer at k=1 (evaluate.py docstring);
+    # bit-identical to the scored-relation chain, same unchanged oracle.
+    return evaluate.eval_counts_lexical(
+        pair_ops.relation_pairs(pairs(spark, sf_dir))
+    )
 
 
 def eval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -685,7 +687,12 @@ def calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     vacuously 1.0)."""
     from glirel_spark.operators import evaluate
 
-    gold = evaluate.gold_triples(scored(spark, sf_dir)).select(
+    # round-6: gold derives row-locally from the pair relation (no
+    # scored expansion, no distinct — evaluate.gold_triples_lexical);
+    # calibration_table's semi-join and bucket agg are unchanged.
+    gold = evaluate.gold_triples_lexical(
+        pair_ops.relation_pairs(pairs(spark, sf_dir))
+    ).select(
         "doc_id",
         F.col("h_start").alias("head_start"),
         (F.col("h_end") + 1).alias("head_end"),

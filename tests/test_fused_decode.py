@@ -85,6 +85,23 @@ def test_threshold_search_lexical_equals_scored_form(spark, rel):
     scored.unpersist()
 
 
+def test_eval_counts_lexical_equals_scored_chain(spark, rel):
+    from glirel_spark.operators import pairs as pair_ops  # noqa: F401
+    from glirel_spark.plans import pipeline
+
+    SFD = SF
+    s = scoring.score_pairs_lexical(rel, scoring.labels_df(spark)).cache()
+    gold = evaluate.gold_triples(s)
+    preds = pipeline._eval_preds(spark, SFD)
+    general = evaluate.per_label_counts(
+        evaluate.annotated_pairs_filter(preds, gold), gold
+    )
+    fused = evaluate.eval_counts_lexical(rel)
+    assert sorted(fused.columns) == sorted(general.columns)
+    assert _rows(fused) == _rows(general)
+    s.unpersist()
+
+
 def test_threshold_search_lexical_dup_grid_and_raw_min(spark, rel):
     """Duplicate grid values + non-default gold cut: same counts both
     forms (the r5 duplicate-grid-dedup fix must survive the rewrite)."""
