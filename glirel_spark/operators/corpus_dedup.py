@@ -319,7 +319,11 @@ def simhash_neardups(docs_tokens: DataFrame,
     any pair within distance d shares at least one exact chunk
     (pigeonhole). Equi-join per chunk, then exact popcount verify.
     """
-    sig = simhash(docs_tokens)
+    # round-6: both sides of the chunk self-join (and each of the
+    # n_chunks union branches) re-expanded the signature aggregation;
+    # cut the lineage once — at scale this is "materialize the
+    # signature table", the standard sketch-store boundary.
+    sig = simhash(docs_tokens).localCheckpoint(eager=False)
     n_chunks = max_hamming + 1
     chunk_bits = config.SIMHASH_BITS // n_chunks
     blocks = None
@@ -393,7 +397,15 @@ def neardup_clusters(
     if neardups is None:
         neardups = minhash_neardups_arr(docs_tokens, threshold, shingled=shingled)
     e = neardups.select(F.col("doc1").alias("a"), F.col("doc2").alias("b"))
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    # round-6: the edge relation is referenced by EVERY propagation
+    # round (plus the per-round convergence count), and without a
+    # lineage cut each reference re-executed the whole signature +
+    # band-join + verify subtree — max_iter x the query. Checkpoint it
+    # once, like `labels` below; the edge subgraph is the small
+    # relation this loop is built around.
+    sym = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("doc_id"))
         .distinct()

@@ -121,8 +121,16 @@ def fuzzy_alias_candidates(
         F.col("canonical_id"),
     ).distinct()
 
-    s_docs = cd.with_shingle_array(_as_char_docs(surf, "s"))
-    a_docs = cd.with_shingle_array(_as_char_docs(alias_norm.select("s"), "s"))
+    # round-6: each shingled side feeds its band subtree AND the verify
+    # explodes/counts below — cut the lineage once per side so the
+    # distinct + char-shingle pass is not re-executed per reference
+    # (at scale: materialize the per-surface shingle table once).
+    s_docs = cd.with_shingle_array(_as_char_docs(surf, "s")).localCheckpoint(
+        eager=False
+    )
+    a_docs = cd.with_shingle_array(
+        _as_char_docs(alias_norm.select("s"), "s")
+    ).localCheckpoint(eager=False)
 
     s_bands = cd.lsh_bands(cd.minhash_signature_arr(None, shingled=s_docs))
     a_bands = cd.lsh_bands(cd.minhash_signature_arr(None, shingled=a_docs))
@@ -304,9 +312,13 @@ def er_clusters(
     """
     names = mentions.select(F.lower("text").alias("name")).distinct()
     e = er_edit_pairs(mentions, max_dist).select("e1", "e2")
+    # round-6: the edge relation feeds every propagation round (plus
+    # the per-round convergence count) — cut its lineage once so the
+    # blocked-Levenshtein subtree is not re-executed max_iter times
+    # (same fix as corpus_dedup.neardup_clusters).
     sym = e.select(F.col("e1").alias("a"), F.col("e2").alias("b")).union(
         e.select(F.col("e2").alias("a"), F.col("e1").alias("b"))
-    )
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("name"))
         .distinct()

@@ -725,7 +725,12 @@ def calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("t_end") + 1).alias("tail_end"),
         "label",
     )
-    return evaluate.calibration_table(triples_neural(spark, sf_dir), gold)
+    # calibration_table buckets the prediction relation twice (all
+    # preds + gold-correct preds); cut the neural subtree's lineage so
+    # the scorer runs once (same round-6 treatment as refeval/docred).
+    return evaluate.calibration_table(
+        triples_neural(spark, sf_dir).localCheckpoint(eager=False), gold
+    )
 
 
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:

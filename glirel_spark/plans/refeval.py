@@ -55,6 +55,10 @@ def evaluate_jsonl(
         F.col("t_start"), F.col("t_end"),
         "label",
     )
-    preds = evaluate.annotated_pairs_filter(preds, gold)
+    # round-6: same lineage cut as docred_neural_counts — the counts
+    # consumers otherwise re-execute the neural scorer per reference.
+    preds = evaluate.annotated_pairs_filter(preds, gold).localCheckpoint(
+        eager=False
+    )
     counts = evaluate.per_label_counts(preds, gold)
     return counts, evaluate.micro_macro(counts)

@@ -574,7 +574,14 @@ def docred_neural_counts(docs: DataFrame) -> DataFrame:
         "doc_id", "h_start", "h_end", "t_start", "t_end", "label"
     )
     gold = docred_gold_span_labels(docs)
-    annotated = evaluate.annotated_pairs_filter(preds, gold)
+    # round-6: per_label_counts references the prediction relation three
+    # times (tp / pred_n / label-vocabulary union) and each reference
+    # re-executed the neural mapInPandas scorer — cut the lineage once
+    # (the scored predictions ARE the materialized artifact a real
+    # eval run writes before counting).
+    annotated = evaluate.annotated_pairs_filter(preds, gold).localCheckpoint(
+        eager=False
+    )
     return evaluate.per_label_counts(annotated, gold)
 
 
