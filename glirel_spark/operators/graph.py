@@ -373,7 +373,9 @@ def pred_functionality(graph: DataFrame) -> DataFrame:
     )
 
 
-def pred_type_signature(scored: DataFrame) -> DataFrame:
+def pred_type_signature(
+    scored: DataFrame | None = None, decoded: DataFrame | None = None
+) -> DataFrame:
     """Relation type signatures: for each predicate, the distribution of
     (head entity type, tail entity type) slots over decoded triples —
     the schema-induction step that turns an untyped triple store into
@@ -393,9 +395,15 @@ def pred_type_signature(scored: DataFrame) -> DataFrame:
     """
     from glirel_spark.operators import decode
 
-    t = decode.threshold_filter(scored)
-    t = decode.top_k_per_pair(t)
-    t = decode.constraint_filter(t)
+    if decoded is not None:
+        # round-6: callers on the fused k=1 plan pass the already
+        # decoded typed relation (scoring.lexical_topk1_triples
+        # formatted=False) — no scored-relation expansion to re-decode
+        t = decoded
+    else:
+        t = decode.threshold_filter(scored)
+        t = decode.top_k_per_pair(t)
+        t = decode.constraint_filter(t)
     sig = (
         t.groupBy(
             F.col("label").alias("pred"),

@@ -132,6 +132,7 @@ def lexical_topk1_triples(
     labels: dict[str, dict[str, list[str]]] | None = None,
     threshold: float = config.THRESHOLD,
     apply_constraints: bool = True,
+    formatted: bool = True,
 ) -> DataFrame:
     """Fused k=1 lexical decode: one narrow projection from pairs to
     formatted triples (see module comment above). Row-identical to
@@ -172,6 +173,10 @@ def lexical_topk1_triples(
     ).filter(F.col("prob") > F.lit(threshold))
     if apply_constraints:
         out = out.filter(lexical_constraint_ok(labels, F.col("label")))
+    if not formatted:
+        # the pre-format decoded relation (inclusive ends, h/t types
+        # kept) — what type-signature style consumers aggregate over
+        return out
     return decode_ops.format_output(out)
 
 

@@ -301,7 +301,14 @@ def pred_functionality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pred_type_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     from glirel_spark.operators import graph as graph_ops
 
-    return graph_ops.pred_type_signature(scored(spark, sf_dir))
+    # round-6: feed the fused k=1 decoded relation directly (same rows
+    # as decode-over-scored, tests/test_fused_decode.py) — no pairs x
+    # labels expansion
+    return graph_ops.pred_type_signature(
+        decoded=scoring_ops.lexical_topk1_triples(
+            pair_ops.relation_pairs(pairs(spark, sf_dir)), formatted=False
+        )
+    )
 
 
 def two_hop_paths(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -75,6 +75,18 @@ def test_lexical_label_raws_match_lexical_raw(spark, rel):
             assert r[f"_f{i}"] == r[f"_g{i}"]
 
 
+def test_pred_type_signature_decoded_input_equals_scored(spark, rel):
+    from glirel_spark.operators import graph as graph_ops
+
+    s = scoring.score_pairs_lexical(rel, scoring.labels_df(spark))
+    via_scored = graph_ops.pred_type_signature(s)
+    via_decoded = graph_ops.pred_type_signature(
+        decoded=scoring.lexical_topk1_triples(rel, formatted=False)
+    )
+    assert via_decoded.columns == via_scored.columns
+    assert _rows(via_decoded) == _rows(via_scored)
+
+
 def test_threshold_search_lexical_equals_scored_form(spark, rel):
     ldf = scoring.labels_df(spark)
     scored = scoring.score_pairs_lexical(rel, ldf).cache()
